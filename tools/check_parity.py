@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every catalog query on Spark AND its oracle on DuckDB over the
+same parquet, normalizes (sort columns by name, sort rows), and
+compares values exactly. Usage:
+
+    python tools/check_parity.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from dazzleduck_sql_duckdb_spark.session import get_spark
+
+    spark = get_spark()
+    qs = E.queries()
+    oracles = E.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: SPARK ERROR {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = [c for c in rel.columns]
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: DUCK ERROR {str(e)[:300]}")
+            n_fail += 1
+            continue
+        sc, sr = norm_rows(scols, srows)
+        dc, dr = norm_rows(dcols, drows)
+        dt = time.time() - t0
+        if [c.lower() for c in sc] != [c.lower() for c in dc]:
+            print(f"FAIL {name}: cols {sc} vs {dc}")
+            n_fail += 1
+        elif len(sr) != len(dr):
+            print(f"FAIL {name}: rowcount {len(sr)} vs {len(dr)}")
+            n_fail += 1
+        elif sr != dr:
+            bad = next(i for i, (a, b) in enumerate(zip(sr, dr)) if a != b)
+            print(f"FAIL {name}: values differ at row {bad}:")
+            print(f"   spark: {sr[bad]}")
+            print(f"   duck : {dr[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sr)} rows, {dt:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
