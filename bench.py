@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run the headline query catalog and print ONE JSON line.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python3 bench.py
+
+Prints {"metric": "total_wall_s", "value": N, "unit": "sec",
+        "queries": {name: sec, ...}, "sf": 0.1}.
+
+Each query is forced to full execution with a `noop` write (runs the
+whole distributed plan, materializes nothing on the driver — the same
+discipline you'd use benchmarking on a real cluster). One untimed
+warmup query amortizes JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E
+from dazzleduck_sql_duckdb_spark.session import get_spark
+
+# Headline set: the reference's 8-query lineitem suite + TPC-H Q1/Q6
+# shapes + the heaviest relational / dedup / embedding / text operators.
+BENCH_QUERIES = [
+    "lineitem_count",
+    "lineitem_sum_orderkey",
+    "lineitem_full_scan",
+    "lineitem_point_filter",
+    "lineitem_projection",
+    "lineitem_range_filter",
+    "lineitem_date_filter_count",
+    "q6_revenue",
+    "q1_pricing_summary",
+    "orders_group_agg",
+    "join_region_rollup",
+    "window_topk_per_group",
+    "events_sessionize",
+    "events_hourly_rollup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_knn_bruteforce",
+    "text_langid",
+    "text_quality",
+    "text_token_stats",
+    "text_fingerprint",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(app_name="dazzleduck_bench")
+    spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+
+    queries = E.queries()
+    names = [n for n in BENCH_QUERIES if n in queries]
+
+    # warmup: trivial full pass to pay JVM + codegen + parquet-footer costs
+    queries["lineitem_count"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_s",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

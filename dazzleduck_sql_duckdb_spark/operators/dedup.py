@@ -32,10 +32,11 @@ P31 = 2_147_483_647  # minhash universe: Mersenne prime 2^31-1
 def make_minhash_udf(a: list[int], b: list[int]):
     """Vectorized MinHash signature kernel.
 
-    Input: column of arrays of shingle hashes (int64, already reduced
-    mod 2^31-1). Output: int64 signature array of len(a).
-    sig[k] = min over h of (a[k]*h + b[k]) % P31 — products stay below
-    2^62, so int64 arithmetic is exact (and identical to the SQL twin).
+    Input: column of arrays of raw 64-bit shingle hashes (any sign).
+    Output: int64 signature array of len(a).
+    sig[k] = min over h of (a[k]*(h mod P31) + b[k]) % P31 — after the
+    non-negative mod, products stay below 2^62, so int64 arithmetic is
+    exact.
     """
     A = np.asarray(a, dtype=np.int64).reshape(-1, 1)
     B = np.asarray(b, dtype=np.int64).reshape(-1, 1)
@@ -48,7 +49,7 @@ def make_minhash_udf(a: list[int], b: list[int]):
             if arr is None or len(arr) == 0:
                 out.append(empty)
                 continue
-            h = np.asarray(arr, dtype=np.int64).reshape(1, -1)
+            h = np.mod(np.asarray(arr, dtype=np.int64), P31).reshape(1, -1)
             out.append(((A * h + B) % P31).min(axis=1))
         return pd.Series(out)
 
@@ -79,6 +80,22 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def shingle_hashes(col: Column, n: int) -> Column:
+    """Distinct xxhash64 values of the character n-grams of lower(trim(col)).
+
+    xxhash64 is JVM-native (whole-stage codegen, no md5 string
+    round-trip); a 64-bit hash makes |hash set| == |shingle set| and
+    hash-set Jaccard == string-set Jaccard up to a ~2^-60 collision
+    probability, which is what lets the verify stage run on compact
+    int64 arrays instead of string arrays.
+    """
+    base = F.lower(F.trim(col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(base) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(F.substring(base, i, n)))
+    )
+
+
 def minhash_neardup_pairs(
     docs: DataFrame,
     *,
@@ -94,25 +111,21 @@ def minhash_neardup_pairs(
     """Near-duplicate pairs at shingle-Jaccard >= threshold within block.
 
     Pipeline (no n^2 stage anywhere):
-      shingle sets (persisted) -> hashes -> numpy minhash signatures
-      (persisted) -> explode bands -> self-join on (band, key, block)
-      -> distinct candidates -> exact set-Jaccard verify.
+      distinct shingle-hash int64 arrays (ONE persisted stage, reused by
+      both the signature and the verify paths) -> numpy minhash
+      signatures -> explode bands -> self-join on (band, key, block)
+      -> distinct candidates -> exact set-Jaccard verify on int arrays.
     """
     k = len(a)
     rows_per_band = k // bands
-    block = block_col or "__noblock"
-    base = docs.select(
+    sh = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
-        char_shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
-    sh = base.persist()
-    hs = sh.select(
-        "doc_id", "blk",
-        F.transform("sh", lambda s: hash60(s) % P31).alias("hs"),
-    )
+        shingle_hashes(F.col(text_col), shingle_n).alias("sh"),
+    ).persist()
     sig_udf = make_minhash_udf(a, b)
-    sigs = hs.select("doc_id", "blk", sig_udf("hs").alias("sig")).persist()
+    # persisted: the band self-join reads the signature relation twice
+    sigs = sh.select("doc_id", "blk", sig_udf("sh").alias("sig")).persist()
 
     bands_df = sigs.select(
         "doc_id", "blk",

@@ -803,8 +803,11 @@ SPARK_STAGES: dict[str, Callable] = {
 def _build_minhash_df(spark):
     """DataFrame-API path: numpy-vectorized MinHash (operators/dedup.py).
 
-    Arithmetic is bit-identical to the SQL twin; the kernel is ~50x
-    faster than interpreted HOF lambdas at K=128."""
+    Shingle hashing is JVM-native xxhash64 (the oracle never sees the
+    hashes — only the final exact-verified Jaccard values, which match
+    the string-set Jaccard up to a ~2^-60 collision); the signature
+    kernel is numpy (~50x faster than interpreted HOF lambdas at
+    K=128)."""
     from ..operators.dedup import minhash_neardup_pairs
 
     return minhash_neardup_pairs(

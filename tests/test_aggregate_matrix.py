@@ -1,0 +1,137 @@
+"""Aggregate x type correctness matrix vs the DuckDB oracle.
+
+Pytest port of the reference's typed-matrix strategy
+(/root/reference/test/sql/dd_read_arrow_all_types_split_comprehensive.test_slow:17-386
+and dd_read_arrow_aggregation_pushdown.test_slow:186-390, via SURVEY.md §5):
+every aggregate over every numeric width, with NULL rows mixed in, plus the
+NULL/empty-set laws — identical values from Spark and DuckDB over the same
+rows.
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+
+import duckdb
+import pytest
+
+ROWS = [
+    # (i8, i16, i32, i64, f32, f64, dec92, s)
+    (1, 100, 10_000, 1_000_000, 1.5, 2.5, decimal.Decimal("12.345"), "alpha"),
+    (2, -50, -20_000, -5_000_000, -0.25, 7.75, decimal.Decimal("-4.100"), "beta"),
+    (None, None, None, None, None, None, None, None),
+    (127, 32_000, 2_000_000_000, 4_000_000_000_000, 3.125, -1.5,
+     decimal.Decimal("999999.999"), "alpha"),
+    (-128, -32_000, -2_000_000_000, -4_000_000_000_000, 0.5, 0.0,
+     decimal.Decimal("0.001"), "gamma"),
+]
+
+DDL_COLS = (
+    "i8 TINYINT, i16 SMALLINT, i32 INT, i64 BIGINT, "
+    "f32 FLOAT, f64 DOUBLE, dec92 DECIMAL(9,3), s STRING"
+)
+
+# (aggregate template, result cast) — cast unifies Spark/DuckDB result
+# types (DuckDB sum(int) is HUGEINT, Spark's is LONG, etc.;
+# SURVEY.md §7.4).
+AGGS = [
+    ("count(*)", "BIGINT"),
+    ("count({c})", "BIGINT"),
+    ("count(DISTINCT {c})", "BIGINT"),
+    ("min({c})", None),
+    ("max({c})", None),
+    ("sum({c})", "DECIMAL(38,6)"),
+    ("avg({c})", "DOUBLE"),
+]
+
+NUMERIC_COLS = ["i8", "i16", "i32", "i64", "f32", "f64", "dec92"]
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    df = spark.createDataFrame(ROWS, schema=DDL_COLS.replace(" STRING", " STRING"))
+    df.createOrReplaceTempView("all_types")
+    con = duckdb.connect()
+    con.sql(f"CREATE TABLE all_types ({DDL_COLS.replace('STRING', 'VARCHAR')})")
+    for r in ROWS:
+        con.execute(
+            "INSERT INTO all_types VALUES (?,?,?,?,?,?,?,?)", list(r)
+        )
+    return spark, con
+
+
+def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _check(spark, con, expr_sql: str):
+    got = _norm(spark.sql(f"SELECT {expr_sql} FROM all_types").collect()[0][0])
+    want = _norm(con.sql(f"SELECT {expr_sql} FROM all_types").fetchall()[0][0])
+    if isinstance(got, float) and isinstance(want, float):
+        assert got == pytest.approx(want, rel=1e-12), expr_sql
+    else:
+        assert got == want, expr_sql
+
+
+@pytest.mark.parametrize("col", NUMERIC_COLS)
+@pytest.mark.parametrize("agg,cast", AGGS)
+def test_agg_type_matrix(engines, col, agg, cast):
+    spark, con = engines
+    expr = agg.format(c=col)
+    if cast:
+        expr = f"CAST({expr} AS {cast})"
+    _check(spark, con, expr)
+
+
+@pytest.mark.parametrize("agg,cast", AGGS)
+def test_varchar_aggs(engines, agg, cast):
+    if "sum" in agg or "avg" in agg:
+        pytest.skip("no sum/avg over VARCHAR")
+    spark, con = engines
+    _check(spark, con, agg.format(c="s") if not cast else
+           f"CAST({agg.format(c='s')} AS {cast})")
+
+
+def test_null_laws(engines):
+    """count(*) includes NULLs, count(col) excludes, sum/min/max ignore."""
+    spark, con = engines
+    for expr in [
+        "CAST(count(*) AS BIGINT)",
+        "CAST(count(i32) AS BIGINT)",
+        "CAST(sum(i32) AS BIGINT)",
+        "min(i32)",
+        "max(i32)",
+    ]:
+        _check(spark, con, expr)
+
+
+def test_empty_set_laws(engines):
+    """Empty input: count -> 0, sum/min/max/avg -> NULL."""
+    spark, con = engines
+    where = " WHERE i32 > 2000000000000"
+    for expr in [
+        "CAST(count(*) AS BIGINT)",
+        "CAST(sum(i32) AS BIGINT)",
+        "min(i32)",
+        "max(i32)",
+        "CAST(avg(i32) AS DOUBLE)",
+    ]:
+        got = spark.sql(f"SELECT {expr} FROM all_types{where}").collect()[0][0]
+        want = con.sql(f"SELECT {expr} FROM all_types{where}").fetchall()[0][0]
+        assert _norm(got) == _norm(want), expr
+
+
+def test_group_by_matches(engines):
+    spark, con = engines
+    q = (
+        "SELECT s, CAST(count(*) AS BIGINT) n, CAST(sum(i64) AS DECIMAL(38,0)) sm"
+        " FROM all_types GROUP BY s ORDER BY s NULLS FIRST"
+    )
+    got = [tuple(_norm(v) for v in r) for r in spark.sql(q).collect()]
+    want = [tuple(_norm(v) for v in r) for r in con.sql(q).fetchall()]
+    assert got == want

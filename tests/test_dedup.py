@@ -1,0 +1,96 @@
+"""Dedup operator unit tests on small synthetic corpora with known answers."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import types as T
+
+from dazzleduck_sql_duckdb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_neardup_pairs,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _jaccard(a: str, b: str, n: int = 6) -> float:
+    sa = {a.lower()[i : i + n] for i in range(max(len(a) - n + 1, 1))}
+    sb = {b.lower()[i : i + n] for i in range(max(len(b) - n + 1, 1))}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", "hello world"),
+            (2, "en", "hello world"),
+            (3, "en", "something else"),
+        ],
+        schema=SCHEMA,
+    )
+    rows = {
+        r.content_hash: (r.n_copies, r.keeper_doc_id)
+        for r in exact_dedup(df).collect()
+    }
+    assert sorted(rows.values()) == [(1, 3), (2, 1)]
+
+
+def test_minhash_finds_known_neardups(spark):
+    rng = random.Random(7)
+    base = " ".join(f"word{rng.randrange(1000)}" for _ in range(60))
+    near = base.replace("word", "word", 1)[:-10]  # tiny suffix edit
+    far = " ".join(f"term{rng.randrange(1000)}" for _ in range(60))
+    assert _jaccard(base, near) >= 0.85
+    assert _jaccard(base, far) < 0.5
+    df = spark.createDataFrame(
+        [(1, "en", base), (2, "en", near), (3, "en", far),
+         (4, "de", base)],  # same text, different block -> not paired
+        schema=SCHEMA,
+    )
+    a = [rng.randrange(1, 2**31 - 1) for _ in range(128)]
+    b = [rng.randrange(0, 2**31 - 1) for _ in range(128)]
+    pairs = minhash_neardup_pairs(
+        df, a=a, b=b, bands=32, threshold_pct=85
+    ).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+    assert all(p.jaccard >= 0.85 for p in pairs)
+
+
+def test_minhash_blocking_disabled(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "identical text body here"), (2, "de", "identical text body here")],
+        schema=SCHEMA,
+    )
+    rng = random.Random(9)
+    a = [rng.randrange(1, 2**31 - 1) for _ in range(128)]
+    b = [rng.randrange(0, 2**31 - 1) for _ in range(128)]
+    pairs = minhash_neardup_pairs(
+        df, a=a, b=b, bands=32, threshold_pct=85, block_col=None
+    ).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+
+
+def test_simhash_pigeonhole_equals_bruteforce(spark, tables):
+    """The chunk-blocked SimHash pair set must equal the brute-force pair
+    set — recall is exactly 100% by pigeonhole (4 chunks, hamming<=3)."""
+    from dazzleduck_sql_duckdb_spark.plans import queries as Q
+
+    lsh = Q.run_spark(spark, "dedup_simhash")
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in lsh.collect()}
+    brute = spark.sql(
+        """
+        WITH s AS (SELECT doc_id, lang, simhash FROM __sh_vals)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE bit_count(a.simhash ^ b.simhash) <= 3
+        """
+    )
+    assert got == {(r.doc_a, r.doc_b, r.hamming) for r in brute.collect()}

@@ -39,23 +39,29 @@ def norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-
-    import __spark_entry__ as E
-    from dazzleduck_sql_duckdb_spark.session import get_spark
-
-    spark = get_spark()
-    qs = E.queries()
-    oracles = E.oracle_sql()
-
+def duck_connect(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
 
+
+def run_parity(spark, sf_dir: str, only: set[str] | None = None,
+               verbose: bool = True):
+    """Run the driver's gate; return (n_pass, n_fail, failures list)."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    con = duck_connect(sf_dir)
+
+    def log(msg):
+        if verbose:
+            print(msg)
+
+    failures = []
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -66,39 +72,54 @@ def main():
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            print(f"FAIL {name}: SPARK ERROR {str(e)[:300]}")
+            log(f"FAIL {name}: SPARK ERROR {str(e)[:300]}")
+            failures.append((name, f"spark error: {e}"))
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"SKIP {name}: rows-only ({len(srows)} rows)")
+            log(f"SKIP {name}: rows-only ({len(srows)} rows)")
             continue
         try:
             rel = con.sql(oracles[name])
             dcols = [c for c in rel.columns]
             drows = rel.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: DUCK ERROR {str(e)[:300]}")
+            log(f"FAIL {name}: DUCK ERROR {str(e)[:300]}")
+            failures.append((name, f"duck error: {e}"))
             n_fail += 1
             continue
         sc, sr = norm_rows(scols, srows)
         dc, dr = norm_rows(dcols, drows)
         dt = time.time() - t0
         if [c.lower() for c in sc] != [c.lower() for c in dc]:
-            print(f"FAIL {name}: cols {sc} vs {dc}")
+            log(f"FAIL {name}: cols {sc} vs {dc}")
+            failures.append((name, f"cols {sc} vs {dc}"))
             n_fail += 1
         elif len(sr) != len(dr):
-            print(f"FAIL {name}: rowcount {len(sr)} vs {len(dr)}")
+            log(f"FAIL {name}: rowcount {len(sr)} vs {len(dr)}")
+            failures.append((name, f"rowcount {len(sr)} vs {len(dr)}"))
             n_fail += 1
         elif sr != dr:
             bad = next(i for i, (a, b) in enumerate(zip(sr, dr)) if a != b)
-            print(f"FAIL {name}: values differ at row {bad}:")
-            print(f"   spark: {sr[bad]}")
-            print(f"   duck : {dr[bad]}")
+            log(f"FAIL {name}: values differ at row {bad}:")
+            log(f"   spark: {sr[bad]}")
+            log(f"   duck : {dr[bad]}")
+            failures.append((name, f"row {bad}: {sr[bad]} vs {dr[bad]}"))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(sr)} rows, {dt:.1f}s)")
+            log(f"PASS {name} ({len(sr)} rows, {dt:.1f}s)")
             n_pass += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    log(f"\n{n_pass} passed, {n_fail} failed")
+    return n_pass, n_fail, failures
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from dazzleduck_sql_duckdb_spark.session import get_spark
+
+    _, n_fail, _ = run_parity(get_spark(), sf_dir, only or None)
     return 1 if n_fail else 0
 
 
