@@ -36,6 +36,8 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
     # events.parquet carries TIMESTAMP(NANOS); Spark 4 only reads it with
     # this flag (ts arrives as BIGINT nanoseconds — queries normalize).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # dd_read_arrow's pushFilters requires this (runtime-settable)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     load_tables(spark, sf_dir)
     ddfn.register_all(spark)
     _PREPARED.add(key)
@@ -44,7 +46,7 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
 def _mk(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prepare(spark, sf_dir)
-        return Q.run_spark(spark, name)
+        return Q.run_spark(spark, name, sf_dir)
 
     run.__name__ = f"query_{name}"
     return run

@@ -825,13 +825,121 @@ SPARK_BUILDERS: dict[str, Callable] = {
     "dedup_minhash_lsh": _build_minhash_df,
 }
 
-ORACLE_SKIP: set[str] = set()  # names whose oracle is intentionally omitted
+# ======================================================= remote-source queries
+#
+# dd_read_arrow exercised under the driver's hash gate: a lazy local
+# wire-protocol server (sources/local_server.py) serves the same parquet
+# the oracle reads directly, so "remote Arrow-IPC scan == direct scan"
+# becomes a checked invariant (the reference's own core differential
+# test, dd_read_arrow_split.test_slow:40-62).
+
+_SERVERS: dict[str, object] = {}
 
 
-def run_spark(spark, name: str):
+def _server_for(sf_dir: str):
+    import atexit
+    import os
+
+    srv = _SERVERS.get(sf_dir)
+    if srv is None:
+        from ..sources.local_server import ArrowTestServer
+
+        tables = {}
+        for n in ("lineitem", "orders", "customer", "events"):
+            p = os.path.join(sf_dir, f"{n}.parquet")
+            if os.path.exists(p):
+                tables[n] = p
+        srv = ArrowTestServer(tables).start()
+        atexit.register(srv.stop)
+        _SERVERS[sf_dir] = srv
+    return srv
+
+
+_REMOTE_AGG = (
+    "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(l_orderkey) AS BIGINT) AS sum_okey"
+    " FROM {src} GROUP BY l_returnflag"
+)
+
+
+@q("remote_scan_split_agg")
+def _remote_scan_split_agg(d: str) -> str:
+    # oracle: the same aggregation straight over the parquet
+    return _REMOTE_AGG.format(src="lineitem")
+
+
+def _build_remote_scan_split_agg(spark, sf_dir: str):
+    from ..sources import dd_read_arrow, register
+
+    register(spark)
+    srv = _server_for(sf_dir)
+    scan = dd_read_arrow(
+        spark, srv.url, source_table="lineitem", split=True,
+        split_size=64 * 4000,
+    )
+    scan.createOrReplaceTempView("__remote_lineitem")
+    return spark.sql(_REMOTE_AGG.format(src="__remote_lineitem"))
+
+
+_REMOTE_FILTER = (
+    "SELECT o_orderkey, o_totalprice FROM {src}"
+    " WHERE o_totalprice > 50000 AND o_orderstatus = 'F'"
+)
+
+
+@q("remote_scan_filter_pushdown")
+def _remote_scan_filter(d: str) -> str:
+    return _REMOTE_FILTER.format(src="orders")
+
+
+def _build_remote_scan_filter(spark, sf_dir: str):
+    from ..sources import dd_read_arrow, register
+
+    register(spark)
+    srv = _server_for(sf_dir)
+    scan = dd_read_arrow(spark, srv.url, source_table="orders")
+    scan.createOrReplaceTempView("__remote_orders")
+    return spark.sql(_REMOTE_FILTER.format(src="__remote_orders"))
+
+
+@q("remote_splits_plan")
+def _remote_splits(d: str) -> str:
+    # introspection — endpoints/ids are server-assigned; rows-only check
+    return "SELECT NULL AS query, NULL AS producer_id, NULL AS split_size"
+
+
+def _build_remote_splits(spark, sf_dir: str):
+    from ..sources import dd_splits, register
+
+    register(spark)
+    srv = _server_for(sf_dir)
+    return dd_splits(
+        spark, srv.url, source_table="lineitem", split_size=64 * 4000
+    ).select("query", "producer_id", "split_size")
+
+
+SPARK_BUILDERS.update(
+    {
+        "remote_scan_split_agg": _build_remote_scan_split_agg,
+        "remote_scan_filter_pushdown": _build_remote_scan_filter,
+        "remote_splits_plan": _build_remote_splits,
+    }
+)
+
+# names whose oracle is intentionally omitted (genuinely non-SQL output:
+# server-planned split introspection) — driver records rows-only checks
+ORACLE_SKIP: set[str] = {"remote_splits_plan"}
+
+
+def run_spark(spark, name: str, sf_dir: str | None = None):
     """Build the Spark DataFrame for a catalog query (stages included)."""
     if name in SPARK_BUILDERS:
-        return SPARK_BUILDERS[name](spark)
+        import inspect
+
+        fn = SPARK_BUILDERS[name]
+        if len(inspect.signature(fn).parameters) >= 2:
+            return fn(spark, sf_dir or "/root/testdata/sf0.001")
+        return fn(spark)
     if name in SPARK_STAGES:
         SPARK_STAGES[name](spark)
     return spark.sql(spark_sql_for(name))

@@ -1,0 +1,423 @@
+"""`dd_read_arrow` — Arrow-IPC-over-HTTP scan as a Spark Python DataSource.
+
+Behavioral parity with the reference's table function
+(/root/reference/src/scanner/read_arrow_dd.cpp:880-898) re-expressed in
+Spark's native execution model:
+
+==============================  =========================================
+Reference mechanism             This implementation
+==============================  =========================================
+Bind() full-fetch for schema    ``schema()`` probes with ``LIMIT 0``
+  (read_arrow_dd.cpp:299-391,     (cheap; the reference's full fetch is a
+  buffers whole body)             documented inefficiency, SURVEY §3.1)
+split plan fetch + atomic       ``partitions()`` returns one
+  work-stealing threads           ``InputPartition`` per split; Spark's
+  (:158-190, :84-92)              task scheduler replaces the atomic
+                                  claim counter
+filter pushdown -> SQL WHERE    ``pushFilters`` serializes supported
+  (FilterToSQL :198-238;          filters to a WHERE clause, returns the
+  unsupported stay local :234)    rest to Spark for local re-apply —
+                                  identical partial-pushdown contract
+per-split HTTP fetch, whole     ``read()`` streams ``pyarrow.ipc``
+  body buffered in memory         record batches off the socket (bounded
+  (http_stream_factory.cpp:20)    memory at any scale)
+query-id per query/split        random int63 ids, same role
+  (:347-351, :457-466)
+cancel monitor thread firing    best-effort GET /v1/cancel when a task
+  GET /v1/cancel (:103-157)       generator is closed before exhaustion
+==============================  =========================================
+
+Aggregation pushdown (aggregation_pushdown.cpp) is intentionally NOT
+re-implemented: Spark's partial+final aggregation already minimizes what
+crosses the exchange, and the Python DS API exposes no aggregate hook.
+The reference itself falls back to exactly this local execution whenever
+any aggregate is unsupported — our plan equals its fallback plan, with
+Spark's strictly-stronger split-safe partials (SURVEY §2.3 A3).
+
+Usage::
+
+    spark.dataSource.register(ArrowHttpDataSource)
+    df = (spark.read.format("dd_read_arrow")
+          .option("url", "http://host:8080")
+          .option("sql", "SELECT * FROM lineitem")   # or source_table
+          .option("split", "true")
+          .option("split_size", 1 << 20)
+          .option("auth_token", token)               # from functions.misc.login
+          .load())
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import urllib.error
+import urllib.parse
+import urllib.request
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+)
+from pyspark.sql.types import StructType
+
+ARROW_MIME = "application/vnd.apache.arrow.stream"
+HTTP_TIMEOUT_S = 30
+
+
+def _new_query_id() -> int:
+    """Random positive int63 (read_arrow_dd.cpp:347-351 uses random int64)."""
+    return random.randrange(1, 2**62)
+
+
+def _headers(token: str | None) -> dict[str, str]:
+    h = {"Accept": ARROW_MIME}
+    if token:
+        h["Authorization"] = f"Bearer {token}"
+    return h
+
+
+def _query_url(base: str, sql: str, query_id: int) -> str:
+    q = urllib.parse.quote_plus(sql)
+    return f"{base.rstrip('/')}/v1/query?q={q}&id={query_id}"
+
+
+def _open_stream(url: str, token: str | None, extra: dict | None = None):
+    req = urllib.request.Request(url, headers={**_headers(token), **(extra or {})})
+    try:
+        return urllib.request.urlopen(req, timeout=HTTP_TIMEOUT_S)
+    except urllib.error.HTTPError as e:
+        raise RuntimeError(
+            f"dd_read_arrow: HTTP {e.code} from server: {e.read()[:200]!r}"
+        ) from e
+
+
+def _fetch_plan(
+    base: str, sql: str, split_size: int | None, token: str | None
+) -> list[dict]:
+    """GET /v1/plan — split planning (arrow_http_client.cpp:108-167 wire
+    behavior: q param + x-dd-split-size header; JSON list of splits)."""
+    url = f"{base.rstrip('/')}/v1/plan?q={urllib.parse.quote_plus(sql)}"
+    extra = {"Accept": "application/json"}
+    if split_size:
+        extra["x-dd-split-size"] = str(split_size)
+    with _open_stream(url, token, extra) as resp:
+        payload = json.loads(resp.read().decode("utf-8"))
+    splits = []
+    for entry in payload:
+        sh = entry.get("descriptor", {}).get("statementHandle", {})
+        splits.append(
+            {
+                "endpoints": entry.get("endpoints", []),
+                "query": sh.get("query", ""),
+                "query_id": int(sh.get("queryId", 0)),
+                "producer_id": str(sh.get("producerId", "")),
+                "split_size": int(sh.get("splitSize", 0)),
+                "query_checksum": str(sh.get("queryChecksum", "")),
+            }
+        )
+    if not splits:  # 0 splits is a plan error (read_arrow_dd.cpp:453-455)
+        raise RuntimeError("dd_read_arrow: server returned no splits")
+    return splits
+
+
+def _cancel(base: str, query_id: int, token: str | None) -> None:
+    """Best-effort GET /v1/cancel (cancel_monitor.cpp semantics: failures
+    are swallowed, arrow_http_client.cpp:194-199)."""
+    try:
+        url = f"{base.rstrip('/')}/v1/cancel?id={query_id}"
+        req = urllib.request.Request(url, headers=_headers(token))
+        urllib.request.urlopen(req, timeout=5).close()
+    except Exception:
+        pass
+
+
+# ------------------------------------------------------------ filter -> SQL
+
+
+def _sql_literal(v) -> str | None:
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    return None  # unsupported literal type -> do not push
+
+
+def _quote_ident(path: tuple) -> str | None:
+    if len(path) != 1:  # nested fields not pushed
+        return None
+    return '"' + path[0].replace('"', '""') + '"'
+
+
+def filter_to_sql(f: Filter) -> str | None:
+    """Serialize one Spark DS filter to remote SQL, or None if not
+    pushable (the reference pushes constant comparisons + IS [NOT] NULL,
+    FilterToSQL read_arrow_dd.cpp:198-238; we add IN and string
+    prefix/suffix/contains, which its servers also understand as plain
+    SQL). Unsupported filters stay local — correctness is preserved
+    because Spark re-applies every filter above the scan."""
+    binops = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    for cls, op in binops.items():
+        if isinstance(f, cls):
+            col = _quote_ident(f.attribute)
+            lit = _sql_literal(f.value)
+            if col is None or lit is None:
+                return None
+            return f"{col} {op} {lit}"
+    if isinstance(f, IsNull):
+        col = _quote_ident(f.attribute)
+        return f"{col} IS NULL" if col else None
+    if isinstance(f, IsNotNull):
+        col = _quote_ident(f.attribute)
+        return f"{col} IS NOT NULL" if col else None
+    if isinstance(f, In):
+        col = _quote_ident(f.attribute)
+        lits = [_sql_literal(v) for v in f.value]
+        if col is None or any(x is None for x in lits) or not lits:
+            return None
+        return f"{col} IN ({', '.join(lits)})"
+    if isinstance(f, StringStartsWith):
+        col = _quote_ident(f.attribute)
+        lit = _sql_literal(f.value + "%")
+        return f"{col} LIKE {lit}" if col else None
+    if isinstance(f, StringEndsWith):
+        col = _quote_ident(f.attribute)
+        lit = _sql_literal("%" + f.value)
+        return f"{col} LIKE {lit}" if col else None
+    if isinstance(f, StringContains):
+        col = _quote_ident(f.attribute)
+        lit = _sql_literal("%" + f.value + "%")
+        return f"{col} LIKE {lit}" if col else None
+    return None
+
+
+# ------------------------------------------------------------ the source
+
+
+@dataclass
+class ArrowSplit(InputPartition):
+    endpoint: str
+    query: str
+    query_id: int
+    producer_id: str = ""
+    split_size: int = 0
+    query_checksum: str = ""
+    value: int = field(default=0)
+
+
+class ArrowHttpDataSource(DataSource):
+    """Spark registration entry: ``spark.dataSource.register(ArrowHttpDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dd_read_arrow"
+
+    def _base_query(self) -> str:
+        sql = self.options.get("sql")
+        table = self.options.get("source_table")
+        # exactly one of sql/source_table (read_arrow_dd.cpp:327-335);
+        # source_table wraps as SELECT * (:339-345)
+        if bool(sql) == bool(table):
+            raise ValueError(
+                "dd_read_arrow: exactly one of `sql` or `source_table` required"
+            )
+        return sql if sql else f"SELECT * FROM {table}"
+
+    def _url(self) -> str:
+        url = self.options.get("url")
+        if not url:
+            raise ValueError("dd_read_arrow: `url` option is required")
+        return url
+
+    def schema(self) -> StructType:
+        """Cheap schema probe: LIMIT 0 wrapper, read only the Arrow schema
+        message (vs the reference's full-result fetch at Bind,
+        read_arrow_dd.cpp:353-378)."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        probe = f"SELECT * FROM ({self._base_query()}) AS _subq LIMIT 0"
+        token = self.options.get("auth_token")
+        with _open_stream(
+            _query_url(self._url(), probe, _new_query_id()), token
+        ) as resp:
+            reader = pa.ipc.open_stream(resp)
+            arrow_schema = reader.schema
+        if not arrow_schema.names:  # empty schema is an error (:381-383)
+            raise RuntimeError("dd_read_arrow: server returned empty schema")
+        return from_arrow_schema(arrow_schema)
+
+    def reader(self, schema: StructType) -> "ArrowHttpReader":
+        return ArrowHttpReader(
+            url=self._url(),
+            base_query=self._base_query(),
+            token=self.options.get("auth_token"),
+            split=str(self.options.get("split", "false")).lower() == "true",
+            split_size=int(self.options.get("split_size", 0)) or None,
+        )
+
+
+class ArrowHttpReader(DataSourceReader):
+    def __init__(self, url, base_query, token, split, split_size):
+        self.url = url
+        self.base_query = base_query
+        self.token = token
+        self.split = split
+        self.split_size = split_size
+        self.where: list[str] = []
+
+    # -- pushdown ----------------------------------------------------
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        for f in filters:
+            frag = filter_to_sql(f)
+            if frag is None:
+                yield f  # stays local (partial pushdown, :234-236)
+            else:
+                self.where.append(frag)
+
+    def _effective_query(self) -> str:
+        if not self.where:
+            return self.base_query
+        conj = " AND ".join(self.where)
+        # same template as the reference's rewritten remote SQL (:296)
+        return f"SELECT * FROM ({self.base_query}) AS _subq WHERE {conj}"
+
+    # -- planning ----------------------------------------------------
+    def partitions(self):
+        sql = self._effective_query()
+        if not self.split:
+            return [
+                ArrowSplit(
+                    endpoint=self.url, query=sql, query_id=_new_query_id()
+                )
+            ]
+        plan = _fetch_plan(self.url, sql, self.split_size, self.token)
+        return [
+            ArrowSplit(
+                endpoint=(s["endpoints"][0] if s["endpoints"] else self.url),
+                query=s["query"],
+                # fresh id per split (read_arrow_dd.cpp:457-466)
+                query_id=_new_query_id(),
+                producer_id=s["producer_id"],
+                split_size=s["split_size"],
+                query_checksum=s["query_checksum"],
+                value=i,
+            )
+            for i, s in enumerate(plan)
+        ]
+
+    # -- execution ---------------------------------------------------
+    def read(self, partition: ArrowSplit):
+        """Stream Arrow record batches for one split. Memory stays bounded
+        at one in-flight batch (the reference buffers the whole body —
+        http_stream_factory.cpp:20-25 — which we deliberately do not)."""
+        import pyarrow as pa
+
+        url = _query_url(partition.endpoint, partition.query, partition.query_id)
+        resp = _open_stream(url, self.token)
+        done = False
+        try:
+            reader = pa.ipc.open_stream(resp)
+            for batch in reader:
+                yield batch
+            done = True
+        finally:
+            resp.close()
+            if not done:  # task killed/errored mid-stream -> best-effort cancel
+                _cancel(partition.endpoint, partition.query_id, self.token)
+
+
+# ------------------------------------------------------------ helpers
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ArrowHttpDataSource)
+
+
+def dd_read_arrow(
+    spark,
+    url: str,
+    *,
+    sql: str | None = None,
+    source_table: str | None = None,
+    auth_token: str | None = None,
+    split: bool = False,
+    split_size: int | None = None,
+):
+    """DataFrame builder mirroring the table-function signature
+    (read_arrow_dd.cpp:880-891)."""
+    r = spark.read.format("dd_read_arrow").option("url", url)
+    if sql is not None:
+        r = r.option("sql", sql)
+    if source_table is not None:
+        r = r.option("source_table", source_table)
+    if auth_token is not None:
+        r = r.option("auth_token", auth_token)
+    if split:
+        r = r.option("split", "true")
+    if split_size is not None:
+        r = r.option("split_size", str(split_size))
+    return r.load()
+
+
+def dd_splits(
+    spark,
+    url: str,
+    *,
+    sql: str | None = None,
+    source_table: str | None = None,
+    auth_token: str | None = None,
+    split_size: int | None = None,
+):
+    """Split introspection: one row per split the server would plan
+    (dd_splits.cpp:74-91 column contract)."""
+    if bool(sql) == bool(source_table):
+        raise ValueError("dd_splits: exactly one of `sql` or `source_table`")
+    q = sql if sql else f"SELECT * FROM {source_table}"
+    plan = _fetch_plan(url, q, split_size, auth_token)
+    rows = [
+        (
+            s["endpoints"],
+            s["query_id"],
+            s["query"],
+            s["producer_id"],
+            s["split_size"],
+            s["query_checksum"],
+        )
+        for s in plan
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "endpoints ARRAY<STRING>, query_id BIGINT, query STRING,"
+            " producer_id STRING, split_size BIGINT, query_checksum STRING"
+        ),
+    )

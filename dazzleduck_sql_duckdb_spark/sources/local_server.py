@@ -1,0 +1,238 @@
+"""Local DuckDB-backed emulation of the reference server's wire protocol.
+
+Implements the four endpoints the extension's HTTP client speaks
+(/root/reference/src/http/arrow_http_client.cpp and
+src/scalar_function/dd_login.cpp), so `dd_read_arrow` / `dd_splits` /
+`login` can be exercised end-to-end with no external dependencies:
+
+- ``GET /v1/query?q=<sql>&id=<qid>`` -> Arrow IPC stream of the result
+- ``GET /v1/plan?q=<sql>`` (+ ``x-dd-split-size`` header) -> JSON split
+  plan; each split is an independently-runnable SQL rewrite of the query
+  (shape: endpoints[], descriptor.statementHandle.{query, queryId,
+  producerId, splitSize, queryChecksum} — split_info.cpp:37-102)
+- ``POST /v1/login`` {username, password[, claims]} -> {"accessToken"}
+- ``GET /v1/cancel?id=<qid>`` -> records the cancellation
+
+Test/demo use only — the point of the engine is that Spark executors
+fetch from *real* fleets of such servers; this one simply speaks the
+same protocol from a thread on localhost.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import duckdb
+import pyarrow as pa
+import pyarrow.ipc
+
+DEFAULT_SPLIT_SIZE = 1 << 20  # bytes, used when no x-dd-split-size header
+MAX_SPLITS = 32
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server: "ArrowTestServer"
+    protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    # ---------------------------------------------------------- helpers
+    def _deny(self, code: int, msg: str) -> None:
+        body = json.dumps({"error": msg}).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _authed(self) -> bool:
+        if self.server.token is None:
+            return True
+        auth = self.headers.get("Authorization", "")
+        return auth == f"Bearer {self.server.token}"
+
+    def _connect(self) -> duckdb.DuckDBPyConnection:
+        con = duckdb.connect()
+        for name, path in self.server.tables.items():
+            con.sql(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+        return con
+
+    # ---------------------------------------------------------- endpoints
+    def do_GET(self):  # noqa: N802
+        parsed = urllib.parse.urlparse(self.path)
+        qs = urllib.parse.parse_qs(parsed.query)
+        if parsed.path == "/v1/query":
+            return self._handle_query(qs)
+        if parsed.path == "/v1/plan":
+            return self._handle_plan(qs)
+        if parsed.path == "/v1/cancel":
+            qid = qs.get("id", ["0"])[0]
+            self.server.cancelled.append(int(qid))
+            return self._deny(200, "cancelled")
+        return self._deny(404, "not found")
+
+    def _handle_query(self, qs) -> None:
+        if not self._authed():
+            return self._deny(401, "unauthorized")
+        sql = qs.get("q", [None])[0]
+        if not sql:
+            return self._deny(400, "missing q")
+        self.server.queries.append(sql)
+        con = self._connect()  # must outlive the lazy relation
+        try:
+            tbl = con.sql(sql).arrow()
+        except Exception as e:
+            return self._deny(400, f"query error: {e}")
+        self.send_response(200)
+        self.send_header("Content-Type", "application/vnd.apache.arrow.stream")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        class _Chunked:
+            """File-like sink streaming IPC bytes with chunked framing."""
+
+            closed = False
+
+            def __init__(self, w):
+                self.w = w
+
+            def writable(self):
+                return True
+
+            def write(self, data):
+                if data:
+                    self.w.write(f"{len(data):x}\r\n".encode())
+                    self.w.write(bytes(data))
+                    self.w.write(b"\r\n")
+                return len(data)
+
+            def flush(self):
+                self.w.flush()
+
+        sink = _Chunked(self.wfile)
+        with pa.ipc.new_stream(sink, tbl.schema) as writer:
+            for batch in tbl.to_batches(max_chunksize=8192):
+                writer.write_batch(batch)
+        self.wfile.write(b"0\r\n\r\n")
+
+    def _handle_plan(self, qs) -> None:
+        if not self._authed():
+            return self._deny(401, "unauthorized")
+        sql = qs.get("q", [None])[0]
+        if not sql:
+            return self._deny(400, "missing q")
+        split_size = int(
+            self.headers.get("x-dd-split-size", DEFAULT_SPLIT_SIZE)
+        )
+        con = self._connect()
+        try:
+            nrows, est_bytes = con.sql(
+                f"SELECT count(*), count(*) * 64 FROM ({sql}) AS _q"
+            ).fetchone()
+        except Exception as e:
+            return self._deny(400, f"plan error: {e}")
+        n = max(1, min(MAX_SPLITS, (est_bytes + split_size - 1) // split_size))
+        checksum = hashlib.sha256(sql.encode()).hexdigest()[:16]
+        base = f"http://{self.server.server_address[0]}:{self.server.server_address[1]}"
+        splits = []
+        for i in range(n):
+            # each split: deterministic row-slice rewrite, independently
+            # runnable (the analogue of the reference server's per-split
+            # rewritten SQL carried in statementHandle.query)
+            split_sql = (
+                f"SELECT * EXCLUDE (__rn) FROM (SELECT *, row_number()"
+                f" OVER () AS __rn FROM ({sql}) AS _b) AS _r"
+                f" WHERE (__rn - 1) % {n} = {i}"
+            )
+            splits.append(
+                {
+                    "endpoints": [base],
+                    "descriptor": {
+                        "statementHandle": {
+                            "query": split_sql,
+                            "queryId": i + 1,
+                            "producerId": "local-duckdb",
+                            "splitSize": split_size,
+                            "queryChecksum": checksum,
+                        }
+                    },
+                }
+            )
+        body = json.dumps(splits).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):  # noqa: N802
+        if urllib.parse.urlparse(self.path).path != "/v1/login":
+            return self._deny(404, "not found")
+        length = int(self.headers.get("Content-Length", 0))
+        try:
+            body = json.loads(self.rfile.read(length).decode())
+        except json.JSONDecodeError:
+            return self._deny(400, "bad json")
+        creds = self.server.credentials
+        if creds and (
+            body.get("username"),
+            body.get("password"),
+        ) != creds:
+            return self._deny(401, "bad credentials")
+        token = self.server.token or "local-test-token"
+        out = json.dumps({"accessToken": token}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+
+class ArrowTestServer(ThreadingHTTPServer):
+    """``with ArrowTestServer({"lineitem": path}) as url: ...``"""
+
+    daemon_threads = True
+
+    def __init__(
+        self,
+        tables: dict[str, str],
+        *,
+        token: str | None = None,
+        credentials: tuple[str, str] | None = None,
+        port: int = 0,
+    ):
+        super().__init__(("127.0.0.1", port), _Handler)
+        self.tables = dict(tables)
+        self.token = token
+        self.credentials = credentials
+        self.queries: list[str] = []
+        self.cancelled: list[int] = []
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        return f"http://127.0.0.1:{self.server_address[1]}"
+
+    def start(self) -> "ArrowTestServer":
+        self._thread = threading.Thread(target=self.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+        self.server_close()
+
+    def __enter__(self) -> "ArrowTestServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

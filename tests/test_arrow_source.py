@@ -1,0 +1,159 @@
+"""End-to-end tests for the dd_read_arrow DataSource against the local
+wire-protocol server (the SURVEY §5 differential pattern: remote scan
+results must equal direct-parquet results, split or not)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dazzleduck_sql_duckdb_spark.functions.misc import login
+from dazzleduck_sql_duckdb_spark.sources import (
+    dd_read_arrow,
+    dd_splits,
+    register,
+)
+from dazzleduck_sql_duckdb_spark.sources.arrow_http import filter_to_sql
+from dazzleduck_sql_duckdb_spark.sources.local_server import ArrowTestServer
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+LINEITEM = os.path.join(SF_DIR, "lineitem.parquet")
+ORDERS = os.path.join(SF_DIR, "orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def server():
+    with ArrowTestServer({"lineitem": LINEITEM, "orders": ORDERS}) as srv:
+        yield srv
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register(spark)
+    return spark
+
+
+def _direct(spark, path):
+    return spark.read.parquet(path)
+
+
+def test_source_table_roundtrip(registered, server):
+    df = dd_read_arrow(registered, server.url, source_table="lineitem")
+    direct = _direct(registered, LINEITEM)
+    assert df.count() == direct.count()
+    assert [f.name for f in df.schema.fields] == [
+        f.name for f in direct.schema.fields
+    ]
+
+
+def test_sql_option_roundtrip(registered, server):
+    df = dd_read_arrow(
+        registered,
+        server.url,
+        sql="SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 10",
+    )
+    direct = (
+        _direct(registered, LINEITEM)
+        .where("l_quantity < 10")
+        .selectExpr("l_orderkey", "l_quantity")
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_split_mode_equals_non_split(registered, server):
+    """The reference's core differential test
+    (dd_read_arrow_split.test_slow:40-62)."""
+    plain = dd_read_arrow(registered, server.url, source_table="orders")
+    split = dd_read_arrow(
+        registered, server.url, source_table="orders",
+        split=True, split_size=64 * 300,
+    )
+    assert split.rdd.getNumPartitions() > 1
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, split.collect())
+    )
+
+
+def test_split_aggregation_matches_direct(registered, server):
+    split = dd_read_arrow(
+        registered, server.url, source_table="lineitem",
+        split=True, split_size=64 * 500,
+    )
+    got = split.groupBy("l_returnflag").count().collect()
+    want = _direct(registered, LINEITEM).groupBy("l_returnflag").count().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_filter_pushdown_reaches_server(registered, server):
+    server.queries.clear()
+    df = dd_read_arrow(registered, server.url, source_table="orders").where(
+        "o_totalprice > 100000"
+    )
+    n = df.count()
+    direct_n = _direct(registered, ORDERS).where("o_totalprice > 100000").count()
+    assert n == direct_n
+    pushed = [q for q in server.queries if "o_totalprice" in q and "WHERE" in q]
+    assert pushed, f"filter not pushed; server saw: {server.queries}"
+
+
+def test_exactly_one_of_sql_and_table(registered, server):
+    with pytest.raises(Exception):
+        dd_read_arrow(registered, server.url).count()
+    with pytest.raises(Exception):
+        dd_read_arrow(
+            registered, server.url, sql="SELECT 1", source_table="orders"
+        ).count()
+
+
+def test_dd_splits_contract(registered, server):
+    df = dd_splits(
+        registered, server.url, source_table="lineitem", split_size=64 * 500
+    )
+    rows = df.collect()
+    assert len(rows) > 1
+    assert df.columns == [
+        "endpoints", "query_id", "query", "producer_id",
+        "split_size", "query_checksum",
+    ]
+    assert all(r.endpoints[0].startswith("http://") for r in rows)
+    assert len({r.query for r in rows}) == len(rows)  # distinct per-split SQL
+    assert len({r.query_checksum for r in rows}) == 1
+
+
+def test_auth_token_roundtrip(registered):
+    with ArrowTestServer(
+        {"lineitem": LINEITEM},
+        token="sekrit",
+        credentials=("user", "pass"),
+    ) as srv:
+        token = login(srv.url, "user", "pass")
+        assert token == "sekrit"
+        df = dd_read_arrow(
+            registered, srv.url, source_table="lineitem", auth_token=token
+        )
+        assert df.count() > 0
+        with pytest.raises(Exception):
+            dd_read_arrow(registered, srv.url, source_table="lineitem").count()
+        with pytest.raises(ValueError):
+            login(srv.url, "user", "wrong")
+
+
+def test_filter_to_sql_serialization():
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        IsNull,
+        StringStartsWith,
+    )
+
+    assert filter_to_sql(EqualTo(("a",), 5)) == '"a" = 5'
+    assert filter_to_sql(GreaterThan(("p",), 1.5)) == '"p" > 1.5'
+    assert filter_to_sql(EqualTo(("s",), "o'brien")) == "\"s\" = 'o''brien'"
+    assert filter_to_sql(IsNull(("x",))) == '"x" IS NULL'
+    assert filter_to_sql(In(("k",), (1, 2, 3))) == '"k" IN (1, 2, 3)'
+    assert filter_to_sql(StringStartsWith(("s",), "ab")) == "\"s\" LIKE 'ab%'"
+    assert filter_to_sql(EqualTo(("nested", "f"), 1)) is None  # not pushed
