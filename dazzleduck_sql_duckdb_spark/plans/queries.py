@@ -654,6 +654,36 @@ WHERE rn <= 5
 """
 
 
+@q("embed_ann_ivf_fullprobe")
+def _ann_ivf_fullprobe(d: str) -> str:
+    """IVF ANN with n_probe == n_centroids: probing every cell makes IVF
+    exactly equal to brute force REGARDLESS of centroid quality, so the
+    entire IVF pipeline (sample -> Lloyd -> assign -> probe -> rerank)
+    is verified by the brute-force oracle. The n_probe < n_centroids
+    scale path is embed_ann_ivf_probed (rows-only)."""
+    return _knn(d)  # identical result contract -> identical oracle
+
+
+def _build_ann_ivf(n_probe: int):
+    def build(spark, sf_dir: str):
+        from ..operators.similarity import ann_ivf_topk
+
+        emb = spark.table("embeddings")
+        queries = emb.where("vec_id % 100 = 0")
+        return ann_ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=n_probe,
+            query_id_col="qid",
+        )
+
+    return build
+
+
+@q("embed_ann_ivf_probed")
+def _ann_ivf_probed(d: str) -> str:
+    # approximate path (n_probe=4 of 8 cells) — rows-only check
+    return _knn(d)
+
+
 @q("embed_cosine_neardup")
 def _embed_neardup(d: str) -> str:
     dot = _dot("a.embedding", "b.embedding", d)
@@ -918,17 +948,35 @@ def _build_remote_splits(spark, sf_dir: str):
     ).select("query", "producer_id", "split_size")
 
 
+def _build_embed_neardup_lsh(spark, sf_dir: str):
+    from ..operators.similarity import embed_neardup_pairs_lsh
+
+    return embed_neardup_pairs_lsh(spark.table("embeddings"))
+
+
+@q("embed_neardup_lsh")
+def _embed_neardup_lsh_q(d: str) -> str:
+    """Sign-LSH near-dup scale path. Oracle = the brute-force pair SQL:
+    the LSH result is exact-verified, so it can only MISS pairs (never
+    add), and at cos>=0.99 the per-pair miss probability is ~8.5e-5."""
+    return _embed_neardup(d)
+
+
 SPARK_BUILDERS.update(
     {
         "remote_scan_split_agg": _build_remote_scan_split_agg,
         "remote_scan_filter_pushdown": _build_remote_scan_filter,
         "remote_splits_plan": _build_remote_splits,
+        "embed_ann_ivf_fullprobe": _build_ann_ivf(n_probe=8),
+        "embed_ann_ivf_probed": _build_ann_ivf(n_probe=4),
+        "embed_neardup_lsh": _build_embed_neardup_lsh,
     }
 )
 
-# names whose oracle is intentionally omitted (genuinely non-SQL output:
-# server-planned split introspection) — driver records rows-only checks
-ORACLE_SKIP: set[str] = {"remote_splits_plan"}
+# names whose oracle is intentionally omitted (genuinely non-SQL
+# semantics: server-planned split introspection; approximate ANN) —
+# driver records rows-only checks
+ORACLE_SKIP: set[str] = {"remote_splits_plan", "embed_ann_ivf_probed"}
 
 
 def run_spark(spark, name: str, sf_dir: str | None = None):

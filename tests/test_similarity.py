@@ -1,0 +1,115 @@
+"""Similarity-search operator tests: exact top-k, IVF ANN, sign-LSH."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dazzleduck_sql_duckdb_spark.operators.similarity import (
+    ann_ivf_topk,
+    cosine_topk,
+    embed_neardup_pairs_lsh,
+    make_signbits_udf,
+    train_centroids,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def _unit(v):
+    a = np.asarray(v, dtype=np.float64)
+    return (a / np.linalg.norm(a)).astype(np.float32).tolist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, tables):
+    return spark.table("embeddings")
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.qid, []).append((r.vec_id, round(r.sim, 9)))
+    return {k: sorted(v, key=lambda t: (-t[1], t[0])) for k, v in out.items()}
+
+
+def test_cosine_topk_matches_sql_twin(spark, emb):
+    queries = emb.where("vec_id % 100 = 0")
+    got = cosine_topk(emb, queries, k=5).collect()
+    from dazzleduck_sql_duckdb_spark.plans import queries as Q
+
+    want = spark.sql(Q.spark_sql_for("embed_knn_bruteforce")).collect()
+    assert _topk_sets(got) == _topk_sets(want)
+
+
+def test_ivf_fullprobe_equals_exact(spark, emb):
+    queries = emb.where("vec_id % 100 = 0")
+    exact = cosine_topk(emb, queries, k=5).collect()
+    ivf = ann_ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=8
+    ).collect()
+    assert _topk_sets(ivf) == _topk_sets(exact)
+
+
+def test_ivf_probed_recall(spark, emb):
+    """n_probe=4 of 8 cells must recover most true neighbors."""
+    queries = emb.where("vec_id % 50 = 0")
+    exact = _topk_sets(cosine_topk(emb, queries, k=5).collect())
+    approx = _topk_sets(
+        ann_ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4).collect()
+    )
+    hits = total = 0
+    for qid, pairs in exact.items():
+        want = {v for v, _ in pairs}
+        got = {v for v, _ in approx.get(qid, [])}
+        hits += len(want & got)
+        total += len(want)
+    assert total > 0
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+
+def test_train_centroids_shape_and_determinism(spark, emb):
+    c1 = train_centroids(emb, 8, iterations=1)
+    c2 = train_centroids(emb, 8, iterations=1)
+    assert c1.shape == (8, 64)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_signbits_deterministic_and_locality(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    near = base + rng.standard_normal(64) * 0.01
+    far = rng.standard_normal(64)
+    df = spark.createDataFrame(
+        [(1, _unit(base), 0), (2, _unit(near), 0), (3, _unit(far), 0)],
+        schema=SCHEMA,
+    )
+    sb = make_signbits_udf(64)
+    sigs = {r.vec_id: r.s for r in df.select("vec_id", sb("embedding").alias("s")).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+    again = {r.vec_id: r.s for r in df.select("vec_id", sb("embedding").alias("s")).collect()}
+    assert sigs == again
+
+
+def test_neardup_lsh_finds_planted_pair(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(50):
+        rows.append((i, _unit(rng.standard_normal(64)), 0))
+    base = rng.standard_normal(64)
+    rows.append((100, _unit(base), 0))
+    rows.append((101, _unit(base + rng.standard_normal(64) * 0.005), 0))
+    df = spark.createDataFrame(rows, schema=SCHEMA)
+    pairs = embed_neardup_pairs_lsh(df, threshold=0.99).collect()
+    assert {(p.vec_a, p.vec_b) for p in pairs} == {(100, 101)}
+    assert pairs[0].sim >= 0.99
