@@ -383,6 +383,40 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+@q("events_sessionize_native")
+def _sessionize_native(d: str) -> str:
+    """Oracle for the native session_window operator (streaming/pipeline
+    .py): same lag+cumsum sessionization as events_sessionize, minus the
+    session ordinal (session_window identifies sessions by time range,
+    not rank)."""
+    us = _event_us(d)
+    return f"""
+WITH e AS (SELECT user_id, event_id, {us} AS us FROM events),
+w AS (
+  SELECT user_id, event_id, us,
+    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+              OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM e),
+s AS (
+  SELECT user_id, us,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM w)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def _build_sessionize_native(spark, sf_dir: str):
+    from ..streaming import sessionize
+
+    return sessionize(spark.table("events")).select(
+        "user_id", "n_events", "start_us", "end_us"
+    )
+
+
 # ======================================================= dd_* function surface
 
 
@@ -970,6 +1004,7 @@ SPARK_BUILDERS.update(
         "embed_ann_ivf_fullprobe": _build_ann_ivf(n_probe=8),
         "embed_ann_ivf_probed": _build_ann_ivf(n_probe=4),
         "embed_neardup_lsh": _build_embed_neardup_lsh,
+        "events_sessionize_native": _build_sessionize_native,
     }
 )
 

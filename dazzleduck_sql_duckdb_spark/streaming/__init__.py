@@ -1,0 +1,23 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming operators (SURVEY.md §2.6) — its Arrow
+"stream" is a pull-based batch iterator within one query. This module is
+engine-added capability for continuous training-data pipelines: the same
+event-table rollup/sessionization semantics as the batch catalog
+queries, expressed over `readStream` with watermarks, so late data and
+unbounded input are handled by Spark's state store instead of a rerun.
+"""
+
+from .pipeline import (
+    hourly_rollup,
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize,
+)
+
+__all__ = [
+    "read_events_stream",
+    "hourly_rollup",
+    "sessionize",
+    "run_stream_to_memory",
+]

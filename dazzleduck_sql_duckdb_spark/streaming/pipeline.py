@@ -1,0 +1,123 @@
+"""Streaming event-pipeline operators (watermarked rollup, sessionization).
+
+Design notes for the 100 TB/day contract:
+
+- State is bounded by the watermark: the hourly rollup keeps at most
+  (watermark / window) * |event_type| groups per partition; sessions
+  close `gap` after their last event and are evicted.
+- The transformations are identical Column expressions in batch and
+  streaming — every function here accepts either a batch or a streaming
+  DataFrame, which is how the tests prove streaming == batch on the same
+  files (run with `availableNow` trigger).
+- `ts` arrives as BIGINT nanoseconds (events.parquet is TIMESTAMP(NANOS);
+  see __spark_entry__._prepare) and is normalized to a proper timestamp
+  column once, up front.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch (nanosAsLong)
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events parquet directory (new files are
+    discovered per micro-batch; schema must be explicit for streams)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    # integer DIV: ts is ~1.7e18 ns — float division would lose precision
+    return df.withColumn("event_ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def hourly_rollup(
+    events: DataFrame, *, watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-hour x event_type counts/sums with late-data tolerance.
+
+    Streaming: watermarked windowed aggregation (append-safe, bounded
+    state). Batch: the same expression degrades to a plain GROUP BY.
+    """
+    df = with_event_time(events)
+    if df.isStreaming:
+        df = df.withWatermark("event_ts", watermark)
+    return (
+        df.groupBy(
+            F.window("event_ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_start_us"),
+            "event_type", "n", "sum_value", "min_value", "max_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based sessions via the native session_window operator.
+
+    Semantics match the lag+cumsum batch formulation (catalog query
+    events_sessionize): a session extends while consecutive events are
+    within `gap`. Streaming state: one open session per (user, session);
+    closed `gap` after the last event past the watermark.
+    """
+    df = with_event_time(events)
+    if df.isStreaming:
+        df = df.withWatermark("event_ts", watermark)
+    return (
+        df.groupBy(
+            F.col("user_id"), F.session_window("event_ts", gap).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(F.col("ts")).alias("first_ts_ns"),
+            F.max(F.col("ts")).alias("last_ts_ns"),
+        )
+        .select(
+            "user_id", "n_events",
+            F.expr("first_ts_ns DIV 1000").alias("start_us"),
+            F.expr("last_ts_ns DIV 1000").alias("end_us"),
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, *, timeout_s: int = 120
+) -> None:
+    """Drain a streaming DataFrame into an in-memory table with the
+    availableNow trigger (process-everything-then-stop) — the test/demo
+    harness for the operators above."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()

@@ -1,0 +1,83 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism, stub gating."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dazzleduck_sql_duckdb_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    deterministic_fake_decoder,
+    extract_features,
+    frame_sample_plan,
+    media_dedup_keys,
+    stub_decoder,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "jpeg", 64, 48, None, b"\xff\xd8fakejpegbytes"),
+        (2, "image", "png", 32, 32, None, b"\x89PNGfakepngbytes"),
+        (3, "audio", "wav", None, None, 2500, b"RIFFfakewavbytes"),
+        (4, "video", "mp4", 640, 360, 3200, b"\x00\x00ftypfakemp4"),
+        (5, "image", "jpeg", 64, 48, None, b"\xff\xd8fakejpegbytes"),  # dup of 1
+    ]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def test_stub_decoder_is_gated():
+    with pytest.raises(NotImplementedError):
+        stub_decoder(b"anything")
+
+
+def test_extract_features_stub_surfaces_in_spark(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(media).collect()
+
+
+def test_extract_features_fake_decoder(spark, media):
+    out = extract_features(media, decoder=deterministic_fake_decoder)
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert out.columns == [
+        "media_id", "kind", "n_bytes", "content_sha256", "feature",
+    ]
+    for r in rows.values():
+        assert len(r.feature) == 16
+    # deterministic: same payload -> same sha + same feature
+    assert rows[1].content_sha256 == rows[5].content_sha256
+    assert rows[1].feature == rows[5].feature
+    assert rows[1].feature != rows[2].feature
+    # sha matches hashlib ground truth
+    want = hashlib.sha256(b"\xff\xd8fakejpegbytes").hexdigest()
+    assert rows[1].content_sha256 == want
+    assert rows[1].n_bytes == len(b"\xff\xd8fakejpegbytes")
+
+
+def test_frame_sample_plan(spark, media):
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    # only the video row expands; 3200ms -> 3 frames at 0/1000/2000
+    assert {(r.media_id, r.frame_idx, r.frame_ts_ms) for r in frames} == {
+        (4, 0, 0), (4, 1, 1000), (4, 2, 2000),
+    }
+
+
+def test_media_dedup_keys_jvm_side(spark, media):
+    keys = media_dedup_keys(media)
+    rows = {r.media_id: r.content_sha256 for r in keys.collect()}
+    assert rows[1] == rows[5]
+    assert rows[1] != rows[2]
+    dupes = (
+        keys.groupBy("content_sha256")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where("n > 1")
+        .collect()
+    )
+    assert len(dupes) == 1 and dupes[0].n == 2
+    # plan check: no Python UDF in the exact-dedup path (stays JVM-side)
+    plan = keys._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
