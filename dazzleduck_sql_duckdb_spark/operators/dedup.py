@@ -118,6 +118,13 @@ def minhash_neardup_pairs(
     """
     k = len(a)
     rows_per_band = k // bands
+    # Widen narrow inputs before the per-row shingle/signature compute:
+    # a small parquet file (single row group) scans as ONE task, which
+    # would serialize the whole CPU-heavy stage. At real scale inputs
+    # already have >= defaultParallelism partitions and this is a no-op.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        docs = docs.repartition(sc.defaultParallelism * 2, id_col)
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit("all")).alias("blk"),

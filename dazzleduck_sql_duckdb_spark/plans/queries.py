@@ -807,9 +807,15 @@ def _fingerprint(d: str) -> str:
         else "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     sh = D.shingles("text", SHINGLE_N, d)
     minsh = D.lmin(D.ltransform(sh, f"s -> {D.hash60('s', d)}", d), d)
+    # Spark: widen the single-task parquet scan before the per-shingle
+    # md5 work (interpreted HOF lambdas — CPU-bound)
+    src = (
+        "(SELECT /*+ REPARTITION(64) */ doc_id, text FROM documents)"
+        if d == SPARK else "documents"
+    )
     return f"""
 SELECT doc_id, {D.hash60(norm, d)} AS content_fp, {minsh} AS min_shingle_fp
-FROM documents
+FROM {src} t
 """
 
 
@@ -845,8 +851,12 @@ def _stage(spark, view: str, sql: str):
 def _build_simhash_stages(spark) -> None:
     tk = D.tokens("text", SPARK)
     h = D.hash60("t", SPARK)
+    # REPARTITION hint: documents is a single-row-group parquet -> one
+    # scan task; widen before the per-token md5 compute (no-op cost on
+    # already-wide cluster inputs, where this stage reads a real table)
     hs_sql = (
-        f"SELECT doc_id, lang, {D.ltransform(tk, f't -> {h}', SPARK)} AS hs"
+        f"SELECT /*+ REPARTITION(64) */ doc_id, lang,"
+        f" {D.ltransform(tk, f't -> {h}', SPARK)} AS hs"
         " FROM documents"
     )
     _stage(spark, "__sh_hs", hs_sql)
