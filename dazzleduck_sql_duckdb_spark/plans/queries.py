@@ -383,6 +383,143 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+@q("orders_rollup")
+def _orders_rollup(d: str) -> str:
+    # ROLLUP (SURVEY §2.3 A7: absent in the reference, free in Spark).
+    # grouping() disambiguates rolled-up NULLs from data NULLs.
+    return f"""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+  CAST(count(*) AS BIGINT) AS n,
+  {D.decsum('o_totalprice', 'sum_price', d)}
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@q("orders_cube")
+def _orders_cube(d: str) -> str:
+    return f"""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+  CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@q("events_grouping_sets")
+def _events_gsets(d: str) -> str:
+    return """
+SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+  CAST(grouping(event_type) AS INT) AS g_type,
+  CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+"""
+
+
+@q("cast_matrix")
+def _cast_matrix(d: str) -> str:
+    """CAST surface over lineitem (SURVEY §2.9: CAST + string compare):
+    numeric narrowing/widening, string<->number, date->string."""
+    ship = (
+        "CAST(l_shipdate AS DATE)" if d == SPARK else "CAST(l_shipdate AS DATE)"
+    )
+    return f"""
+SELECT l_orderkey,
+  CAST(l_quantity AS INT) AS qty_int,
+  CAST(l_quantity AS STRING) AS qty_str,
+  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_rt,
+  CAST(l_linenumber AS BIGINT) AS ln_big,
+  CAST({ship} AS STRING) AS ship_str,
+  CAST(l_returnflag = 'R' AS INT) AS flag_int
+FROM lineitem WHERE l_orderkey % 1000 = 0
+"""
+
+
+@q("string_functions")
+def _string_fns(d: str) -> str:
+    """String-function surface the reference tests exercise through host
+    SQL (length/octet_length/left/list_transform+lambda — SURVEY §2.5
+    last row)."""
+    tk = D.tokens("c_name", d)
+    upper2 = D.ltransform(
+        f"slice({tk}, 1, 2)" if d == SPARK else f"{tk}[1:2]",
+        "t -> upper(t)", d,
+    )
+    ol = ("octet_length(c_name)" if d == SPARK
+          else "octet_length(encode(c_name))")
+    return f"""
+SELECT c_custkey,
+  CAST(length(c_name) AS INT) AS name_len,
+  CAST({ol} AS INT) AS name_bytes,
+  left(c_name, 8) AS name_prefix,
+  upper(c_mktsegment) AS seg_upper,
+  concat(c_name, '#', c_mktsegment) AS name_seg,
+  replace(lower(c_mktsegment), 'a', '@') AS seg_repl,
+  {upper2} AS first_tokens_upper
+FROM customer WHERE c_custkey % 100 = 0
+"""
+
+
+@q("remote_agg_pushdown")
+def _remote_agg_pushdown(d: str) -> str:
+    """Aggregation pushdown parity (SURVEY §2.3 A1-A2): the aggregate is
+    computed BY THE SERVER (shipped via the sql= option — the same wire
+    contract the reference's optimizer rewrite produces:
+    'SELECT <aggs> FROM (<orig>) AS _subq WHERE ...'), and the oracle
+    computes it locally; HUGEINT sum arrives as DECIMAL(38,0) and is
+    CAST to BIGINT (the §7.4 type-reconciliation rule)."""
+    return (
+        "SELECT CAST(n AS BIGINT) AS n, CAST(sum_qty AS BIGINT) AS sum_qty,"
+        " min_price, max_price FROM (SELECT count(*) AS n,"
+        " sum(CAST(l_quantity AS BIGINT)) AS sum_qty,"
+        " min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price"
+        " FROM lineitem WHERE l_quantity < 25) t"
+    )
+
+
+def _build_remote_agg_pushdown(spark, sf_dir: str):
+    from ..sources import dd_read_arrow, register
+
+    register(spark)
+    srv = _server_for(sf_dir)
+    remote_sql = (
+        "SELECT count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS sum_qty,"
+        " min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price"
+        " FROM (SELECT * FROM lineitem) AS _subq WHERE l_quantity < 25"
+    )
+    scan = dd_read_arrow(spark, srv.url, sql=remote_sql)
+    return scan.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(sum_qty AS BIGINT) AS sum_qty",  # HUGEINT -> DECIMAL(38,0) -> BIGINT
+        "min_price", "max_price",
+    )
+
+
+@q("part_brand_stats")
+def _part_brand(d: str) -> str:
+    return f"""
+SELECT p_brand, p_type,
+  CAST(count(*) AS BIGINT) AS n_parts,
+  min(p_size) AS min_size, max(p_size) AS max_size,
+  CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
+FROM part GROUP BY p_brand, p_type
+"""
+
+
+@q("supplier_nation_join")
+def _supplier_nation(d: str) -> str:
+    return f"""
+SELECT n.n_name,
+  CAST(count(*) AS BIGINT) AS n_suppliers,
+  {D.decsum('s.s_acctbal', 'sum_bal', d)}
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 @q("events_sessionize_native")
 def _sessionize_native(d: str) -> str:
     """Oracle for the native session_window operator (streaming/pipeline
@@ -1015,6 +1152,7 @@ SPARK_BUILDERS.update(
         "embed_ann_ivf_probed": _build_ann_ivf(n_probe=4),
         "embed_neardup_lsh": _build_embed_neardup_lsh,
         "events_sessionize_native": _build_sessionize_native,
+        "remote_agg_pushdown": _build_remote_agg_pushdown,
     }
 )
 

@@ -141,6 +141,32 @@ def test_auth_token_roundtrip(registered):
             login(srv.url, "user", "wrong")
 
 
+def test_cancel_fired_when_stream_abandoned(server):
+    """Killing a task mid-stream must issue best-effort /v1/cancel
+    (the analogue of the reference's QueryCancelGuard + monitor)."""
+    from dazzleduck_sql_duckdb_spark.sources.arrow_http import (
+        ArrowHttpReader,
+        ArrowSplit,
+    )
+
+    reader = ArrowHttpReader(
+        url=server.url, base_query="SELECT * FROM lineitem",
+        token=None, split=False, split_size=None,
+    )
+    [part] = reader.partitions()
+    server.cancelled.clear()
+    gen = reader.read(part)
+    next(gen)          # consume one batch, stream still open
+    gen.close()        # task killed -> GeneratorExit inside read()
+    assert part.query_id in server.cancelled
+    # a fully-drained stream must NOT cancel
+    server.cancelled.clear()
+    [part2] = reader.partitions()
+    for _ in reader.read(part2):
+        pass
+    assert server.cancelled == []
+
+
 def test_filter_to_sql_serialization():
     from pyspark.sql.datasource import (
         EqualTo,
