@@ -38,6 +38,11 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # dd_read_arrow's pushFilters requires this (runtime-settable)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # driver sessions come vanilla (200 shuffle partitions): size to cores
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
     load_tables(spark, sf_dir)
     ddfn.register_all(spark)
     _PREPARED.add(key)

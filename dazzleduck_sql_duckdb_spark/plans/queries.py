@@ -883,14 +883,21 @@ def _langid(d: str) -> str:
         lang: D.lsize(D.lintersect("tk", _sarr(words, d), d), d)
         for lang, words in _STOPWORDS.items()
     }
+    # CJK script detection first (stopword lists don't apply to zh):
+    # count chars in the CJK Unified Ideographs block
+    if d == SPARK:
+        cjk = "length(regexp_replace(text, '[^\\\\u4e00-\\\\u9fff]', ''))"
+    else:
+        cjk = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
     return f"""
 SELECT doc_id,
-  CASE WHEN greatest({cnt['en']}, {cnt['de']}, {cnt['es']}, {cnt['fr']}) = 0 THEN 'und'
+  CASE WHEN {cjk} >= 3 THEN 'zh'
+       WHEN greatest({cnt['en']}, {cnt['de']}, {cnt['es']}, {cnt['fr']}) = 0 THEN 'und'
        WHEN {cnt['en']} >= greatest({cnt['de']}, {cnt['es']}, {cnt['fr']}) THEN 'en'
        WHEN {cnt['de']} >= greatest({cnt['es']}, {cnt['fr']}) THEN 'de'
        WHEN {cnt['es']} >= {cnt['fr']} THEN 'es'
        ELSE 'fr' END AS lang_pred
-FROM (SELECT doc_id, {tk} AS tk FROM documents) t
+FROM (SELECT doc_id, text, {tk} AS tk FROM documents) t
 """
 
 

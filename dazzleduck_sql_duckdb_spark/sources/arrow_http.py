@@ -249,7 +249,19 @@ class ArrowHttpDataSource(DataSource):
             raise ValueError(
                 "dd_read_arrow: exactly one of `sql` or `source_table` required"
             )
-        return sql if sql else f"SELECT * FROM {table}"
+        base = sql if sql else f"SELECT * FROM {table}"
+        # Projection pushdown: the Python DS API has no column-pruning
+        # hook, so the `columns` option rebuilds the remote SELECT list
+        # explicitly — the same quoted-identifier template the reference
+        # emits when DuckDB prunes (read_arrow_dd.cpp:246-262, :296).
+        cols = self.options.get("columns")
+        if cols:
+            quoted = ", ".join(
+                '"' + c.strip().replace('"', '""') + '"'
+                for c in cols.split(",")
+            )
+            base = f"SELECT {quoted} FROM ({base}) AS _subq"
+        return base
 
     def _url(self) -> str:
         url = self.options.get("url")
@@ -371,9 +383,11 @@ def dd_read_arrow(
     auth_token: str | None = None,
     split: bool = False,
     split_size: int | None = None,
+    columns: list[str] | None = None,
 ):
     """DataFrame builder mirroring the table-function signature
-    (read_arrow_dd.cpp:880-891)."""
+    (read_arrow_dd.cpp:880-891). `columns` pushes an explicit projection
+    to the server (the DS API has no automatic column-pruning hook)."""
     r = spark.read.format("dd_read_arrow").option("url", url)
     if sql is not None:
         r = r.option("sql", sql)
@@ -385,6 +399,8 @@ def dd_read_arrow(
         r = r.option("split", "true")
     if split_size is not None:
         r = r.option("split_size", str(split_size))
+    if columns:
+        r = r.option("columns", ",".join(columns))
     return r.load()
 
 

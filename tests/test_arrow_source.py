@@ -141,6 +141,19 @@ def test_auth_token_roundtrip(registered):
             login(srv.url, "user", "wrong")
 
 
+def test_projection_pushdown_via_columns_option(registered, server):
+    server.queries.clear()
+    df = dd_read_arrow(
+        registered, server.url, source_table="lineitem",
+        columns=["l_orderkey", "l_quantity"],
+    )
+    assert df.columns == ["l_orderkey", "l_quantity"]
+    got = df.count()
+    assert got == _direct(registered, LINEITEM).count()
+    # the server saw the pruned SELECT list, not SELECT *
+    assert any('"l_orderkey", "l_quantity"' in q for q in server.queries)
+
+
 def test_cancel_fired_when_stream_abandoned(server):
     """Killing a task mid-stream must issue best-effort /v1/cancel
     (the analogue of the reference's QueryCancelGuard + monitor)."""
