@@ -1,0 +1,69 @@
+"""Streaming deduplication: native watermarked dedup + a custom
+stateful operator built on applyInPandasWithState.
+
+Two implementations of "keep the first occurrence across micro-batches":
+
+- :func:`dedup_stream` — Spark's native stateful ``dropDuplicates``
+  (state bounded by the watermark). The production path.
+- :func:`first_seen_dedup` — the same semantics hand-built with
+  ``applyInPandasWithState``: group by the dedup key, keep one boolean
+  of state per key, emit only on first sight. This is the template for
+  custom stateful operators Spark has no built-in for (the brief's
+  "novel stateful operator" slot); at scale, state lives in the
+  executor state store (RocksDB-backed on clusters), never the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def dedup_stream(
+    events: DataFrame, key_cols: list[str], *, watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native stateful dedup; with a watermark the seen-set is evicted
+    past it (bounded state), without one it grows with distinct keys."""
+    df = events
+    if watermark_col:
+        df = df.withWatermark(watermark_col, watermark)
+        return df.dropDuplicates(key_cols + [watermark_col])
+    return df.dropDuplicates(key_cols)
+
+
+def first_seen_dedup(events: DataFrame, key_col: str) -> DataFrame:
+    """Custom stateful first-seen filter: emits each key exactly once,
+    on its first appearance across all micro-batches."""
+    out_schema = T.StructType([T.StructField(key_col, T.LongType())])
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        # drain the iterator regardless (contract of the API)
+        any_rows = False
+        for pdf in pdfs:
+            if len(pdf):
+                any_rows = True
+        if not any_rows:
+            return
+        if not state.exists:
+            state.update((True,))
+            yield pd.DataFrame({key_col: [key[0]]})
+
+    return (
+        events.select(key_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
