@@ -22,6 +22,13 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Session alias usable inside hypothesis @given tests (function-scoped
+    fixtures are disallowed there; the Spark session is session-scoped)."""
+    return spark
+
+
+@pytest.fixture(scope="session")
 def tables(spark):
     """Testdata views registered + dd_* functions available."""
     from dazzleduck_sql_duckdb_spark import functions as ddfn

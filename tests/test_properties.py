@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels.
+
+The reference has no randomized tests (SURVEY.md §5) — these go beyond
+its strategy: laws that must hold for ALL inputs, not just golden cases.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dazzleduck_sql_duckdb_spark.functions.bloom import (
+    bloom_contains_all_py,
+    bloom_contains_py,
+    bloom_create_py,
+)
+
+elements = st.lists(
+    st.one_of(st.text(max_size=20), st.none()), max_size=60
+)
+params = st.tuples(
+    st.integers(min_value=-5, max_value=100),  # bits/elt (clamped by impl)
+    st.integers(min_value=-2, max_value=30),   # hashes (clamped by impl)
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(elements, params)
+def test_bloom_never_false_negative(elems, p):
+    """THE bloom-filter law: every inserted element must probe True,
+    for every size/hash configuration (including out-of-range params,
+    which clamp)."""
+    bpe, k = p
+    bf = bloom_create_py(elems, bpe, k)
+    for e in elems:
+        if e is not None:
+            assert bloom_contains_py(bf, e) is True
+
+
+@settings(max_examples=100, deadline=None)
+@given(elements)
+def test_bloom_contains_all_consistent_with_contains(elems):
+    """contains_all(bf, xs) == AND over contains(bf, x) (NULLs skipped)."""
+    bf = bloom_create_py(["a", "b", "c"])
+    got = bloom_contains_all_py(bf, elems)
+    individual = [
+        bloom_contains_py(bf, e) for e in elems if e is not None
+    ]
+    want = all(individual)  # vacuous truth for empty/all-NULL
+    assert got is want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=64))
+def test_bloom_malformed_blob_never_crashes(blob):
+    """Arbitrary bytes: either a valid probe result or NULL — no throw."""
+    assert bloom_contains_py(blob, "x") in (True, False, None)
+    assert bloom_contains_all_py(blob, ["x", "y"]) in (True, False, None)
+
+
+arrays = st.one_of(
+    st.none(),
+    st.lists(st.one_of(st.text(max_size=8), st.none()), max_size=12),
+)
+
+
+def _model_contains_all(h, n):
+    """Executable spec of dd_array_contains_all's NULL laws
+    (array_contains_all.cpp:79-111)."""
+    if h is None or n is None:
+        return None
+    hs = {x for x in h if x is not None}
+    return all(x in hs for x in n if x is not None)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(arrays, arrays), min_size=1, max_size=25))
+def test_array_contains_all_matches_model(spark_prop, cases):
+    from pyspark.sql import types as T
+
+    from dazzleduck_sql_duckdb_spark.functions import dd_array_contains_all
+
+    schema = T.StructType(
+        [
+            T.StructField("h", T.ArrayType(T.StringType())),
+            T.StructField("n", T.ArrayType(T.StringType())),
+        ]
+    )
+    df = spark_prop.createDataFrame(cases, schema=schema)
+    got = [r[0] for r in df.select(dd_array_contains_all("h", "n")).collect()]
+    want = [_model_contains_all(h, n) for h, n in cases]
+    assert got == want
