@@ -1,0 +1,50 @@
+"""Skew handling: salted joins for pathological hot keys.
+
+AQE's skew-join splitting (on in session.py) handles most skew by
+splitting oversized shuffle partitions. This operator is the manual
+fallback for the extreme case AQE can't fix — a single join key so hot
+that even one map-split of it overwhelms a task (the classic NULL-key /
+celebrity-user problem at 100 TB):
+
+- the big (skewed) side gets a deterministic salt in [0, salt),
+- the small side is replicated `salt` times (explode, NOT broadcast —
+  this path exists precisely when the small side is too big to
+  broadcast but small enough to replicate),
+- the join key becomes (key, salt): the hot key's rows now spread
+  across `salt` shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `big` (skewed) with `small` on column `on`, spreading
+    each key over `salt` shuffle partitions. Result equals
+    ``big.join(small, on, how)`` for inner/left joins."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    # deterministic pseudo-random salt per row (no rand(): keeps the
+    # plan reproducible and retry-safe — task retries must not re-salt)
+    big_s = big.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(F.col(on), F.monotonically_increasing_id()),
+            F.lit(salt),
+        ).cast("int"),
+    )
+    small_s = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))),
+    )
+    out = big_s.join(small_s, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
