@@ -65,10 +65,22 @@ def main() -> int:
     queries = E.queries()
     names = [n for n in BENCH_QUERIES if n in queries]
 
-    # warmup: trivial full pass to pay JVM + codegen + parquet-footer costs
+    # warmup: pay one-time JVM/codegen/parquet-footer costs AND Python
+    # worker fork+import costs (long-lived on a real cluster) before
+    # any timed query
     queries["lineitem_count"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _warm(s):
+        return s
+
+    spark.range(0, 1000, 1, 32).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

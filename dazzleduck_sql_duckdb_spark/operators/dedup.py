@@ -96,6 +96,73 @@ def shingle_hashes(col: Column, n: int) -> Column:
     )
 
 
+# two ~31-bit primes for the double polynomial rolling hash
+_RH_P1 = 2_147_483_647
+_RH_P2 = 2_147_483_629
+_RH_B1 = 1_114_117  # > max codepoint 0x10FFFF: injective per-position mixing
+_RH_B2 = 1_114_129
+
+
+def _np_shingle_set(text: str, n: int) -> np.ndarray:
+    """Distinct shingle codes of lower(trim(text)), fully vectorized.
+
+    Shingles are CHARACTER n-grams (codepoints, matching SQL substr
+    semantics, not bytes). Each window hashes to
+    (poly_p1 << 31) | poly_p2 — a 62-bit double hash; a cross-pair
+    collision needs both 31-bit polynomials to collide (~2^-62).
+    """
+    t = text.strip().lower()
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    if len(codes) < n:
+        codes = np.pad(codes, (0, n - len(codes)))  # substr pads short text
+        w = codes.reshape(1, n).astype(np.int64)
+    else:
+        w = np.lib.stride_tricks.sliding_window_view(codes, n).astype(np.int64)
+    h1 = np.zeros(len(w), dtype=np.int64)
+    h2 = np.zeros(len(w), dtype=np.int64)
+    for j in range(n):  # Horner, mod kept < 2^31 so products fit int64
+        h1 = (h1 * _RH_B1 + w[:, j]) % _RH_P1
+        h2 = (h2 * _RH_B2 + w[:, j]) % _RH_P2
+    return np.unique((h1 << 31) | h2)
+
+
+def make_shingle_sig_udf(a: list[int], b: list[int], n: int):
+    """Fused kernel: text -> (distinct shingle-hash set, minhash sig).
+
+    One Arrow round-trip instead of (JVM HOF shingle stage -> persist ->
+    pandas signature stage); the per-window hashing is numpy matland.
+    Signature math is identical to make_minhash_udf.
+    """
+    A = np.asarray(a, dtype=np.int64).reshape(-1, 1)
+    B = np.asarray(b, dtype=np.int64).reshape(-1, 1)
+    empty_sig = np.full(len(a), P31, dtype=np.int64)
+    out_type = T.StructType(
+        [
+            T.StructField("sh", T.ArrayType(T.LongType())),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def kernel(texts: pd.Series) -> pd.DataFrame:
+        shs, sigs = [], []
+        for t in texts:
+            if t is None:
+                shs.append(np.empty(0, dtype=np.int64))
+                sigs.append(empty_sig)
+                continue
+            sh = _np_shingle_set(t, n)
+            shs.append(sh)
+            if len(sh):
+                h = np.mod(sh, P31).reshape(1, -1)
+                sigs.append(((A * h + B) % P31).min(axis=1))
+            else:
+                sigs.append(empty_sig)
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    return kernel
+
+
 def minhash_neardup_pairs(
     docs: DataFrame,
     *,
@@ -125,14 +192,18 @@ def minhash_neardup_pairs(
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
         docs = docs.repartition(sc.defaultParallelism * 2, id_col)
-    sh = docs.select(
+    kernel = make_shingle_sig_udf(a, b, shingle_n)
+    # one fused Arrow pass: text -> (shingle set, signature); persisted
+    # because verify reads `sh` and the band self-join reads `sig` twice
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
-        shingle_hashes(F.col(text_col), shingle_n).alias("sh"),
+        kernel(F.col(text_col)).alias("k"),
+    ).select(
+        "doc_id", "blk", F.col("k.sh").alias("sh"), F.col("k.sig").alias("sig")
     ).persist()
-    sig_udf = make_minhash_udf(a, b)
-    # persisted: the band self-join reads the signature relation twice
-    sigs = sh.select("doc_id", "blk", sig_udf("sh").alias("sig")).persist()
+    sh = staged.select("doc_id", "blk", "sh")
+    sigs = staged.select("doc_id", "blk", "sig")
 
     bands_df = sigs.select(
         "doc_id", "blk",
