@@ -710,6 +710,35 @@ WHERE {verify}
 """
 
 
+@q("dedup_components")
+def _dedup_components(d: str) -> str:
+    """Near-dup clusters: connected components over the minhash pair
+    graph (component = min reachable doc_id). Spark runs iterative
+    min-label propagation (operators/components.py); the oracle walks
+    the same graph with a recursive CTE over the brute-force pairs."""
+    pairs = _minhash_lsh(DUCK)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM pairs),
+reach(node, r) AS (
+  SELECT s AS node, s AS r FROM edges
+  UNION
+  SELECT e.t AS node, reach.r FROM reach JOIN edges e ON e.s = reach.node)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+def _build_dedup_components(spark, sf_dir: str):
+    from ..operators.components import connected_components
+
+    pairs = _build_minhash_df(spark)
+    return connected_components(pairs, "doc_a", "doc_b")
+
+
 def _simhash_from_hashes(hs_col: str, d: str) -> str:
     """60-bit SimHash from a column holding the per-token hash array."""
     hs = hs_col
@@ -1194,6 +1223,7 @@ SPARK_BUILDERS.update(
         "embed_neardup_lsh": _build_embed_neardup_lsh,
         "events_sessionize_native": _build_sessionize_native,
         "remote_agg_pushdown": _build_remote_agg_pushdown,
+        "dedup_components": _build_dedup_components,
     }
 )
 
