@@ -5,55 +5,30 @@ Design for scale (the 100 TB contract):
 - **Exact dedup** shuffles a 128-bit content hash, never raw text.
 - **MinHash+LSH** never forms the n^2 pair space: shingle -> hash ->
   K-permutation signature -> band buckets -> bucket-equi-join ->
-  exact verify on the (tiny) candidate set. The signature kernel is a
-  numpy-vectorized pandas UDF (Arrow batches); interpreted SQL
-  higher-order functions are ~50x slower at K=128.
+  exact verify on the (tiny) candidate set. Shingling + signatures run
+  as ONE fused numpy pandas UDF (Arrow batches) — interpreted SQL
+  higher-order functions are orders of magnitude slower at K=128.
 - **SimHash** blocks on 15-bit chunks: hamming<=3 over 60 bits across
   4 chunks always shares a chunk (pigeonhole), so recall is exactly
   100% — LSH output == brute-force output, at O(n·chunks) shuffle.
 - Signature/shingle stages are persisted (on a cluster: checkpointed
   tables) so expensive per-row arrays are computed exactly once.
 
-The SQL-fragment twins of these operators (used for the DuckDB oracle
-gate) live in plans/queries.py; the arithmetic is bit-identical.
+The DuckDB oracle (plans/queries.py) brute-forces the same pair
+predicate over string shingle sets; hash-set Jaccard equals string-set
+Jaccard up to the documented ~2^-62 per-pair collision bound, and
+verification is exact, so the row sets coincide.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 P31 = 2_147_483_647  # minhash universe: Mersenne prime 2^31-1
-
-
-def make_minhash_udf(a: list[int], b: list[int]):
-    """Vectorized MinHash signature kernel.
-
-    Input: column of arrays of raw 64-bit shingle hashes (any sign).
-    Output: int64 signature array of len(a).
-    sig[k] = min over h of (a[k]*(h mod P31) + b[k]) % P31 — after the
-    non-negative mod, products stay below 2^62, so int64 arithmetic is
-    exact.
-    """
-    A = np.asarray(a, dtype=np.int64).reshape(-1, 1)
-    B = np.asarray(b, dtype=np.int64).reshape(-1, 1)
-    empty = np.full(len(a), P31, dtype=np.int64)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def minhash_sig(hs: pd.Series) -> pd.Series:
-        out = []
-        for arr in hs:
-            if arr is None or len(arr) == 0:
-                out.append(empty)
-                continue
-            h = np.mod(np.asarray(arr, dtype=np.int64), P31).reshape(1, -1)
-            out.append(((A * h + B) % P31).min(axis=1))
-        return pd.Series(out)
-
-    return minhash_sig
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -65,34 +40,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             F.count(F.lit(1)).cast("long").alias("n_copies"),
             F.min(id_col).cast("long").alias("keeper_doc_id"),
         )
-    )
-
-
-def char_shingles(col: Column, n: int) -> Column:
-    """Distinct character n-grams of lower(trim(col))."""
-    base = F.lower(F.trim(col))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(base) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(base, i, n)))
-
-
-def hash60(col: Column) -> Column:
-    """Portable 60-bit hash (== DuckDB CAST('0x'||substr(md5,1,15) AS BIGINT))."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
-def shingle_hashes(col: Column, n: int) -> Column:
-    """Distinct xxhash64 values of the character n-grams of lower(trim(col)).
-
-    xxhash64 is JVM-native (whole-stage codegen, no md5 string
-    round-trip); a 64-bit hash makes |hash set| == |shingle set| and
-    hash-set Jaccard == string-set Jaccard up to a ~2^-60 collision
-    probability, which is what lets the verify stage run on compact
-    int64 arrays instead of string arrays.
-    """
-    base = F.lower(F.trim(col))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(base) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.xxhash64(F.substring(base, i, n)))
     )
 
 
@@ -131,7 +78,8 @@ def make_shingle_sig_udf(a: list[int], b: list[int], n: int):
 
     One Arrow round-trip instead of (JVM HOF shingle stage -> persist ->
     pandas signature stage); the per-window hashing is numpy matland.
-    Signature math is identical to make_minhash_udf.
+    sig[k] = min over h of (a[k]*(h mod P31) + b[k]) % P31 — products
+    stay below 2^62, so int64 arithmetic is exact.
     """
     A = np.asarray(a, dtype=np.int64).reshape(-1, 1)
     B = np.asarray(b, dtype=np.int64).reshape(-1, 1)

@@ -624,45 +624,6 @@ FROM documents GROUP BY 1
 """
 
 
-def _shingle_hashes(d: str) -> str:
-    """Per-doc array of shingle hashes (one md5 per shingle)."""
-    sh = D.shingles("text", SHINGLE_N, d)
-    h = D.hash60("s", d)
-    return D.ltransform(sh, f"s -> {h} % {P31}", d)
-
-
-def _sig_from_hashes(hs_col: str, d: str) -> str:
-    """MinHash signature (MINHASH_K minima) from a column of shingle
-    hashes: K linear permutations mod 2^31-1 (stays < 2^62 — no ANSI
-    overflow). Pure integer arithmetic over an in-memory array."""
-    a = _arr(MINHASH_A, d)
-    b = _arr(MINHASH_B, d)
-    ak = _idx(a, "k + 1", d)
-    bk = _idx(b, "k + 1", d)
-    perm = D.ltransform(hs_col, f"h -> ({ak} * h + {bk}) % {P31}", d)
-    ks = D.seq("0", str(MINHASH_K - 1), d)
-    return D.ltransform(ks, f"k -> {D.lmin(perm, d)}", d)
-
-
-def _minhash_sig(d: str) -> str:
-    """Inline signature (used by the DuckDB oracle, which materializes
-    CTEs; the Spark path stages + persists instead — see
-    SPARK_BUILDERS['dedup_minhash_lsh'])."""
-    return _sig_from_hashes("__HS__", d).replace("__HS__", _shingle_hashes(d))
-
-
-def _band_key(d: str) -> str:
-    if d == SPARK:
-        return (
-            f"array_join(transform(slice(sig, band * {ROWS_PER_BAND} + 1,"
-            f" {ROWS_PER_BAND}), x -> CAST(x AS STRING)), '-')"
-        )
-    return (
-        f"array_to_string(sig[band * {ROWS_PER_BAND} + 1 :"
-        f" band * {ROWS_PER_BAND} + {ROWS_PER_BAND}], '-')"
-    )
-
-
 @q("dedup_minhash_lsh")
 def _minhash_lsh(d: str) -> str:
     """Near-dup pairs at shingle-Jaccard >= 0.85 within language.
@@ -682,25 +643,9 @@ def _minhash_lsh(d: str) -> str:
         f"100 * {inter} >= {JACCARD_PCT} * ({la} + {lb} - {inter})"
         f" AND 100 * least({la}, {lb}) >= {JACCARD_PCT} * greatest({la}, {lb})"
     )
-    if d == SPARK:
-        # reads the persisted signature stage __mh_sigs (see the builder
-        # below) so the md5/permutation work runs exactly once per doc.
-        return f"""
-WITH docs AS (SELECT doc_id, lang, {sh} AS sh FROM documents),
-bands AS (
-  SELECT doc_id, lang, band, {_band_key(d)} AS bkey
-  FROM __mh_sigs LATERAL VIEW explode(sequence(0, {BANDS - 1})) t AS band),
-cand AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y
-    ON x.band = y.band AND x.bkey = y.bkey
-   AND x.lang = y.lang AND x.doc_id < y.doc_id)
-SELECT c.doc_a, c.doc_b, {jac} AS jaccard
-FROM cand c
-JOIN docs a ON a.doc_id = c.doc_a
-JOIN docs b ON b.doc_id = c.doc_b
-WHERE {verify}
-"""
+    # NB: run_spark() routes the SPARK side to the DataFrame builder
+    # (operators/dedup.py fused kernel); this SQL text is the brute-force
+    # formulation used as the DuckDB oracle.
     return f"""
 WITH docs AS (SELECT doc_id, lang, {sh} AS sh FROM documents)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard

@@ -90,3 +90,37 @@ def test_array_contains_all_matches_model(spark_prop, cases):
     got = [r[0] for r in df.select(dd_array_contains_all("h", "n")).collect()]
     want = [_model_contains_all(h, n) for h, n in cases]
     assert got == want
+
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFFF),
+    min_size=0, max_size=80,
+)
+
+
+def _model_shingles(t: str, n: int = 6) -> set[str]:
+    base = t.strip().lower()
+    m = max(len(base) - n + 1, 1)
+    return {base[i : i + n] for i in range(m)}
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts)
+def test_rolling_hash_set_size_matches_string_shingles(t):
+    """|hash set| == |string shingle set| (the vectorized double hash is
+    collision-free in practice; a size mismatch would break Jaccard)."""
+    from dazzleduck_sql_duckdb_spark.operators.dedup import _np_shingle_set
+
+    assert len(_np_shingle_set(t, 6)) == len(_model_shingles(t, 6))
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts, texts)
+def test_rolling_hash_jaccard_matches_string_jaccard(a, b):
+    import numpy as np
+
+    from dazzleduck_sql_duckdb_spark.operators.dedup import _np_shingle_set
+
+    ha, hb = _np_shingle_set(a, 6), _np_shingle_set(b, 6)
+    sa, sb = _model_shingles(a), _model_shingles(b)
+    assert len(np.intersect1d(ha, hb)) == len(sa & sb)
