@@ -1158,8 +1158,207 @@ def _embed_neardup_lsh_q(d: str) -> str:
     return _embed_neardup(d)
 
 
+# ==================================================== temporal joins
+# Engine-added as-of / interval joins (operators/joins.py). The oracle
+# runs a genuinely different algorithm (DuckDB's native ASOF JOIN /
+# IEJoin inequality join) against the Spark union-window / bin-bucket
+# plans — an algorithmic differential, not a reimplementation check.
+
+
+@q("events_orders_asof_join")
+def _asof_join_q(d: str) -> str:
+    """Point-in-time: each event picks up the customer's most recent
+    order at-or-before the event (orders pre-deduped to one row per
+    (custkey, date) so the as-of match is deterministic)."""
+    if d == SPARK:
+        # argmax formulation (valid Spark SQL; run_spark routes to the
+        # union+window builder instead — this text is the naive twin)
+        return """
+WITH ord AS (
+  SELECT o_custkey, unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS o_us,
+         max(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, max_by(o.last_orderkey, o.o_us) AS last_orderkey
+FROM events e LEFT JOIN ord o
+  ON o.o_custkey = e.user_id AND o.o_us <= (e.ts DIV 1000)
+GROUP BY e.event_id, e.user_id
+"""
+    return """
+WITH ord AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, o.last_orderkey
+FROM events e ASOF LEFT JOIN ord o
+  ON e.user_id = o.o_custkey
+ AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)
+"""
+
+
+def _build_asof_join(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from ..operators.joins import asof_join
+
+    ev = spark.table("events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    ord_ = (
+        spark.table("orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("o_us"),
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    return asof_join(
+        ev, ord_, "user_id", left_time="ts_us", right_time="o_us"
+    ).select("event_id", "user_id", "last_orderkey")
+
+
+@q("events_activity_range_join")
+def _activity_range_q(d: str) -> str:
+    """Bounded-window self correlation: per event, how many events the
+    same user produced in the strictly-preceding 5 minutes."""
+    pe = "(p.ts DIV 1000)" if d == SPARK else "epoch_us(p.ts)"
+    ee = "(e.ts DIV 1000)" if d == SPARK else "epoch_us(e.ts)"
+    return f"""
+SELECT e.event_id, e.user_id, CAST(count(p.event_id) AS BIGINT) AS n_prior
+FROM events e LEFT JOIN events p
+  ON p.user_id = e.user_id
+ AND {pe} >= {ee} - 300000000 AND {pe} <= {ee} - 1
+GROUP BY e.event_id, e.user_id
+"""
+
+
+def _build_activity_range(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from ..operators.joins import range_join_binned
+
+    ev = spark.table("events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    prior = ev.select(
+        "user_id",
+        F.col("ts_us").alias("p_us"),
+        F.col("event_id").alias("p_id"),
+    )
+    pairs = range_join_binned(
+        ev, prior, "user_id",
+        left_time="ts_us", right_time="p_us",
+        lower=-300_000_000, upper=-1,
+    )
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("__n"))
+    return ev.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_prior"),
+    )
+
+
+@q("skew_salted_join_agg")
+def _skew_salted_q(d: str) -> str:
+    """Fact-dim join + agg; Spark side runs it through the salted-join
+    operator (operators/skew.py) so the driver gate pins salting to the
+    plain-join answer."""
+    return """
+SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+def _build_skew_salted(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from ..operators.skew import salted_join
+
+    li = spark.table("lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    sup = spark.table("supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, sup, "suppkey", salt=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("sum_qty"),
+        )
+    )
+
+
+# ==================================================== multimodal plumbing
+# Media-as-binary columns (operators/multimodal.py) exercised on real
+# bytes: documents.text encoded as the opaque payload. The dedup-key
+# stage is JVM-side (sha2/octet_length — oracle-checked); the feature
+# stage runs the mapInPandas decode plumbing with the deterministic
+# fake decoder (rows-only: the pooled features aren't SQL).
+
+
+@q("multimodal_media_keys")
+def _media_keys_q(d: str) -> str:
+    if d == SPARK:
+        return """
+SELECT doc_id AS media_id, sha2(encode(text, 'UTF-8'), 256) AS content_sha256,
+       CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) AS n_bytes
+FROM documents
+"""
+    return """
+SELECT doc_id AS media_id, sha256(text) AS content_sha256,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def _build_media_keys(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import media_dedup_keys
+
+    media = spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return media_dedup_keys(media)
+
+
+@q("multimodal_features")
+def _media_features_q(d: str) -> str:
+    # rows-only: pooled fake-decode features have no SQL twin
+    return (
+        "SELECT NULL AS media_id, NULL AS kind, NULL AS n_bytes,"
+        " NULL AS content_sha256, NULL AS feature"
+    )
+
+
+def _build_media_features(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import (
+        deterministic_fake_decoder,
+        extract_features,
+    )
+
+    media = spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return extract_features(media, decoder=deterministic_fake_decoder)
+
+
 SPARK_BUILDERS.update(
     {
+        "events_orders_asof_join": _build_asof_join,
+        "events_activity_range_join": _build_activity_range,
+        "skew_salted_join_agg": _build_skew_salted,
+        "multimodal_media_keys": _build_media_keys,
+        "multimodal_features": _build_media_features,
         "remote_scan_split_agg": _build_remote_scan_split_agg,
         "remote_scan_filter_pushdown": _build_remote_scan_filter,
         "remote_splits_plan": _build_remote_splits,
@@ -1175,7 +1374,11 @@ SPARK_BUILDERS.update(
 # names whose oracle is intentionally omitted (genuinely non-SQL
 # semantics: server-planned split introspection; approximate ANN) —
 # driver records rows-only checks
-ORACLE_SKIP: set[str] = {"remote_splits_plan", "embed_ann_ivf_probed"}
+ORACLE_SKIP: set[str] = {
+    "remote_splits_plan",
+    "embed_ann_ivf_probed",
+    "multimodal_features",
+}
 
 
 def run_spark(spark, name: str, sf_dir: str | None = None):
