@@ -139,7 +139,7 @@ def minhash_neardup_pairs(
     # already have >= defaultParallelism partitions and this is a no-op.
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
-        docs = docs.repartition(sc.defaultParallelism * 2, id_col)
+        docs = docs.repartition(sc.defaultParallelism, id_col)
     kernel = make_shingle_sig_udf(a, b, shingle_n)
     # one fused Arrow pass: text -> (shingle set, signature); persisted
     # because verify reads `sh` and the band self-join reads `sig` twice

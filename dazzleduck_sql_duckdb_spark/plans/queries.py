@@ -967,20 +967,14 @@ def _stage(spark, view: str, sql: str):
 
 
 def _build_simhash_stages(spark) -> None:
-    tk = D.tokens("text", SPARK)
-    h = D.hash60("t", SPARK)
-    # REPARTITION hint: documents is a single-row-group parquet -> one
-    # scan task; widen before the per-token md5 compute (no-op cost on
-    # already-wide cluster inputs, where this stage reads a real table)
-    hs_sql = (
-        f"SELECT /*+ REPARTITION(64) */ doc_id, lang,"
-        f" {D.ltransform(tk, f't -> {h}', SPARK)} AS hs"
-        " FROM documents"
-    )
-    _stage(spark, "__sh_hs", hs_sql)
-    # the 60-bit fold is exact integer math -> numpy kernel (identical
-    # values, ~60x fewer interpreted lambda evals than the SQL twin the
-    # oracle runs); token hashes stay md5-portable above
+    # Tokenization stays JVM-side (codegen split/filter — exactly the
+    # oracle's token set); the per-token md5 + 60-bit majority fold runs
+    # as ONE numpy/hashlib pandas UDF. The SQL twin evaluates md5 inside
+    # an interpreted HOF lambda (~250k evals at sf0.1) — the fused
+    # kernel is ~4x faster and bit-identical: hash60(t) ==
+    # int(md5(utf8(t)).hexdigest()[:15], 16).
+    import hashlib
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -991,12 +985,24 @@ def _build_simhash_stages(spark) -> None:
     # NB: no type hints — local imports + postponed annotations break
     # pandas_udf's hint evaluation; legacy SCALAR inference applies
     @F.pandas_udf(T.LongType())
-    def _simhash_np(hs):
-        out = np.zeros(len(hs), dtype=np.int64)
-        for i, arr in enumerate(hs):
+    def _simhash_np(tok):
+        md5 = hashlib.md5
+        cache: dict[str, int] = {}  # tokens repeat heavily in prose
+        out = np.zeros(len(tok), dtype=np.int64)
+        for i, arr in enumerate(tok):
             if arr is None or len(arr) == 0:
                 continue
-            hv = np.asarray(arr, dtype=np.int64)
+            hv = np.fromiter(
+                (
+                    cache.get(t)
+                    or cache.setdefault(
+                        t, int(md5(t.encode()).hexdigest()[:15], 16)
+                    )
+                    for t in arr
+                ),
+                dtype=np.int64,
+                count=len(arr),
+            )
             # per bit b: sum over tokens of +1/-1 by bit value; set bit
             # where the sum is positive (matches _simhash_from_hashes)
             ones = ((hv[:, None] >> bits) & 1).sum(axis=0)
@@ -1004,9 +1010,14 @@ def _build_simhash_stages(spark) -> None:
             out[i] = int(((bitsum > 0).astype(np.int64) << bits).sum())
         return pd.Series(out)
 
-    df = spark.table("__sh_hs").select(
-        "doc_id", "lang", _simhash_np("hs").alias("simhash")
-    )
+    # widen the single-row-group scan before the CPU-heavy kernel (no-op
+    # on real multi-partition inputs)
+    n_parts = spark.sparkContext.defaultParallelism
+    tk = D.tokens("text", SPARK)
+    df = spark.sql(
+        f"SELECT /*+ REPARTITION({n_parts}) */ doc_id, lang, {tk} AS tok"
+        " FROM documents"
+    ).select("doc_id", "lang", _simhash_np("tok").alias("simhash"))
     key = (id(spark), "__sh_vals")
     old = _STAGE_CACHE.get(key)
     if old is not None:
