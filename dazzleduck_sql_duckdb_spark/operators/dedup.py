@@ -58,7 +58,9 @@ def _np_shingle_set(text: str, n: int) -> np.ndarray:
     (poly_p1 << 31) | poly_p2 — a 62-bit double hash; a cross-pair
     collision needs both 31-bit polynomials to collide (~2^-62).
     """
-    t = text.strip().lower()
+    # SQL trim() strips ONLY spaces (not \t\n) — match it exactly, the
+    # DuckDB oracle computes shingles of lower(trim(text))
+    t = text.strip(" ").lower()
     codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
     if len(codes) < n:
         codes = np.pad(codes, (0, n - len(codes)))  # substr pads short text

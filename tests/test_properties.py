@@ -99,7 +99,7 @@ texts = st.text(
 
 
 def _model_shingles(t: str, n: int = 6) -> set[str]:
-    base = t.strip().lower()
+    base = t.strip(" ").lower()  # SQL trim(): spaces only
     m = max(len(base) - n + 1, 1)
     return {base[i : i + n] for i in range(m)}
 
@@ -112,6 +112,24 @@ def test_rolling_hash_set_size_matches_string_shingles(t):
     from dazzleduck_sql_duckdb_spark.operators.dedup import _np_shingle_set
 
     assert len(_np_shingle_set(t, 6)) == len(_model_shingles(t, 6))
+
+
+def test_shingle_set_size_matches_duckdb_trim_semantics():
+    """The numpy kernel must agree with the ORACLE's SQL semantics:
+    trim() strips only spaces, so tabs/newlines at the edges are part
+    of the shingled text."""
+    import duckdb
+
+    from dazzleduck_sql_duckdb_spark.operators.dedup import _np_shingle_set
+    from dazzleduck_sql_duckdb_spark.plans.dialect import DUCK, shingles
+
+    frag = shingles("t", 6, DUCK)
+    for s in ["\thello world\n", "  padded  ", "a\nb\tc", "Élan\nvital",
+              "short", ""]:
+        want = duckdb.sql(
+            f"SELECT len({frag}) FROM (SELECT ? AS t)", params=[s]
+        ).fetchone()[0]
+        assert len(_np_shingle_set(s, 6)) == want, repr(s)
 
 
 @settings(max_examples=150, deadline=None)
