@@ -48,23 +48,26 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    label_t = labels.schema["label"].dataType
     for _ in range(max_iterations):
+        # carry each node's previous label through the aggregation (one
+        # non-null `old` per node) so convergence detection is a free
+        # filter over the checkpointed result instead of an extra
+        # labels-to-labels shuffle join per round
         nbr = sym.join(labels, sym["b"] == labels["node"]).select(
-            F.col("a").alias("node"), F.col("label")
+            F.col("a").alias("node"),
+            F.col("label"),
+            F.lit(None).cast(label_t).alias("old"),
         )
+        cur = labels.select("node", "label", F.col("label").alias("old"))
         new = (
-            labels.union(nbr)
+            cur.unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             .localCheckpoint()  # cut lineage: keeps round N's plan flat
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("label") != F.col("old")).count()
+        labels = new.select("node", "label")
         if changed == 0:
             break
     sym.unpersist()
