@@ -36,6 +36,10 @@ BENCH_QUERIES = [
     "lineitem_date_filter_count",
     "q6_revenue",
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_volume",
+    "q14_promo_effect",
+    "q18_large_volume",
     "orders_group_agg",
     "join_region_rollup",
     "window_topk_per_group",

@@ -520,6 +520,151 @@ GROUP BY n.n_name
 """
 
 
+# ------------------------------------------------ TPC-H multi-join shapes
+# Adapted to the driver's reduced schema (no shipmode/commitdate/partsupp;
+# Q3 drops o_shippriority, Q4 uses shipdate>orderdate as the "late" test).
+# All money math follows the dialect.py decimal discipline so both
+# engines hash identically. Scale notes: the dim sides (customer 1.5M,
+# supplier 100k, nation/region tiny at SF100) broadcast or shuffle on
+# their join key; the fact-side shuffle is on the join key only, with
+# partial aggregation before the exchange — the plans a 1000-executor
+# cluster wants.
+
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))"
+)
+
+
+@q("q3_shipping_priority")
+def _q3(d: str) -> str:
+    """TPC-H Q3: top-10 unshipped orders by revenue for one segment."""
+    od = D.epoch_us("CAST(o_orderdate AS TIMESTAMP)", d)
+    return f"""
+SELECT l_orderkey,
+  CAST(sum({_REV}) AS DECIMAL(38,8)) AS revenue,
+  CAST({od} AS BIGINT) AS order_us, o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+@q("q4_order_priority")
+def _q4(d: str) -> str:
+    """TPC-H Q4 shape: correlated EXISTS with an inequality (late-ship
+    orders per priority). Spark decorrelates to a left-semi join."""
+    return """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@q("q5_regional_volume")
+def _q5(d: str) -> str:
+    """TPC-H Q5: 6-table join, local-supplier constraint
+    (c_nationkey = s_nationkey), revenue by nation."""
+    return f"""
+SELECT n.n_name, CAST(sum({_REV}) AS DECIMAL(38,8)) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@q("q10_returned_items")
+def _q10(d: str) -> str:
+    """TPC-H Q10: top-20 customers by revenue lost to returns."""
+    return f"""
+SELECT c.c_custkey, c.c_name,
+  CAST(sum({_REV}) AS DECIMAL(38,8)) AS revenue,
+  n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+@q("q14_promo_effect")
+def _q14(d: str) -> str:
+    """TPC-H Q14: conditional aggregation ratio (promo revenue share).
+    Exact decimal sums; the ratio is ONE double division (IEEE-exact,
+    identical in both engines given identical decimal operands)."""
+    return f"""
+SELECT
+  CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV} END) AS DECIMAL(38,8)) AS promo_revenue,
+  CAST(sum({_REV}) AS DECIMAL(38,8)) AS total_revenue,
+  CAST(100 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV} END) AS DOUBLE)
+       / CAST(sum({_REV}) AS DOUBLE) AS DOUBLE) AS promo_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@q("q18_large_volume")
+def _q18(d: str) -> str:
+    """TPC-H Q18: large-volume orders — GROUP BY + HAVING subquery feeding
+    an IN filter (Spark: left-semi join on the aggregated subquery)."""
+    od = D.epoch_us("CAST(o_orderdate AS TIMESTAMP)", d)
+    return f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+  CAST({od} AS BIGINT) AS order_us,
+  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 220)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+"""
+
+
+@q("q19_disjunctive_join")
+def _q19(d: str) -> str:
+    """TPC-H Q19 shape: join with disjunctive multi-attribute predicates
+    (brand x size x quantity bands). The equi-join key is still
+    extractable, so Spark plans a hash join + residual OR filter, not a
+    cartesian product."""
+    return f"""
+SELECT CAST(sum({_REV}) AS DECIMAL(38,8)) AS revenue,
+  CAST(count(*) AS BIGINT) AS n
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
 @q("events_sessionize_native")
 def _sessionize_native(d: str) -> str:
     """Oracle for the native session_window operator (streaming/pipeline
