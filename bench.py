@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "text_quality",
     "text_token_stats",
     "text_fingerprint",
+    "corpus_top_terms",
+    "text_tfidf_topk",
 ]
 
 

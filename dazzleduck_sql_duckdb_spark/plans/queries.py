@@ -1082,6 +1082,77 @@ FROM {src} t
 """
 
 
+@q("corpus_top_terms")
+def _top_terms(d: str) -> str:
+    """Corpus heavy hitters: top-50 terms by exact global frequency.
+
+    Scale: explode -> GROUP BY term runs with map-side partial counts,
+    so the exchange carries one row per (map partition, term), not one
+    per token; the final top-k is TakeOrderedAndProject (per-partition
+    heap + driver merge), never a global sort. A skewed head term is
+    still a single reducer row because counts merge associatively."""
+    tk = D.tokens("text", d)
+    if d == SPARK:
+        src = (
+            f"(SELECT tok FROM (SELECT {tk} AS tks FROM documents) t"
+            " LATERAL VIEW explode(tks) x AS tok)"
+        )
+    else:
+        src = f"(SELECT unnest({tk}) AS tok FROM documents)"
+    return f"""
+SELECT tok AS term, CAST(count(*) AS BIGINT) AS term_count
+FROM {src} e
+GROUP BY tok
+ORDER BY term_count DESC, term LIMIT 50
+"""
+
+
+@q("text_tfidf_topk")
+def _tfidf(d: str) -> str:
+    """Per-document top-5 terms by TF-IDF.
+
+    Determinism: idf = ln((1+N)/(1+df)) is rounded to 6 decimals before
+    the tf multiply — the two engines' libm ln() can differ in the last
+    ulp, and rounding collapses that so the double ranking (and the
+    driver's value hash) is identical. tf*idf and the window ranking are
+    then exact IEEE ops on identical operands.
+
+    Scale: tf aggregates on (doc_id, term) with partial counts; df is
+    vocabulary-sized (≪ corpus) so the tf⋈df join broadcasts at any
+    realistic vocabulary; the 1-row doc-count side is a broadcast cross
+    join; the per-doc top-5 is one window shuffle on doc_id."""
+    tk = D.tokens("text", d)
+    if d == SPARK:
+        exploded = (
+            f"SELECT doc_id, tok FROM (SELECT doc_id, {tk} AS tks"
+            " FROM documents) t LATERAL VIEW explode(tks) x AS tok"
+        )
+    else:
+        exploded = f"SELECT doc_id, unnest({tk}) AS tok FROM documents"
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM ({exploded}) e GROUP BY doc_id, tok
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    CAST(tf.tf AS DOUBLE)
+      * round(ln((1.0 + n.n_docs) / (1.0 + CAST(df.df AS DOUBLE))), 6)
+      AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf
+FROM (SELECT scored.*, row_number()
+        OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored) r
+WHERE rk <= 5
+"""
+
+
 # ======================================================= staged Spark plans
 #
 # Expression-level sharing: Spark's optimizer inlines CTEs/projections,

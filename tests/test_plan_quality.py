@@ -83,6 +83,48 @@ def test_relational_catalog_is_python_free(plans):
         assert "EvalPython" not in plans(name), f"{name} fell off JVM"
 
 
+def test_tpch_joins_never_nested_loop_on_fact(plans):
+    """Every TPC-H multi-join must resolve to hash joins: Q19's
+    disjunctive predicate still has an extractable equi-key (p_partkey),
+    so a CartesianProduct/NLJ anywhere means the planner lost the key —
+    at 100 TB that is |lineitem|x|part|."""
+    for name in [
+        "q3_shipping_priority", "q4_order_priority", "q5_regional_volume",
+        "q10_returned_items", "q14_promo_effect", "q18_large_volume",
+        "q19_disjunctive_join",
+    ]:
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "partial_" in p, name          # map-side combine everywhere
+        assert "EvalPython" not in p, name
+
+
+def test_tpch_exists_decorrelated_to_semi_join(plans):
+    """Q4's correlated EXISTS and Q18's HAVING-subquery IN filter must
+    decorrelate to semi joins (one pass over lineitem), never a
+    per-order subquery re-execution."""
+    assert "LeftSemi" in plans("q4_order_priority")
+    assert "LeftSemi" in plans("q18_large_volume")
+
+
+def test_top_terms_heap_topk_with_partial_counts(plans):
+    """Heavy-hitters: exchange carries per-partition partial counts (one
+    row per term per map task, not one per token) and the top-50 is a
+    per-partition heap merge, not a global sort."""
+    p = plans("corpus_top_terms")
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+    assert "EvalPython" not in p
+
+
+def test_tfidf_stays_jvm_hash_joined(plans):
+    p = plans("text_tfidf_topk")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p   # the 1-row count side broadcasts
+    assert "partial_count" in p
+
+
 def test_exact_dedup_shuffles_hash_not_text(plans):
     """The dedup exchange key is the md5 hash; raw text must not be a
     shuffle output column (at 100 TB the difference is the job)."""
