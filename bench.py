@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "corpus_top_terms",
     "text_tfidf_topk",
+    "text_repetition",
+    "docs_length_quantiles",
 ]
 
 

@@ -1082,6 +1082,84 @@ FROM {src} t
 """
 
 
+@q("text_repetition")
+def _repetition(d: str) -> str:
+    """Gopher-style repetition quality signals per document: fraction of
+    tokens that are repeats, and the share of word-bigram occurrences
+    taken by the single most frequent bigram.
+
+    All outputs are integer/integer divisions (IEEE-exact on identical
+    operands), so the hashes match without any rounding discipline.
+
+    Scale: one explode + GROUP BY (doc_id, bigram) with partial counts,
+    then a per-doc max/sum re-aggregation on doc_id — two shuffles, both
+    keyed by doc_id so AQE can coalesce; no window over the raw tokens."""
+    tk = D.tokens("text", d)
+    elem = lambda i: _idx("tks", i, d)  # noqa: E731
+    bigram = f"i -> concat({elem('i')}, ' ', {elem('i + 1')})"
+    bigrams = D.ltransform(D.seq("1", f"{D.lsize('tks', d)} - 1", d), bigram, d)
+    if d == SPARK:
+        exploded = (
+            "SELECT doc_id, n_tok, n_distinct, bg FROM base"
+            " LATERAL VIEW explode(bgs) x AS bg"
+        )
+    else:
+        exploded = "SELECT doc_id, n_tok, n_distinct, unnest(bgs) AS bg FROM base"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {D.lsize('tks', d)} AS n_tok,
+    {D.lsize(D.ldistinct('tks', d), d)} AS n_distinct, {bigrams} AS bgs
+  FROM (SELECT doc_id, {tk} AS tks FROM documents) t
+  WHERE {D.lsize('tks', d)} >= 2
+),
+bg_counts AS (
+  SELECT doc_id, n_tok, n_distinct, bg, count(*) AS c
+  FROM ({exploded}) e
+  GROUP BY doc_id, n_tok, n_distinct, bg
+)
+SELECT doc_id,
+  CAST(n_tok AS BIGINT) AS n_tok,
+  CAST(1.0 - CAST(n_distinct AS DOUBLE) / n_tok AS DOUBLE) AS dup_word_frac,
+  CAST(CAST(max(c) AS DOUBLE) / sum(c) AS DOUBLE) AS top_bigram_frac
+FROM bg_counts
+GROUP BY doc_id, n_tok, n_distinct
+"""
+
+
+@q("docs_length_quantiles")
+def _length_quantiles(d: str) -> str:
+    """Per-source exact length quantiles (p25/p50/p75) + min/max/avg.
+
+    p in {.25,.5,.75} keeps the interpolation fraction an exact power-of-
+    two multiple, so Spark's percentile() and DuckDB's quantile_cont()
+    produce bit-identical doubles; p95/p99 would not (0.95*(n-1) rounds,
+    and the two engines' interpolation formulas differ in the last ulp).
+
+    Scale: exact per-group quantiles sort within the source partition —
+    fine while each source fits an executor; the 100 TB path swaps in
+    approx_percentile (t-digest, mergeable) with everything else equal."""
+    if d == SPARK:
+        qexp = "percentile(n_chars, array(0.25D, 0.5D, 0.75D))"
+    else:
+        qexp = "quantile_cont(n_chars, [0.25, 0.5, 0.75])"
+    el = lambda i: _idx("qs", str(i), d)  # noqa: E731
+    return f"""
+SELECT source, n_docs, min_chars, max_chars, avg_chars,
+  CAST({el(1)} AS DOUBLE) AS p25,
+  CAST({el(2)} AS DOUBLE) AS p50,
+  CAST({el(3)} AS DOUBLE) AS p75
+FROM (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(min(n_chars) AS BIGINT) AS min_chars,
+    CAST(max(n_chars) AS BIGINT) AS max_chars,
+    CAST(avg(n_chars) AS DOUBLE) AS avg_chars,
+    {qexp} AS qs
+  FROM documents GROUP BY source
+) t
+"""
+
+
 @q("corpus_top_terms")
 def _top_terms(d: str) -> str:
     """Corpus heavy hitters: top-50 terms by exact global frequency.

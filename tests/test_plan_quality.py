@@ -118,6 +118,13 @@ def test_top_terms_heap_topk_with_partial_counts(plans):
     assert "EvalPython" not in p
 
 
+def test_repetition_and_quantiles_stay_jvm(plans):
+    for name in ["text_repetition", "docs_length_quantiles"]:
+        p = plans(name)
+        assert "EvalPython" not in p, name
+        assert "partial_" in p, name
+
+
 def test_tfidf_stays_jvm_hash_joined(plans):
     p = plans("text_tfidf_topk")
     assert "EvalPython" not in p
