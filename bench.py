@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "text_tfidf_topk",
     "text_repetition",
     "docs_length_quantiles",
+    "docs_shard_assignment",
+    "cross_source_contamination",
 ]
 
 

@@ -103,6 +103,16 @@ def _dot(a: str, b: str, dialect: str) -> str:
     return _fold_sum(prods, dialect)
 
 
+def _wide_docs(d: str) -> str:
+    """documents scan widened before CPU-heavy per-row token work: the
+    single-row-group test parquet scans as ONE Spark task, so
+    interpreted-HOF stages explicitly repartition first (a no-op on real
+    multi-partition inputs)."""
+    if d == SPARK:
+        return "(SELECT /*+ REPARTITION(64) */ * FROM documents)"
+    return "documents"
+
+
 # ---------------------------------------------------------------- catalog
 
 CATALOG: dict[str, Callable[[str], str]] = {}
@@ -1095,34 +1105,46 @@ def _repetition(d: str) -> str:
     then a per-doc max/sum re-aggregation on doc_id — two shuffles, both
     keyed by doc_id so AQE can coalesce; no window over the raw tokens."""
     tk = D.tokens("text", d)
-    elem = lambda i: _idx("tks", i, d)  # noqa: E731
-    bigram = f"i -> concat({elem('i')}, ' ', {elem('i + 1')})"
-    bigrams = D.ltransform(D.seq("1", f"{D.lsize('tks', d)} - 1", d), bigram, d)
+    # Spark: NEVER explode a transform()-computed array — the Generate
+    # re-evaluates the generator expression per OUTPUT row (found
+    # empirically: 6.9s vs 0.45s at sf0.1). posexplode the raw token
+    # array and build each bigram from (pos, tok) with one O(1) lookup.
     if d == SPARK:
-        exploded = (
-            "SELECT doc_id, n_tok, n_distinct, bg FROM base"
-            " LATERAL VIEW explode(bgs) x AS bg"
-        )
+        exploded = f"""
+SELECT doc_id, concat(tok, ' ', try_element_at(tks, pos + 2)) AS bg
+FROM (SELECT doc_id, {tk} AS tks FROM {_wide_docs(d)} w) t
+LATERAL VIEW posexplode(tks) x AS pos, tok
+WHERE pos + 2 <= size(tks)"""
     else:
-        exploded = "SELECT doc_id, n_tok, n_distinct, unnest(bgs) AS bg FROM base"
+        elem = lambda i: _idx("tks", i, d)  # noqa: E731
+        bigram = f"i -> concat({elem('i')}, ' ', {elem('i + 1')})"
+        bigrams = D.ltransform(
+            D.seq("1", f"{D.lsize('tks', d)} - 1", d), bigram, d
+        )
+        exploded = f"""
+SELECT doc_id, unnest(bgs) AS bg
+FROM (SELECT doc_id, {bigrams} AS bgs
+      FROM (SELECT doc_id, {tk} AS tks FROM documents) i
+      WHERE {D.lsize('tks', d)} >= 2) b"""
     return f"""
-WITH base AS (
-  SELECT doc_id, {D.lsize('tks', d)} AS n_tok,
-    {D.lsize(D.ldistinct('tks', d), d)} AS n_distinct, {bigrams} AS bgs
-  FROM (SELECT doc_id, {tk} AS tks FROM documents) t
-  WHERE {D.lsize('tks', d)} >= 2
+WITH bg_top AS (
+  SELECT doc_id,
+    CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+  FROM (SELECT doc_id, bg, count(*) AS c FROM ({exploded}) e
+        GROUP BY doc_id, bg) bc
+  GROUP BY doc_id
 ),
-bg_counts AS (
-  SELECT doc_id, n_tok, n_distinct, bg, count(*) AS c
-  FROM ({exploded}) e
-  GROUP BY doc_id, n_tok, n_distinct, bg
+tok_stats AS (
+  SELECT doc_id, {D.lsize('tks', d)} AS n_tok,
+    {D.lsize(D.ldistinct('tks', d), d)} AS n_distinct
+  FROM (SELECT doc_id, {tk} AS tks FROM {_wide_docs(d)} w) t
+  WHERE {D.lsize('tks', d)} >= 2
 )
-SELECT doc_id,
-  CAST(n_tok AS BIGINT) AS n_tok,
-  CAST(1.0 - CAST(n_distinct AS DOUBLE) / n_tok AS DOUBLE) AS dup_word_frac,
-  CAST(CAST(max(c) AS DOUBLE) / sum(c) AS DOUBLE) AS top_bigram_frac
-FROM bg_counts
-GROUP BY doc_id, n_tok, n_distinct
+SELECT s.doc_id,
+  CAST(s.n_tok AS BIGINT) AS n_tok,
+  CAST(1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_tok AS DOUBLE) AS dup_word_frac,
+  CAST(b.top_bigram_frac AS DOUBLE) AS top_bigram_frac
+FROM tok_stats s JOIN bg_top b ON s.doc_id = b.doc_id
 """
 
 
@@ -1157,6 +1179,68 @@ FROM (
     {qexp} AS qs
   FROM documents GROUP BY source
 ) t
+"""
+
+
+@q("docs_shard_assignment")
+def _shard_assignment(d: str) -> str:
+    """Deterministic training-shard assignment: shard = hash(doc_id) mod
+    16, position within shard by hash order. This is the write-side of
+    'shuffle the corpus and shard it for the trainer' — reproducible
+    across runs and engines (no rand()), resumable, and stable under
+    re-execution of failed tasks.
+
+    Scale: one exchange keyed by shard; the within-shard ordering is a
+    per-partition sort (each shard is one write task). 16 here; a real
+    run sets shards ≈ cluster write parallelism."""
+    h = D.hash60("CAST(doc_id AS STRING)", d)
+    return f"""
+SELECT doc_id,
+  CAST(h % 16 AS BIGINT) AS shard,
+  CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM (SELECT doc_id, {h} AS h FROM documents) t
+"""
+
+
+@q("cross_source_contamination")
+def _contamination(d: str) -> str:
+    """Train/test decontamination check: count distinct token 8-grams
+    shared between each pair of sources. The standard n-gram-overlap
+    contamination test, expressed as a self-join on hashed grams.
+
+    Scale: grams are deduped per (source, gram) BEFORE the join, and the
+    join key is the 60-bit gram hash (8-byte exchange rows, never gram
+    text). The output is |sources|² rows at most. At 100 TB the gram
+    dedup is the big shuffle; it partial-aggregates map-side."""
+    tk = D.tokens("text", d)
+    n = 8
+    # Same Generate pitfall as text_repetition: posexplode the raw
+    # tokens; each output row builds its gram with one slice+join.
+    if d == SPARK:
+        exploded = f"""
+SELECT source, array_join(slice(tks, pos + 1, {n}), ' ') AS g
+FROM (SELECT source, {tk} AS tks FROM {_wide_docs(d)} w) t
+LATERAL VIEW posexplode(tks) x AS pos, tok
+WHERE pos + {n} <= size(tks)"""
+    else:
+        gram = f"i -> array_to_string(list_slice(tks, i, i + {n - 1}), ' ')"
+        grams = D.ltransform(
+            D.seq("1", f"{D.lsize('tks', d)} - {n - 1}", d), gram, d
+        )
+        exploded = f"""
+SELECT source, unnest(gs) AS g
+FROM (SELECT source, {grams} AS gs
+      FROM (SELECT source, {tk} AS tks FROM documents) i
+      WHERE {D.lsize('tks', d)} >= {n}) b"""
+    gh = D.hash60("g", d)
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT source, {gh} AS gh FROM ({exploded}) e
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM grams a JOIN grams b ON a.gh = b.gh AND a.source < b.source
+GROUP BY a.source, b.source
 """
 
 

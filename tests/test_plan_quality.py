@@ -119,10 +119,23 @@ def test_top_terms_heap_topk_with_partial_counts(plans):
 
 
 def test_repetition_and_quantiles_stay_jvm(plans):
-    for name in ["text_repetition", "docs_length_quantiles"]:
+    for name in ["text_repetition", "docs_length_quantiles",
+                 "docs_shard_assignment", "cross_source_contamination"]:
         p = plans(name)
         assert "EvalPython" not in p, name
-        assert "partial_" in p, name
+
+
+def test_explodes_generate_raw_arrays_not_transforms(plans):
+    """Generate re-evaluates a computed generator expression per OUTPUT
+    row (measured 15x at sf0.1): every exploding query must posexplode/
+    explode a raw or exchange-materialized array, never transform(...)
+    inline. Detect by asserting no lambda marker inside Generate."""
+    for name in ["text_repetition", "cross_source_contamination",
+                 "corpus_top_terms", "text_tfidf_topk"]:
+        p = plans(name)
+        gen_lines = [ln for ln in p.splitlines() if "Generate " in ln]
+        assert gen_lines, name
+        assert all("lambdafunction" not in ln for ln in gen_lines), name
 
 
 def test_tfidf_stays_jvm_hash_joined(plans):
