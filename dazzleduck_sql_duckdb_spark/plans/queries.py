@@ -726,6 +726,31 @@ FROM (SELECT doc_id, {tk} AS tk FROM documents) t
 """
 
 
+@q("dd_array_contains_all_fn")
+def _dd_aca_fn(d: str) -> str:
+    """The registered SQL-function surface, all three reference overloads
+    (array_contains_all.cpp:430-469): the 2-arg form, the execution-hint
+    form (hint accepted & ignored), and the bloom-accelerated form must
+    each equal the plain containment predicate — the bloom path never
+    false-negatives and exact-verifies every bloom hit, so its result is
+    bit-equal to the unaccelerated one by construction."""
+    tk = D.distinct_tokens("text", d)
+    needle = _sarr(["data", "query"], d)
+    if d == SPARK:
+        return f"""
+SELECT doc_id,
+  dd_array_contains_all(tk, {needle}) AS has_all,
+  dd_array_contains_all_hint(tk, {needle}, false) AS has_all_hint,
+  dd_array_contains_all_bloom(tk, {needle}, dd_bloom_filter_create(tk)) AS has_all_bloom
+FROM (SELECT doc_id, {tk} AS tk FROM {_wide_docs(d)} w) t
+"""
+    pred = f"len(list_filter({needle}, x -> NOT list_contains(tk, x))) = 0"
+    return f"""
+SELECT doc_id, {pred} AS has_all, {pred} AS has_all_hint, {pred} AS has_all_bloom
+FROM (SELECT doc_id, {tk} AS tk FROM documents) t
+"""
+
+
 @q("dd_search_marker")
 def _dd_search(d: str) -> str:
     if d == SPARK:
