@@ -1258,6 +1258,27 @@ FROM (SELECT source, {grams} AS gs
       FROM (SELECT source, {tk} AS tks FROM documents) i
       WHERE {D.lsize('tks', d)} >= {n}) b"""
     gh = D.hash60("g", d)
+    if d == SPARK:
+        # Spark plans a CTE self-join as TWO full explode+distinct
+        # subtrees (no exchange reuse once one side broadcasts), so
+        # compute grams ONCE: group by gram, emit source-pairs from the
+        # sorted per-gram source set (≤|sources| each — tiny arrays).
+        return f"""
+WITH grams AS (
+  SELECT DISTINCT source, {gh} AS gh FROM ({exploded}) e
+),
+by_gram AS (
+  SELECT gh, sort_array(collect_set(source)) AS srcs
+  FROM grams GROUP BY gh
+)
+SELECT sa AS source_a, sb AS source_b,
+  CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM by_gram
+LATERAL VIEW posexplode(srcs) xa AS pa, sa
+LATERAL VIEW posexplode(srcs) xb AS pb, sb
+WHERE pa < pb
+GROUP BY sa, sb
+"""
     return f"""
 WITH grams AS (
   SELECT DISTINCT source, {gh} AS gh FROM ({exploded}) e
