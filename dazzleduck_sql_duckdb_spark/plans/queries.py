@@ -1563,6 +1563,60 @@ def _build_remote_scan_filter(spark, sf_dir: str):
     return spark.sql(_REMOTE_FILTER.format(src="__remote_orders"))
 
 
+@q("remote_login_scan")
+def _remote_login_scan(d: str) -> str:
+    """dd_login (F8, dd_login.cpp:19-218) end-to-end under the hash
+    gate: POST /v1/login for a token, thread it into an authed
+    dd_read_arrow scan (every split request carries the Bearer header),
+    aggregate in Spark. The oracle reads the same parquet directly, so
+    'login + authed remote scan == direct scan' is value-checked."""
+    return """
+SELECT l_returnflag,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+_AUTH_SERVERS: dict[str, object] = {}
+
+
+def _auth_server_for(sf_dir: str):
+    import atexit
+    import os
+
+    srv = _AUTH_SERVERS.get(sf_dir)
+    if srv is None:
+        from ..sources.local_server import ArrowTestServer
+
+        srv = ArrowTestServer(
+            {"lineitem": os.path.join(sf_dir, "lineitem.parquet")},
+            token="tok-remote-login-scan",
+            credentials=("sparky", "hunter2"),
+        ).start()
+        atexit.register(srv.stop)
+        _AUTH_SERVERS[sf_dir] = srv
+    return srv
+
+
+def _build_remote_login_scan(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from ..functions.misc import login
+    from ..sources import dd_read_arrow, register
+
+    register(spark)
+    srv = _auth_server_for(sf_dir)
+    token = login(srv.url, "sparky", "hunter2")
+    scan = dd_read_arrow(
+        spark, srv.url, source_table="lineitem", auth_token=token
+    )
+    return scan.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("l_orderkey").cast("long").alias("sum_okey"),
+    )
+
+
 @q("remote_splits_plan")
 def _remote_splits(d: str) -> str:
     # introspection — endpoints/ids are server-assigned; rows-only check
@@ -1872,6 +1926,7 @@ SPARK_BUILDERS.update(
         "remote_scan_split_agg": _build_remote_scan_split_agg,
         "remote_scan_filter_pushdown": _build_remote_scan_filter,
         "remote_splits_plan": _build_remote_splits,
+        "remote_login_scan": _build_remote_login_scan,
         "embed_ann_ivf_fullprobe": _build_ann_ivf(n_probe=8),
         "embed_ann_ivf_probed": _build_ann_ivf(n_probe=4),
         "embed_neardup_lsh": _build_embed_neardup_lsh,
