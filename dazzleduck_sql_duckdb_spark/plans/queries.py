@@ -639,8 +639,13 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
 
 @q("q18_large_volume")
 def _q18(d: str) -> str:
-    """TPC-H Q18: large-volume orders — GROUP BY + HAVING subquery feeding
-    an IN filter (Spark: left-semi join on the aggregated subquery)."""
+    """TPC-H Q18: large-volume orders, HAVING subquery as an inner join.
+
+    The textbook IN-subquery form makes Spark infer the semi-join filter
+    onto BOTH orders and lineitem — the heavy per-orderkey aggregation
+    runs twice. GROUP BY emits distinct keys, so joining the aggregated
+    subquery inner is semantically identical and computes it once (the
+    dominant cost at scale: one full lineitem agg, not two)."""
     od = D.epoch_us("CAST(o_orderdate AS TIMESTAMP)", d)
     return f"""
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
@@ -649,9 +654,9 @@ SELECT c.c_name, c.c_custkey, o.o_orderkey,
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE o.o_orderkey IN (
-  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 220)
+JOIN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 220) big
+  ON o.o_orderkey = big.l_orderkey
 GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
 """
 

@@ -101,11 +101,20 @@ def test_tpch_joins_never_nested_loop_on_fact(plans):
 
 
 def test_tpch_exists_decorrelated_to_semi_join(plans):
-    """Q4's correlated EXISTS and Q18's HAVING-subquery IN filter must
-    decorrelate to semi joins (one pass over lineitem), never a
-    per-order subquery re-execution."""
+    """Q4's correlated EXISTS must decorrelate to a semi join (one pass
+    over lineitem), never a per-order subquery re-execution."""
     assert "LeftSemi" in plans("q4_order_priority")
-    assert "LeftSemi" in plans("q18_large_volume")
+
+
+def test_q18_subquery_aggregated_once(plans):
+    """The IN-subquery form makes Spark infer the semi join onto both
+    orders AND lineitem — the heavy per-orderkey aggregation runs twice.
+    The catalog uses the inner-join form: exactly 2 lineitem scans
+    (main + subquery), not 3."""
+    p = plans("q18_large_volume")
+    scans = [ln for ln in p.splitlines()
+             if "FileScan parquet" in ln and "l_quantity" in ln]
+    assert len(scans) == 2, p
 
 
 def test_top_terms_heap_topk_with_partial_counts(plans):
