@@ -530,6 +530,69 @@ GROUP BY n.n_name
 """
 
 
+@q("customer_orders_left_join")
+def _left_join(d: str) -> str:
+    """LEFT OUTER join surface: every customer kept, zero-order
+    customers get COALESCEd zeros.
+
+    Scale: orders pre-aggregates to one row per custkey BEFORE the
+    join, so the outer join's right side is |customers|-sized, not
+    |orders|-sized — aggregate-then-join, the shape that survives a
+    fact-table scale-up."""
+    return """
+SELECT c.c_custkey, c.c_mktsegment,
+  CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+  CAST(coalesce(o.spend, CAST(0 AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS total_spend
+FROM customer c
+LEFT JOIN (SELECT o_custkey, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS spend
+           FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+@q("nation_presence_full_join")
+def _full_join(d: str) -> str:
+    """FULL OUTER join surface: per-nation supplier counts vs customer
+    counts, keeping nations present on either side only."""
+    return """
+SELECT coalesce(s.nk, c.nk) AS nationkey,
+  CAST(coalesce(s.n_suppliers, 0) AS BIGINT) AS n_suppliers,
+  CAST(coalesce(c.n_customers, 0) AS BIGINT) AS n_customers
+FROM (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey) s
+FULL JOIN (SELECT c_nationkey AS nk, count(*) AS n_customers
+           FROM customer GROUP BY c_nationkey) c
+  ON s.nk = c.nk
+"""
+
+
+@q("orders_running_totals")
+def _running_totals(d: str) -> str:
+    """Window-frame surface: per-customer cumulative spend (ROWS
+    unbounded-preceding) and a sliding 3-order sum. Frames are explicit
+    ROWS (not RANGE) and the ordering key (o_orderdate, o_orderkey) is
+    unique, so both engines window identical row sequences.
+
+    Scale: one shuffle on o_custkey; frames evaluate in one sorted pass
+    per partition — no self-joins."""
+    return """
+SELECT o_orderkey, o_custkey,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS DECIMAL(38,4)) AS running_spend,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       AS DECIMAL(38,4)) AS sliding3_spend,
+  CAST(row_number()
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       AS BIGINT) AS order_seq
+FROM orders
+"""
+
+
 # ------------------------------------------------ TPC-H multi-join shapes
 # Adapted to the driver's reduced schema (no shipmode/commitdate/partsupp;
 # Q3 drops o_shippriority, Q4 uses shipdate>orderdate as the "late" test).
