@@ -79,6 +79,34 @@ def test_length_quantiles_ordered(run):
         assert r["min_chars"] <= r["avg_chars"] <= r["max_chars"]
 
 
+def test_approx_count_distinct_tracks_exact(spark, tables):
+    """The documented 100 TB substitute for exact count(DISTINCT)
+    (OPERATORS.md A6): HLL++ must land within 5% of exact on the events
+    stream — the mergeable sketch is the split-safe form the reference
+    cannot push (IsSplitSafe excludes DISTINCT)."""
+    exact = spark.sql(
+        "SELECT count(DISTINCT user_id) AS n FROM events"
+    ).collect()[0]["n"]
+    approx = spark.sql(
+        "SELECT approx_count_distinct(user_id, 0.02) AS n FROM events"
+    ).collect()[0]["n"]
+    assert abs(approx - exact) <= max(1, 0.05 * exact)
+
+
+def test_approx_percentile_tracks_exact_quantiles(spark, tables):
+    """The documented scale substitute for exact per-source quantiles
+    (docs_length_quantiles): approx_percentile within 10% relative."""
+    rows = spark.sql("""
+        SELECT source,
+          percentile(n_chars, 0.5) AS exact_p50,
+          approx_percentile(n_chars, 0.5, 1000) AS approx_p50
+        FROM documents GROUP BY source
+    """).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.1 * r["exact_p50"]
+
+
 def test_top_terms_sorted_and_bounded(run):
     rows = run("corpus_top_terms").collect()
     assert 0 < len(rows) <= 50
