@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "window_topk_per_group",
     "events_sessionize",
     "events_hourly_rollup",
+    "events_funnel",
+    "orders_running_totals",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -393,6 +393,33 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+@q("events_funnel")
+def _funnel(d: str) -> str:
+    """Ordered-sequence funnel: users whose first view precedes a later
+    click precedes a later purchase, counted per stage.
+
+    Scale: every stage aggregates and joins on user_id — one shuffle
+    key throughout, so stages co-partition (no re-shuffle between
+    them); each stage's input shrinks monotonically."""
+    us = _event_us(d)
+    return f"""
+WITH ev AS (SELECT user_id, event_type, {us} AS us FROM events),
+v AS (SELECT user_id, min(us) AS t0 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.us) AS t1
+      FROM ev e JOIN v ON e.user_id = v.user_id AND e.us > v.t0
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.us) AS t2
+      FROM ev e JOIN c ON e.user_id = c.user_id AND e.us > c.t1
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 'stage1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 'stage2_click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM c
+UNION ALL
+SELECT 'stage3_purchase' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM p
+"""
+
+
 @q("orders_rollup")
 def _orders_rollup(d: str) -> str:
     # ROLLUP (SURVEY §2.3 A7: absent in the reference, free in Spark).
