@@ -147,6 +147,19 @@ def test_explodes_generate_raw_arrays_not_transforms(plans):
         assert all("lambdafunction" not in ln for ln in gen_lines), name
 
 
+def test_shard_assignment_never_reads_text(plans):
+    """The shard map needs only doc_id; if the scan schema ever picks up
+    `text`, a 100 TB shard-assignment job reads the whole corpus."""
+    p = plans("docs_shard_assignment")
+    assert "ReadSchema: struct<doc_id:bigint>" in p
+
+
+def test_new_relational_entries_stay_jvm(plans):
+    for name in ["events_funnel", "orders_running_totals",
+                 "customer_orders_left_join", "nation_presence_full_join"]:
+        assert "EvalPython" not in plans(name), name
+
+
 def test_tfidf_stays_jvm_hash_joined(plans):
     p = plans("text_tfidf_topk")
     assert "EvalPython" not in p
