@@ -75,40 +75,70 @@ def _np_shingle_set(text: str, n: int) -> np.ndarray:
     return np.unique((h1 << 31) | h2)
 
 
-def make_shingle_sig_udf(a: list[int], b: list[int], n: int):
-    """Fused kernel: text -> (distinct shingle-hash set, minhash sig).
+def make_shingle_sig_udf(a: list[int], b: list[int], n: int, bands: int = 0):
+    """Fused kernel: text -> (distinct shingle-hash set, minhash sig
+    [, per-band bucket keys]).
 
     One Arrow round-trip instead of (JVM HOF shingle stage -> persist ->
     pandas signature stage); the per-window hashing is numpy matland.
     sig[k] = min over h of (a[k]*(h mod P31) + b[k]) % P31 — products
     stay below 2^62, so int64 arithmetic is exact.
+
+    With ``bands`` > 0 the kernel also emits ``bkeys``: one int64 bucket
+    key per band — a polynomial hash of that band's signature rows plus
+    the band index. Emitting keys here (numpy, once, persisted) beats
+    building them JVM-side after the band explode, where the
+    slice+cast+concat expression re-evaluates per exploded row. A
+    cross-band or cross-bucket hash collision only ADDS a candidate
+    pair, which exact verification then rejects — never a miss.
     """
     A = np.asarray(a, dtype=np.int64).reshape(-1, 1)
     B = np.asarray(b, dtype=np.int64).reshape(-1, 1)
     empty_sig = np.full(len(a), P31, dtype=np.int64)
-    out_type = T.StructType(
-        [
-            T.StructField("sh", T.ArrayType(T.LongType())),
-            T.StructField("sig", T.ArrayType(T.LongType())),
-        ]
-    )
+    fields = [
+        T.StructField("sh", T.ArrayType(T.LongType())),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ]
+    if bands:
+        fields.append(T.StructField("bkeys", T.ArrayType(T.LongType())))
+        rows_per_band = len(a) // bands
+        band_ix = np.arange(bands, dtype=np.int64)
+
+    def _bkeys(sig: np.ndarray) -> np.ndarray:
+        # double 31-bit polynomial fold -> 62-bit key, seeded with the
+        # band index. acc < 2^31 and multiplier < 2^21, so products stay
+        # far below 2^63 — no int64 overflow, full mixing of every row.
+        w = sig.reshape(bands, rows_per_band)
+        acc1 = band_ix.copy()
+        acc2 = band_ix + np.int64(1)
+        for j in range(rows_per_band):
+            acc1 = (acc1 * 1_000_003 + w[:, j]) % _RH_P1
+            acc2 = (acc2 * 1_000_033 + w[:, j]) % _RH_P2
+        return (acc1 << 31) | acc2
+
+    out_type = T.StructType(fields)
 
     @F.pandas_udf(out_type)
     def kernel(texts: pd.Series) -> pd.DataFrame:
-        shs, sigs = [], []
+        shs, sigs, bks = [], [], []
         for t in texts:
             if t is None:
                 shs.append(np.empty(0, dtype=np.int64))
                 sigs.append(empty_sig)
-                continue
-            sh = _np_shingle_set(t, n)
-            shs.append(sh)
-            if len(sh):
-                h = np.mod(sh, P31).reshape(1, -1)
-                sigs.append(((A * h + B) % P31).min(axis=1))
             else:
-                sigs.append(empty_sig)
-        return pd.DataFrame({"sh": shs, "sig": sigs})
+                sh = _np_shingle_set(t, n)
+                shs.append(sh)
+                if len(sh):
+                    h = np.mod(sh, P31).reshape(1, -1)
+                    sigs.append(((A * h + B) % P31).min(axis=1))
+                else:
+                    sigs.append(empty_sig)
+            if bands:
+                bks.append(_bkeys(sigs[-1]))
+        cols = {"sh": shs, "sig": sigs}
+        if bands:
+            cols["bkeys"] = bks
+        return pd.DataFrame(cols)
 
     return kernel
 
@@ -133,8 +163,6 @@ def minhash_neardup_pairs(
       signatures -> explode bands -> self-join on (band, key, block)
       -> distinct candidates -> exact set-Jaccard verify on int arrays.
     """
-    k = len(a)
-    rows_per_band = k // bands
     # Widen narrow inputs before the per-row shingle/signature compute:
     # a small parquet file (single row group) scans as ONE task, which
     # would serialize the whole CPU-heavy stage. At real scale inputs
@@ -142,43 +170,30 @@ def minhash_neardup_pairs(
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
         docs = docs.repartition(sc.defaultParallelism, id_col)
-    kernel = make_shingle_sig_udf(a, b, shingle_n)
-    # one fused Arrow pass: text -> (shingle set, signature); persisted
-    # because verify reads `sh` and the band self-join reads `sig` twice
+    kernel = make_shingle_sig_udf(a, b, shingle_n, bands=bands)
+    # one fused Arrow pass: text -> (shingle set, signature, band keys);
+    # persisted because verify reads `sh` and the band self-join reads
+    # `bkeys` twice. The band index is folded into each bkey in the
+    # kernel, so the bucket join below is a single-long-key equi-join
+    # (8-byte exchange rows, no per-exploded-row string building).
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
         kernel(F.col(text_col)).alias("k"),
     ).select(
-        "doc_id", "blk", F.col("k.sh").alias("sh"), F.col("k.sig").alias("sig")
+        "doc_id", "blk",
+        F.col("k.sh").alias("sh"), F.col("k.bkeys").alias("bkeys"),
     ).persist()
     sh = staged.select("doc_id", "blk", "sh")
-    sigs = staged.select("doc_id", "blk", "sig")
 
-    bands_df = sigs.select(
-        "doc_id", "blk",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        F.col("sig"),
-    ).select(
-        "doc_id", "blk", "band",
-        F.array_join(
-            F.transform(
-                F.slice(
-                    "sig",
-                    F.col("band") * rows_per_band + 1,
-                    rows_per_band,
-                ),
-                lambda x: x.cast("string"),
-            ),
-            "-",
-        ).alias("bkey"),
+    bands_df = staged.select(
+        "doc_id", "blk", F.explode("bkeys").alias("bkey")
     )
     x, y = bands_df.alias("x"), bands_df.alias("y")
     cand = (
         x.join(
             y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bkey") == F.col("y.bkey"))
+            (F.col("x.bkey") == F.col("y.bkey"))
             & (F.col("x.blk") == F.col("y.blk"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
