@@ -420,6 +420,30 @@ SELECT 'stage3_purchase' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM p
 """
 
 
+@q("events_view_click_attribution")
+def _view_click_attr(d: str) -> str:
+    """Oracle for streaming/pipeline.view_click_attribution (batch twin
+    runs the SAME function, see SPARK_BUILDERS): views joined to the
+    same user's clicks within 60 min after. user_id is the hash-join
+    equi-key; the time range is a residual filter — never |V|x|C|."""
+    us = _event_us(d)
+    return f"""
+WITH ev AS (SELECT user_id, event_id, event_type, {us} AS us FROM events)
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+  CAST(c.us - v.us AS BIGINT) AS lag_us
+FROM ev v JOIN ev c
+  ON v.user_id = c.user_id
+  AND v.event_type = 'view' AND c.event_type = 'click'
+  AND c.us > v.us AND c.us <= v.us + 3600000000
+"""
+
+
+def _build_view_click_attr(spark, sf_dir: str):
+    from ..streaming import view_click_attribution
+
+    return view_click_attribution(spark.table("events"))
+
+
 @q("orders_rollup")
 def _orders_rollup(d: str) -> str:
     # ROLLUP (SURVEY §2.3 A7: absent in the reference, free in Spark).
@@ -2026,6 +2050,7 @@ SPARK_BUILDERS.update(
         "embed_ann_ivf_probed": _build_ann_ivf(n_probe=4),
         "embed_neardup_lsh": _build_embed_neardup_lsh,
         "events_sessionize_native": _build_sessionize_native,
+        "events_view_click_attribution": _build_view_click_attr,
         "remote_agg_pushdown": _build_remote_agg_pushdown,
         "dedup_components": _build_dedup_components,
     }

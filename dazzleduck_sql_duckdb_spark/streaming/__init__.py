@@ -13,11 +13,13 @@ from .pipeline import (
     read_events_stream,
     run_stream_to_memory,
     sessionize,
+    view_click_attribution,
 )
 
 __all__ = [
     "read_events_stream",
     "hourly_rollup",
     "sessionize",
+    "view_click_attribution",
     "run_stream_to_memory",
 ]

@@ -104,16 +104,62 @@ def sessionize(
     )
 
 
+def view_click_attribution(
+    events: DataFrame,
+    *,
+    within_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each view joined to the same user's
+    clicks landing in (view_ts, view_ts + within]. Attribution — the
+    canonical two-stream correlation.
+
+    Scale/state contract: BOTH sides are watermarked and the join
+    condition bounds the event-time range, so Spark's state store
+    retains at most `watermark + within` of either stream per user —
+    state is O(rate x window), independent of total stream length. The
+    same function on batch inputs is the differential oracle.
+    """
+    base = with_event_time(events)
+    views = base.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("event_ts").alias("v_ts"),
+    )
+    clicks = base.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_ts").alias("c_ts"),
+    )
+    if events.isStreaming:
+        views = views.withWatermark("v_ts", watermark)
+        clicks = clicks.withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts")
+           + F.expr(f"INTERVAL {within_minutes} MINUTES"))
+    )
+    return views.join(clicks, cond, "inner").select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.expr("unix_micros(c_ts) - unix_micros(v_ts)").alias("lag_us"),
+    )
+
+
 def run_stream_to_memory(
-    df: DataFrame, name: str, *, timeout_s: int = 120
+    df: DataFrame, name: str, *, timeout_s: int = 120,
+    output_mode: str = "complete",
 ) -> None:
     """Drain a streaming DataFrame into an in-memory table with the
     availableNow trigger (process-everything-then-stop) — the test/demo
-    harness for the operators above."""
+    harness for the operators above. Stream-stream joins require
+    ``output_mode="append"``."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -57,6 +57,23 @@ def test_sessionize_stream_equals_batch(spark, events_dir, batch_events):
     assert len(got) > 0
 
 
+def test_view_click_attribution_stream_equals_batch(
+    spark, events_dir, batch_events
+):
+    """Stream-stream watermarked join == the same join on batch input.
+    Watermarks only bound state here (availableNow processes everything
+    before the final watermark advance), so no rows may be lost."""
+    from dazzleduck_sql_duckdb_spark.streaming import view_click_attribution
+
+    stream = view_click_attribution(read_events_stream(spark, events_dir))
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "attr_mem", output_mode="append")
+    got = _rows(spark.table("attr_mem"))
+    want = _rows(view_click_attribution(batch_events))
+    assert got == want
+    assert len(got) > 0
+
+
 def test_session_window_matches_lag_formulation(spark, tables):
     """The native session_window operator must produce the same sessions
     as the catalog's lag+cumsum SQL (same 30-min gap semantics)."""
