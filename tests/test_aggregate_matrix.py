@@ -16,20 +16,27 @@ import math
 import duckdb
 import pytest
 
+D = decimal.Decimal
 ROWS = [
-    # (i8, i16, i32, i64, f32, f64, dec92, s)
-    (1, 100, 10_000, 1_000_000, 1.5, 2.5, decimal.Decimal("12.345"), "alpha"),
-    (2, -50, -20_000, -5_000_000, -0.25, 7.75, decimal.Decimal("-4.100"), "beta"),
-    (None, None, None, None, None, None, None, None),
+    # (i8, i16, i32, i64, f32, f64, dec42, dec92, dec184, dec3810, s)
+    (1, 100, 10_000, 1_000_000, 1.5, 2.5,
+     D("12.34"), D("12.345"), D("12.3456"), D("12.3456789012"), "alpha"),
+    (2, -50, -20_000, -5_000_000, -0.25, 7.75,
+     D("-4.10"), D("-4.100"), D("-4.1000"), D("-4.1000000001"), "beta"),
+    (None, None, None, None, None, None, None, None, None, None, None),
     (127, 32_000, 2_000_000_000, 4_000_000_000_000, 3.125, -1.5,
-     decimal.Decimal("999999.999"), "alpha"),
+     D("99.99"), D("999999.999"), D("99999999999999.9999"),
+     D("999999999999999999.9999999999"), "alpha"),
     (-128, -32_000, -2_000_000_000, -4_000_000_000_000, 0.5, 0.0,
-     decimal.Decimal("0.001"), "gamma"),
+     D("0.01"), D("0.001"), D("0.0001"), D("0.0000000001"), "gamma"),
 ]
 
+# the reference's four decimal widths (SURVEY.md §2.9: internal storage
+# int16/int32/int64/hugeint by width) alongside every integer/float width
 DDL_COLS = (
     "i8 TINYINT, i16 SMALLINT, i32 INT, i64 BIGINT, "
-    "f32 FLOAT, f64 DOUBLE, dec92 DECIMAL(9,3), s STRING"
+    "f32 FLOAT, f64 DOUBLE, dec42 DECIMAL(4,2), dec92 DECIMAL(9,3), "
+    "dec184 DECIMAL(18,4), dec3810 DECIMAL(38,10), s STRING"
 )
 
 # (aggregate template, result cast) — cast unifies Spark/DuckDB result
@@ -41,11 +48,12 @@ AGGS = [
     ("count(DISTINCT {c})", "BIGINT"),
     ("min({c})", None),
     ("max({c})", None),
-    ("sum({c})", "DECIMAL(38,6)"),
+    ("sum({c})", "DECIMAL(38,10)"),
     ("avg({c})", "DOUBLE"),
 ]
 
-NUMERIC_COLS = ["i8", "i16", "i32", "i64", "f32", "f64", "dec92"]
+NUMERIC_COLS = ["i8", "i16", "i32", "i64", "f32", "f64",
+                "dec42", "dec92", "dec184", "dec3810"]
 
 
 @pytest.fixture(scope="module")
@@ -56,7 +64,7 @@ def engines(spark):
     con.sql(f"CREATE TABLE all_types ({DDL_COLS.replace('STRING', 'VARCHAR')})")
     for r in ROWS:
         con.execute(
-            "INSERT INTO all_types VALUES (?,?,?,?,?,?,?,?)", list(r)
+            "INSERT INTO all_types VALUES (?,?,?,?,?,?,?,?,?,?,?)", list(r)
         )
     return spark, con
 
