@@ -1326,6 +1326,45 @@ FROM (
 """
 
 
+@q("pipeline_clean_corpus")
+def _clean_corpus(d: str) -> str:
+    """End-to-end corpus cleaning in ONE query: length gate -> quality
+    gate (alpha ratio) -> exact dedup (keep min doc_id per normalized
+    fingerprint) — the composed filter chain a real training-data run
+    executes, with survivor counts per source.
+
+    Scale: gates are scan-side filters (no shuffle); the dedup is one
+    exchange on the 60-bit fingerprint; the per-source rollup re-
+    aggregates on source. Nothing carries `text` past the scan stage —
+    the exchanges move (fp, doc_id, source) triples only."""
+    norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')" if d == SPARK \
+        else "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    alpha = (
+        "length(regexp_replace(lower(text), '[^a-z]', ''))"
+        if d == SPARK
+        else "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
+    )
+    tk = D.tokens("text", d)
+    return f"""
+WITH gated AS (
+  SELECT doc_id, source, {D.hash60(norm, d)} AS fp
+  FROM documents
+  WHERE n_chars BETWEEN 64 AND 100000
+    AND {D.lsize(tk, d)} >= 8
+    AND CAST({alpha} AS DOUBLE) / length(text) >= 0.6
+),
+kept AS (
+  SELECT fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+  FROM gated GROUP BY fp
+)
+SELECT g.source,
+  CAST(count(*) AS BIGINT) AS n_survivors,
+  CAST(sum(k.n_copies - 1) AS BIGINT) AS n_dropped_dups
+FROM kept k JOIN gated g ON g.doc_id = k.keeper_doc_id
+GROUP BY g.source
+"""
+
+
 @q("docs_shard_assignment")
 def _shard_assignment(d: str) -> str:
     """Deterministic training-shard assignment: shard = hash(doc_id) mod
