@@ -131,6 +131,63 @@ def frame_sample_plan(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),  # uint8 row-major
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    *,
+    out_hw: tuple[int, int] = (4, 4),
+    decoder: Callable[[bytes], np.ndarray] = stub_decoder,
+) -> DataFrame:
+    """Decode -> block-mean downsample -> re-emit compact pixel bytes.
+
+    The resample itself is pure numpy (no codec): the H x W plane is
+    cut into an out_h x out_w grid and each cell averaged — real math,
+    not a stub; only the decode slot is pluggable. Same narrow (no
+    shuffle) mapInPandas shape as extract_features; the output carries
+    out_h*out_w bytes per item instead of the original payload, so a
+    100 TB corpus leaves this stage orders of magnitude smaller.
+    """
+    oh, ow = out_hw
+
+    def _block_mean(img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        # cell boundaries via integer bucketing (handles non-divisible
+        # shapes; every source pixel lands in exactly one cell)
+        ri = (np.arange(h) * oh) // max(h, 1)
+        ci = (np.arange(w) * ow) // max(w, 1)
+        out = np.zeros((oh, ow), dtype=np.float64)
+        cnt = np.zeros((oh, ow), dtype=np.int64)
+        np.add.at(out, (ri[:, None], ci[None, :]), img.astype(np.float64))
+        np.add.at(cnt, (ri[:, None], ci[None, :]), 1)
+        return (out / np.maximum(cnt, 1)).round().astype(np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pix = [
+                _block_mean(decoder(bytes(p))).tobytes()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_h": np.int32(oh),
+                    "out_w": np.int32(ow),
+                    "pixels": pix,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def media_dedup_keys(media: DataFrame) -> DataFrame:
     """Exact media dedup key: sha256 of payload bytes (JVM-side, no
     Python round-trip) + size. The canonical first pass before any

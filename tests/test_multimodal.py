@@ -81,3 +81,56 @@ def test_media_dedup_keys_jvm_side(spark, media):
     # plan check: no Python UDF in the exact-dedup path (stays JVM-side)
     plan = keys._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_resize_block_mean_exact(spark, media):
+    """Resize kernel law: an 8x8 fake-decoded image block-mean'd to 4x4
+    equals the numpy reference computed locally, byte for byte."""
+    import numpy as np
+
+    from dazzleduck_sql_duckdb_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    out = {
+        r.media_id: r
+        for r in resize_images(
+            media, out_hw=(4, 4), decoder=deterministic_fake_decoder
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    payload = b"\xff\xd8fakejpegbytes"
+    img = deterministic_fake_decoder(payload).astype(np.float64)
+    want = (
+        img.reshape(4, 2, 4, 2).mean(axis=(1, 3)).round().astype(np.uint8)
+    )
+    got = np.frombuffer(out[1].pixels, dtype=np.uint8).reshape(4, 4)
+    assert (got == want).all()
+    assert out[1].out_h == 4 and out[1].out_w == 4
+    # exact duplicate payloads resize identically
+    assert out[5].pixels == out[1].pixels
+
+
+def test_resize_handles_non_divisible_shapes(spark):
+    """5x7 -> 2x3: integer bucketing puts every source pixel in exactly
+    one output cell and each cell averages only its own pixels."""
+    import numpy as np
+
+    from dazzleduck_sql_duckdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    img = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    df = spark.createDataFrame(
+        [(9, "image", "raw", 7, 5, None, b"irrelevant")], schema=MEDIA_SCHEMA
+    )
+    out = resize_images(df, out_hw=(2, 3), decoder=lambda b: img).collect()[0]
+    got = np.frombuffer(out.pixels, dtype=np.uint8).reshape(2, 3)
+    oh, ow = 2, 3
+    ri = (np.arange(5) * oh) // 5
+    ci = (np.arange(7) * ow) // 7
+    want = np.zeros((oh, ow)); cnt = np.zeros((oh, ow))
+    np.add.at(want, (ri[:, None], ci[None, :]), img.astype(float))
+    np.add.at(cnt, (ri[:, None], ci[None, :]), 1)
+    assert (got == (want / cnt).round().astype(np.uint8)).all()
