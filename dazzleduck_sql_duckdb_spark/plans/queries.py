@@ -393,6 +393,40 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+@q("events_type_pivot")
+def _type_pivot(d: str) -> str:
+    """PIVOT surface: per-user event counts spread across event-type
+    columns. Spark's PIVOT and DuckDB's differ syntactically, so both
+    emit the portable conditional-aggregation form (identical plan to a
+    native pivot: one grouped pass, map-side partials)."""
+    cols = ", ".join(
+        f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+        f" AS n_{t}"
+        for t in ["view", "click", "purchase", "signup", "error"]
+    )
+    return f"""
+SELECT user_id, {cols}
+FROM events GROUP BY user_id
+"""
+
+
+@q("orders_set_ops")
+def _set_ops(d: str) -> str:
+    """INTERSECT / EXCEPT surface: customers with both high-value and
+    recent orders (INTERSECT) and high-value-only customers (EXCEPT).
+    Both engines implement these as distinct-aggregating joins."""
+    return """
+WITH high AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+recent AS (SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+SELECT 'both' AS segment, CAST(count(*) AS BIGINT) AS n FROM
+  (SELECT o_custkey FROM high INTERSECT SELECT o_custkey FROM recent) t1
+UNION ALL
+SELECT 'high_only' AS segment, CAST(count(*) AS BIGINT) AS n FROM
+  (SELECT o_custkey FROM high EXCEPT SELECT o_custkey FROM recent) t2
+"""
+
+
 @q("events_funnel")
 def _funnel(d: str) -> str:
     """Ordered-sequence funnel: users whose first view precedes a later
