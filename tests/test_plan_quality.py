@@ -156,8 +156,12 @@ def test_shard_assignment_never_reads_text(plans):
 
 def test_new_relational_entries_stay_jvm(plans):
     for name in ["events_funnel", "orders_running_totals",
-                 "customer_orders_left_join", "nation_presence_full_join"]:
-        assert "EvalPython" not in plans(name), name
+                 "customer_orders_left_join", "nation_presence_full_join",
+                 "events_type_pivot", "orders_set_ops",
+                 "pipeline_clean_corpus", "events_view_click_attribution"]:
+        p = plans(name)
+        assert "EvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
 
 
 def test_tfidf_stays_jvm_hash_joined(plans):
