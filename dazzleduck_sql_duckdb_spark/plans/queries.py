@@ -533,6 +533,22 @@ FROM lineitem WHERE l_orderkey % 1000 = 0
 """
 
 
+@q("try_cast_matrix")
+def _try_cast_matrix(d: str) -> str:
+    """TRY_CAST surface: overflow and non-numeric strings yield NULL in
+    both engines (values kept integral — double->int truncation vs
+    rounding differs between engines on fractional inputs, an engine
+    semantic outside the operator contract)."""
+    return """
+SELECT l_orderkey,
+  TRY_CAST(l_quantity * 1000 AS TINYINT) AS overflow_i8,
+  TRY_CAST(l_returnflag AS INT) AS bad_str_int,
+  TRY_CAST(CAST(l_orderkey AS STRING) AS BIGINT) AS roundtrip_i64,
+  TRY_CAST(l_quantity AS SMALLINT) AS ok_i16
+FROM lineitem WHERE l_orderkey % 500 = 0
+"""
+
+
 @q("string_functions")
 def _string_fns(d: str) -> str:
     """String-function surface the reference tests exercise through host
