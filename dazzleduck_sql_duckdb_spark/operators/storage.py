@@ -33,13 +33,17 @@ def write_bucketed(
     n_buckets: int,
     sort_cols: list[str] | str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Save as a bucketed (+sorted) managed table."""
+    """Save as a bucketed (+sorted) table. `path` makes it external
+    (explicit location, independent of the session's warehouse dir)."""
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     w = df.write.mode(mode).bucketBy(n_buckets, cols[0], *cols[1:])
     if sort_cols:
         s = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(s[0], *s[1:])
+    if path is not None:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
 
 

@@ -1771,6 +1771,71 @@ def _build_remote_scan_filter(spark, sf_dir: str):
     return spark.sql(_REMOTE_FILTER.format(src="__remote_orders"))
 
 
+@q("bucketed_join_rollup")
+def _bucketed_join_rollup(d: str) -> str:
+    """S5 sink surface under the hash gate: orders and customer are
+    written as co-bucketed tables (8 buckets on the join key), then
+    joined WITHOUT any exchange (the builder asserts it) and rolled up.
+    The oracle runs the same join over the original parquet — storage
+    layout must not change values."""
+    return """
+SELECT c.c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_spend
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+_BUCKETED: set[tuple[int, str]] = set()
+
+
+def _build_bucketed_join_rollup(spark, sf_dir: str):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.storage import write_bucketed
+
+    key = (id(spark), sf_dir)
+    if key not in _BUCKETED:
+        base = tempfile.mkdtemp(prefix="dd_bucketed_")
+        for src, tbl, col in [
+            ("orders", "orders_bkt", "o_custkey"),
+            ("customer", "customer_bkt", "c_custkey"),
+        ]:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            write_bucketed(
+                spark.table(src), tbl, bucket_cols=col, n_buckets=8,
+                sort_cols=col, path=f"{base}/{tbl}",
+            )
+        _BUCKETED.add(key)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("orders_bkt")
+            .join(
+                spark.table("customer_bkt"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("decimal(38,4)")
+                .alias("total_spend"),
+            )
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the scale contract this entry exists to prove: bucket-aligned
+        # join reads both sides without a shuffle
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        return j
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 @q("remote_login_scan")
 def _remote_login_scan(d: str) -> str:
     """dd_login (F8, dd_login.cpp:19-218) end-to-end under the hash
@@ -2135,6 +2200,7 @@ SPARK_BUILDERS.update(
         "remote_scan_filter_pushdown": _build_remote_scan_filter,
         "remote_splits_plan": _build_remote_splits,
         "remote_login_scan": _build_remote_login_scan,
+        "bucketed_join_rollup": _build_bucketed_join_rollup,
         "embed_ann_ivf_fullprobe": _build_ann_ivf(n_probe=8),
         "embed_ann_ivf_probed": _build_ann_ivf(n_probe=4),
         "embed_neardup_lsh": _build_embed_neardup_lsh,
