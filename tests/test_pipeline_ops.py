@@ -107,6 +107,15 @@ def test_approx_percentile_tracks_exact_quantiles(spark, tables):
         assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.1 * r["exact_p50"]
 
 
+def test_funnel_stages_monotone(run):
+    """Each funnel stage requires the previous one, so user counts can
+    only shrink stage to stage."""
+    counts = {r["stage"]: r["n_users"] for r in run("events_funnel").collect()}
+    assert set(counts) == {"stage1_view", "stage2_click", "stage3_purchase"}
+    assert counts["stage1_view"] >= counts["stage2_click"] >= counts["stage3_purchase"]
+    assert counts["stage1_view"] > 0
+
+
 def test_top_terms_sorted_and_bounded(run):
     rows = run("corpus_top_terms").collect()
     assert 0 < len(rows) <= 50
