@@ -30,7 +30,7 @@ _PREPARED: set[tuple[int, str]] = set()
 
 
 def _prepare(spark: SparkSession, sf_dir: str) -> None:
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     if key in _PREPARED:
         return
     # events.parquet carries TIMESTAMP(NANOS); Spark 4 only reads it with

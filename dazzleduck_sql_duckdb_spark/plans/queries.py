@@ -1584,7 +1584,7 @@ _STAGE_CACHE: dict[tuple[int, str], object] = {}
 
 def _stage(spark, view: str, sql: str):
     """Materialize `sql` as a persisted temp view (once per session+view)."""
-    key = (id(spark), view)
+    key = (spark, view)
     df = spark.sql(sql)
     old = _STAGE_CACHE.get(key)
     if old is not None:
@@ -1650,7 +1650,7 @@ def _build_simhash_stages(spark) -> None:
         f"SELECT /*+ REPARTITION({n_parts}) */ doc_id, lang, {tk} AS tok"
         " FROM documents"
     ).select("doc_id", "lang", _simhash_np("tok").alias("simhash"))
-    key = (id(spark), "__sh_vals")
+    key = (spark, "__sh_vals")
     old = _STAGE_CACHE.get(key)
     if old is not None:
         try:
@@ -1797,7 +1797,7 @@ def _build_bucketed_join_rollup(spark, sf_dir: str):
 
     from ..operators.storage import write_bucketed
 
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     if key not in _BUCKETED:
         base = tempfile.mkdtemp(prefix="dd_bucketed_")
         for src, tbl, col in [
