@@ -33,9 +33,6 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
     key = (spark, sf_dir)
     if key in _PREPARED:
         return
-    # events.parquet carries TIMESTAMP(NANOS); Spark 4 only reads it with
-    # this flag (ts arrives as BIGINT nanoseconds — queries normalize).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # dd_read_arrow's pushFilters requires this (runtime-settable)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     # driver sessions come vanilla (200 shuffle partitions): size to cores

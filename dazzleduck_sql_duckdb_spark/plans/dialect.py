@@ -121,18 +121,39 @@ def jaccard(a: str, b: str, dialect: str) -> str:
 
 def decsum(e: str, alias: str, dialect: str, scale: int = 4, cast_scale: int = 4) -> str:
     """Order-independent SUM over a DOUBLE column: round each input to a
-    DECIMAL(18,scale), sum exactly, present as DECIMAL(38,cast_scale)."""
+    DECIMAL(18,scale), sum exactly in the decimal domain, then present as
+    DOUBLE.
+
+    The terminal DOUBLE cast is deliberate: the exact decimal sum is
+    identical in both engines — but the *repr* of a DECIMAL differs
+    across drivers (DuckDB->pandas downcasts to float64, Spark returns
+    decimal.Decimal), which defeats an order-insensitive value hash even
+    when values match exactly. Presenting as DOUBLE keeps the
+    aggregation exact and the hash stable.
+
+    cast_scale must stay small (<=4): DuckDB's DECIMAL->DOUBLE is NOT
+    correctly rounded once the unscaled integer exceeds 2^53 (measured:
+    ~26% of conversions off by 1 ulp at scale 8 with 1e17 unscaled,
+    while Spark's BigDecimal path is correctly rounded). At scale 4 the
+    unscaled value stays < 2^53 for any plausible money sum, so both
+    engines do an exact int->double followed by one correctly-rounded
+    division by 10^4 — bit-identical.
+    """
     return (
-        f"CAST(sum(CAST({e} AS DECIMAL(18,{scale}))) AS DECIMAL(38,{cast_scale}))"
-        f" AS {alias}"
+        f"CAST(CAST(sum(CAST({e} AS DECIMAL(18,{scale})))"
+        f" AS DECIMAL(38,{cast_scale})) AS DOUBLE) AS {alias}"
     )
 
 
 def decavg(e: str, alias: str, dialect: str, scale: int = 4) -> str:
     """Deterministic AVG over DOUBLE: exact decimal sum, then one double
-    division (IEEE-exact and identical given identical operands)."""
+    division (IEEE-exact and identical given identical operands). The
+    sum passes through DECIMAL(38,scale) — identity on the value — so
+    the double conversion sees a small-scale decimal (see decsum on why
+    high-scale DECIMAL->DOUBLE is engine-dependent)."""
     return (
-        f"CAST(CAST(sum(CAST({e} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f"CAST(CAST(CAST(sum(CAST({e} AS DECIMAL(18,{scale})))"
+        f" AS DECIMAL(38,{scale})) AS DOUBLE)"
         f" / count({e}) AS DOUBLE) AS {alias}"
     )
 

@@ -28,11 +28,17 @@ def dedup_stream(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Native stateful dedup; with a watermark the seen-set is evicted
-    past it (bounded state), without one it grows with distinct keys."""
+    past it (bounded state), without one it grows with distinct keys.
+
+    The watermarked path dedups on the keys ALONE
+    (``dropDuplicatesWithinWatermark``): a key reappearing at a different
+    event time within the watermark horizon is still dropped — "keep the
+    first occurrence" — while state stays bounded by the watermark.
+    """
     df = events
     if watermark_col:
         df = df.withWatermark(watermark_col, watermark)
-        return df.dropDuplicates(key_cols + [watermark_col])
+        return df.dropDuplicatesWithinWatermark(key_cols)
     return df.dropDuplicates(key_cols)
 
 

@@ -9,8 +9,8 @@ Design notes for the 100 TB/day contract:
   streaming — every function here accepts either a batch or a streaming
   DataFrame, which is how the tests prove streaming == batch on the same
   files (run with `availableNow` trigger).
-- `ts` arrives as BIGINT nanoseconds (events.parquet is TIMESTAMP(NANOS);
-  see __spark_entry__._prepare) and is normalized to a proper timestamp
+- `ts` arrives as TIMESTAMP_NTZ microseconds (events.parquet is
+  TIMESTAMP(MICROS)) and is normalized to a session-timezone timestamp
   column once, up front.
 """
 
@@ -25,7 +25,7 @@ EVENTS_SCHEMA = T.StructType(
         T.StructField("event_id", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch (nanosAsLong)
+        T.StructField("ts", T.TimestampNTZType()),  # micros, naive UTC
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
@@ -35,13 +35,12 @@ EVENTS_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over an events parquet directory (new files are
     discovered per micro-batch; schema must be explicit for streams)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    # integer DIV: ts is ~1.7e18 ns — float division would lose precision
-    return df.withColumn("event_ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # NTZ -> session-tz timestamp is identity on the instant (UTC session)
+    return df.withColumn("event_ts", F.expr("CAST(ts AS TIMESTAMP)"))
 
 
 def hourly_rollup(
@@ -93,13 +92,13 @@ def sessionize(
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.min(F.col("ts")).alias("first_ts_ns"),
-            F.max(F.col("ts")).alias("last_ts_ns"),
+            F.min(F.col("event_ts")).alias("first_event_ts"),
+            F.max(F.col("event_ts")).alias("last_event_ts"),
         )
         .select(
             "user_id", "n_events",
-            F.expr("first_ts_ns DIV 1000").alias("start_us"),
-            F.expr("last_ts_ns DIV 1000").alias("end_us"),
+            F.unix_micros("first_event_ts").alias("start_us"),
+            F.unix_micros("last_event_ts").alias("end_us"),
         )
     )
 

@@ -34,7 +34,6 @@ def tables(spark):
     from dazzleduck_sql_duckdb_spark import functions as ddfn
     from dazzleduck_sql_duckdb_spark.session import load_tables
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = load_tables(spark, SF_DIR)
     ddfn.register_all(spark)
     return out

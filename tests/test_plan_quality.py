@@ -164,6 +164,21 @@ def test_new_relational_entries_stay_jvm(plans):
         assert "CartesianProduct" not in p, name
 
 
+def test_attribution_joins_on_time_bin(plans):
+    """events_view_click_attribution routes through range_join_binned:
+    the join key must be (user_id, __bin) — the bin bounds candidate
+    pairs per key, so a hot user never produces |views|x|clicks| pairs.
+    A plain user_id-only equi-join (or any nested loop) is the
+    quadratic shape this operator exists to avoid."""
+    p = plans("events_view_click_attribution")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    join_lines = [ln for ln in p.splitlines()
+                  if "HashJoin" in ln or "SortMergeJoin" in ln]
+    assert join_lines, p
+    assert any("__bin" in ln for ln in join_lines), join_lines
+
+
 def test_tfidf_stays_jvm_hash_joined(plans):
     p = plans("text_tfidf_topk")
     assert "EvalPython" not in p

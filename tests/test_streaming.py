@@ -28,7 +28,6 @@ def events_dir(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def batch_events(spark, events_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(events_dir)
 
 

@@ -20,7 +20,6 @@ def dup_dir(spark, tmp_path_factory):
     """Two parquet files with overlapping rows -> duplicates arrive in
     different micro-batches (maxFilesPerTrigger=1)."""
     d = tmp_path_factory.mktemp("dup_stream")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
     ev.where("event_id % 2 = 0").coalesce(1).write.parquet(str(d / "a"))
     ev.where("event_id % 3 = 0").coalesce(1).write.parquet(str(d / "b"))
