@@ -8,8 +8,9 @@ Behavioral parity with the reference implementation
   116-133)
 - defaults: 10 bits/element (~1% FP), 3 hash functions (:14-15)
 - clamps: bits/element in [1, 64] (:65-66), hashes in [1, 16] (:74-75)
-- size: max(64, n * bits_per_element) bits, capped at 8,388,608 bits
-  = 1 MiB (:106-113, constants :16-17)
+- size: max(64, n * bits_per_element) bits (n = full array length incl.
+  NULLs, empty array counts as 1), capped at 8,388,608 bits = 1 MiB,
+  then rounded up to a whole byte (:106-113, constants :16-17)
 - hash schedule: ``h_i = H(s) + i * (H(s) >> 16) + i*i; bit = h_i % num_bits``
   (:31-39). The reference's ``H`` is DuckDB's internal 64-bit ``Hash``;
   ours is the low 64 bits (little-endian) of md5 — the reference's own
@@ -67,11 +68,19 @@ def bloom_create_py(
         return None
     bpe = max(1, min(64, int(bits_per_element)))
     k = max(1, min(16, int(num_hashes)))
-    non_null = [e for e in elements if e is not None]
-    num_bits = max(MIN_BITS, len(non_null) * bpe)
+    # sizing counts ALL elements incl. NULLs, empty array counts as 1
+    # (bloom_filter.cpp:106); only non-NULLs are inserted (:138-140)
+    num_elements = len(elements) if len(elements) > 0 else 1
+    num_bits = max(MIN_BITS, num_elements * bpe)
     num_bits = min(num_bits, MAX_BITS)
-    bits = bytearray((num_bits + 7) // 8)
-    for e in non_null:
+    # round up to a whole byte; header records the rounded bit count
+    # (bloom_filter.cpp:112-113) so the modulo uses every stored bit
+    num_bytes = (num_bits + 7) // 8
+    num_bits = num_bytes * 8
+    bits = bytearray(num_bytes)
+    for e in elements:
+        if e is None:
+            continue
         for pos in _bit_positions(str(e), num_bits, k):
             bits[pos >> 3] |= 1 << (pos & 7)
     return _HDR.pack(BLOOM_MAGIC, num_bits, k, 0) + bytes(bits)
@@ -105,6 +114,11 @@ def bloom_contains_py(blob: bytes | None, value: str | None) -> bool | None:
 def bloom_contains_all_py(blob: bytes | None, values: list | None) -> bool | None:
     if blob is None or values is None:
         return None
+    # empty probe list -> true BEFORE blob validation: the reference
+    # short-circuits first (bloom_filter.cpp:266-269), so contains_all
+    # of a malformed blob and an empty list is true, not NULL
+    if len(values) == 0:
+        return True
     if _parse_header(blob) is None:
         return None
     for v in values:

@@ -68,7 +68,14 @@ def cosine_topk(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qe")
     )
     e = corpus.select(F.col(id_col), F.col(vec_col))
-    joined = e.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+    # exclude_self drops id == qid pairs (queries drawn from the corpus
+    # under one id namespace); with exclude_self=False every corpus row
+    # is a candidate — ids colliding across namespaces must NOT be
+    # dropped, so the join condition is unconditionally true there
+    cond = (
+        F.col(id_col) != F.col(query_id_col) if exclude_self else F.lit(True)
+    )
+    joined = e.join(F.broadcast(q), cond)
     dot = F.aggregate(
         F.zip_with(
             "__qe", vec_col, lambda x, y: x.cast("double") * y.cast("double")
@@ -79,15 +86,12 @@ def cosine_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("sim"), F.col(id_col)
     )
-    out = (
+    return (
         joined.select(query_id_col, id_col, dot.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
     )
-    if not exclude_self:
-        out = out  # self-match already excluded by the join condition
-    return out
 
 
 # ------------------------------------------------------------------ IVF

@@ -1770,21 +1770,38 @@ _REMOTE_AGG = (
 
 @q("remote_scan_split_agg")
 def _remote_scan_split_agg(d: str) -> str:
-    # oracle: the same aggregation straight over the parquet
-    return _REMOTE_AGG.format(src="lineitem")
+    """Split==non-split differential under the hash gate (the reference's
+    core invariant, test/python/dd_read_arrow_split.test_slow:40-62): the
+    Spark side runs the SAME aggregation through a split remote scan AND
+    a non-split remote scan, labeled by path; the oracle is the direct
+    parquet answer duplicated for both labels. Either path diverging
+    from ground truth fails the hash."""
+    one = _REMOTE_AGG.format(src="lineitem")
+    return (
+        f"SELECT 'split' AS path, * FROM ({one}) AS s"
+        f" UNION ALL SELECT 'plain' AS path, * FROM ({one}) AS p"
+    )
 
 
 def _build_remote_scan_split_agg(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
     from ..sources import dd_read_arrow, register
 
     register(spark)
     srv = _server_for(sf_dir)
-    scan = dd_read_arrow(
+    split_scan = dd_read_arrow(
         spark, srv.url, source_table="lineitem", split=True,
         split_size=64 * 4000,
     )
-    scan.createOrReplaceTempView("__remote_lineitem")
-    return spark.sql(_REMOTE_AGG.format(src="__remote_lineitem"))
+    plain_scan = dd_read_arrow(spark, srv.url, source_table="lineitem")
+    split_scan.createOrReplaceTempView("__remote_lineitem_split")
+    plain_scan.createOrReplaceTempView("__remote_lineitem_plain")
+    agg_split = spark.sql(_REMOTE_AGG.format(src="__remote_lineitem_split"))
+    agg_plain = spark.sql(_REMOTE_AGG.format(src="__remote_lineitem_plain"))
+    return agg_split.select(F.lit("split").alias("path"), "*").unionByName(
+        agg_plain.select(F.lit("plain").alias("path"), "*")
+    )
 
 
 _REMOTE_FILTER = (

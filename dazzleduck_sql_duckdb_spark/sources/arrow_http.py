@@ -23,8 +23,11 @@ per-split HTTP fetch, whole     ``read()`` streams ``pyarrow.ipc``
   (http_stream_factory.cpp:20)    memory at any scale)
 query-id per query/split        random int63 ids, same role
   (:347-351, :457-466)
-cancel monitor thread firing    best-effort GET /v1/cancel when a task
-  GET /v1/cancel (:103-157)       generator is closed before exhaustion
+cancel monitor thread firing    event-driven GET /v1/cancel: generator
+  GET /v1/cancel (:103-157)       close, SIGTERM handler, and atexit all
+                                  drain an in-flight query registry (a
+                                  Python worker has no pollable interrupt
+                                  flag to poll at 50 ms like the ref)
 ==============================  =========================================
 
 Aggregation pushdown (aggregation_pushdown.cpp) is intentionally NOT
@@ -145,6 +148,80 @@ def _cancel(base: str, query_id: int, token: str | None) -> None:
         pass
 
 
+# ------------------------------------------------------ cancel lifecycle
+#
+# The reference runs a monitor thread polling the host's `interrupted`
+# flag every 50 ms and firing /v1/cancel server-side
+# (src/http/cancel_monitor.cpp:103-157). A Spark Python worker exposes no
+# pollable interruption flag, so the same guarantee — a killed task
+# cancels its server-side query within a bounded interval — is provided
+# event-driven instead:
+#
+# 1. generator close  — Spark tears down the task's read() generator
+#    (GeneratorExit) -> finally fires _cancel immediately;
+# 2. SIGTERM          — the worker process being terminated mid-read
+#    (e.g. blocked on a slow socket, so the generator cannot unwind)
+#    fires _cancel for every in-flight query from the signal handler;
+# 3. interpreter exit — atexit sweeps whatever remains.
+#
+# All three paths drain the module-level in-flight registry, so a cancel
+# is sent at most once per query id.
+
+_INFLIGHT: dict[int, tuple[str, str | None]] = {}
+_INFLIGHT_LOCK = __import__("threading").Lock()
+_SIGTERM_HOOKED = False
+
+
+def _inflight_add(query_id: int, endpoint: str, token: str | None) -> None:
+    with _INFLIGHT_LOCK:
+        _INFLIGHT[query_id] = (endpoint, token)
+
+
+def _inflight_pop(query_id: int) -> tuple[str, str | None] | None:
+    with _INFLIGHT_LOCK:
+        return _INFLIGHT.pop(query_id, None)
+
+
+def _cancel_all_inflight() -> None:
+    with _INFLIGHT_LOCK:
+        items = list(_INFLIGHT.items())
+        _INFLIGHT.clear()
+    for qid, (endpoint, token) in items:
+        _cancel(endpoint, qid, token)
+
+
+def _hook_sigterm() -> None:
+    """Chain a SIGTERM handler that cancels in-flight queries before the
+    process dies (signal handlers only install from the main thread —
+    which is where Spark Python workers run read()). Safe to call often."""
+    global _SIGTERM_HOOKED
+    if _SIGTERM_HOOKED:
+        return
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        return
+    try:
+        prev = signal.getsignal(signal.SIGTERM)
+
+        def handler(signum, frame):
+            _cancel_all_inflight()
+            if callable(prev):
+                prev(signum, frame)
+            else:
+                signal.signal(signal.SIGTERM, signal.SIG_DFL)
+                signal.raise_signal(signal.SIGTERM)
+
+        signal.signal(signal.SIGTERM, handler)
+        _SIGTERM_HOOKED = True
+    except (ValueError, OSError):
+        pass
+
+
+__import__("atexit").register(_cancel_all_inflight)
+
+
 # ------------------------------------------------------------ filter -> SQL
 
 
@@ -205,18 +282,30 @@ def filter_to_sql(f: Filter) -> str | None:
             return None
         return f"{col} IN ({', '.join(lits)})"
     if isinstance(f, StringStartsWith):
-        col = _quote_ident(f.attribute)
-        lit = _sql_literal(f.value + "%")
-        return f"{col} LIKE {lit}" if col else None
+        return _like(f.attribute, _like_escape(f.value) + "%")
     if isinstance(f, StringEndsWith):
-        col = _quote_ident(f.attribute)
-        lit = _sql_literal("%" + f.value)
-        return f"{col} LIKE {lit}" if col else None
+        return _like(f.attribute, "%" + _like_escape(f.value))
     if isinstance(f, StringContains):
-        col = _quote_ident(f.attribute)
-        lit = _sql_literal("%" + f.value + "%")
-        return f"{col} LIKE {lit}" if col else None
+        return _like(f.attribute, "%" + _like_escape(f.value) + "%")
     return None
+
+
+def _like_escape(value: str) -> str:
+    """Escape LIKE metacharacters in a literal fragment. These filters are
+    CONSUMED by pushFilters (Spark does not re-apply them), so a value
+    containing % or _ must not act as a wildcard remotely — e.g.
+    startswith('user_') must not match 'userX...'."""
+    return (
+        value.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    )
+
+
+def _like(attribute: tuple, pattern: str) -> str | None:
+    col = _quote_ident(attribute)
+    lit = _sql_literal(pattern)
+    if col is None or lit is None:
+        return None
+    return f"{col} LIKE {lit} ESCAPE '\\'"
 
 
 # ------------------------------------------------------------ the source
@@ -350,11 +439,17 @@ class ArrowHttpReader(DataSourceReader):
     def read(self, partition: ArrowSplit):
         """Stream Arrow record batches for one split. Memory stays bounded
         at one in-flight batch (the reference buffers the whole body —
-        http_stream_factory.cpp:20-25 — which we deliberately do not)."""
+        http_stream_factory.cpp:20-25 — which we deliberately do not).
+
+        Cancellation: the query id is tracked in the in-flight registry
+        for the SIGTERM/atexit sweeps (see the cancel-lifecycle block),
+        and an early generator close fires /v1/cancel directly."""
         import pyarrow as pa
 
+        _hook_sigterm()
         url = _query_url(partition.endpoint, partition.query, partition.query_id)
         resp = _open_stream(url, self.token)
+        _inflight_add(partition.query_id, partition.endpoint, self.token)
         done = False
         try:
             reader = pa.ipc.open_stream(resp)
@@ -362,8 +457,10 @@ class ArrowHttpReader(DataSourceReader):
                 yield batch
             done = True
         finally:
+            still_inflight = _inflight_pop(partition.query_id) is not None
             resp.close()
-            if not done:  # task killed/errored mid-stream -> best-effort cancel
+            if not done and still_inflight:
+                # task killed/errored mid-stream -> best-effort cancel
                 _cancel(partition.endpoint, partition.query_id, self.token)
 
 
@@ -384,10 +481,22 @@ def dd_read_arrow(
     split: bool = False,
     split_size: int | None = None,
     columns: list[str] | None = None,
+    select: list[str] | None = None,
 ):
     """DataFrame builder mirroring the table-function signature
-    (read_arrow_dd.cpp:880-891). `columns` pushes an explicit projection
-    to the server (the DS API has no automatic column-pruning hook)."""
+    (read_arrow_dd.cpp:880-891).
+
+    `select` (alias: `columns`) pushes an explicit projection to the
+    server, mirroring the reference's transparent column pruning
+    (read_arrow_dd.cpp:246-262): the remote SELECT list carries only the
+    named columns, so the wire payload shrinks with the projection. The
+    Python DataSource API (Spark 4.1) exposes no column-pruning hook, so
+    downstream ``.select(...)`` cannot derive this automatically — a
+    narrow query over a wide remote table should always pass `select`.
+    """
+    if columns and select:
+        raise ValueError("dd_read_arrow: pass `select` or `columns`, not both")
+    columns = select or columns
     r = spark.read.format("dd_read_arrow").option("url", url)
     if sql is not None:
         r = r.option("sql", sql)

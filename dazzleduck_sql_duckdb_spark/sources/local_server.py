@@ -118,8 +118,17 @@ class _Handler(BaseHTTPRequestHandler):
 
         sink = _Chunked(self.wfile)
         with pa.ipc.new_stream(sink, tbl.schema) as writer:
-            for batch in tbl.to_batches(max_chunksize=8192):
+            for batch in tbl.to_batches(
+                max_chunksize=self.server.batch_rows or 8192
+            ):
                 writer.write_batch(batch)
+                sink.flush()
+                if self.server.throttle_s:
+                    # simulate a slow producer so tests can kill a task
+                    # while its reader is blocked between batches
+                    import time
+
+                    time.sleep(self.server.throttle_s)
         self.wfile.write(b"0\r\n\r\n")
 
     def _handle_plan(self, qs) -> None:
@@ -143,13 +152,18 @@ class _Handler(BaseHTTPRequestHandler):
         base = f"http://{self.server.server_address[0]}:{self.server.server_address[1]}"
         splits = []
         for i in range(n):
-            # each split: deterministic row-slice rewrite, independently
-            # runnable (the analogue of the reference server's per-split
-            # rewritten SQL carried in statementHandle.query)
+            # each split: deterministic rewrite, independently runnable
+            # (the analogue of the reference server's per-split rewritten
+            # SQL carried in statementHandle.query). The slice predicate
+            # hashes the whole row struct (hash(_b)), NOT row_number()
+            # OVER () — each split re-executes the base query in a fresh
+            # connection, and without a total order a positional slice
+            # can overlap or drop rows when the scan order varies.
+            # Row-hash slicing is order-independent: every row lands in
+            # exactly one split regardless of execution order (identical
+            # duplicate rows land together, preserving multiplicity).
             split_sql = (
-                f"SELECT * EXCLUDE (__rn) FROM (SELECT *, row_number()"
-                f" OVER () AS __rn FROM ({sql}) AS _b) AS _r"
-                f" WHERE (__rn - 1) % {n} = {i}"
+                f"SELECT * FROM ({sql}) AS _b WHERE hash(_b) % {n} = {i}"
             )
             splits.append(
                 {
@@ -207,11 +221,15 @@ class ArrowTestServer(ThreadingHTTPServer):
         token: str | None = None,
         credentials: tuple[str, str] | None = None,
         port: int = 0,
+        throttle_s: float = 0.0,
+        batch_rows: int = 0,
     ):
         super().__init__(("127.0.0.1", port), _Handler)
         self.tables = dict(tables)
         self.token = token
         self.credentials = credentials
+        self.throttle_s = throttle_s
+        self.batch_rows = batch_rows
         self.queries: list[str] = []
         self.cancelled: list[int] = []
         self._thread: threading.Thread | None = None

@@ -180,6 +180,90 @@ def test_cancel_fired_when_stream_abandoned(server):
     assert server.cancelled == []
 
 
+def test_cancel_fired_when_job_killed_mid_stream(registered):
+    """The reference cancels server-side when its host query is
+    interrupted mid-stream (cancel_monitor.cpp:103-157). Kill a real
+    Spark job while the server is still streaming batches and assert
+    /v1/cancel arrives within a bounded interval."""
+    import time
+
+    from py4j.protocol import Py4JJavaError
+
+    with ArrowTestServer(
+        {"lineitem": LINEITEM}, throttle_s=0.2, batch_rows=64
+    ) as srv:
+        df = dd_read_arrow(registered, srv.url, source_table="lineitem")
+        sc = registered.sparkContext
+        group = "dd-cancel-test"
+
+        import threading
+
+        err: list[Exception] = []
+
+        def run():
+            try:
+                sc.setJobGroup(group, "cancel test", interruptOnCancel=True)
+                df.collect()
+            except Exception as e:  # job killed -> expected
+                err.append(e)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        # wait until the server is actually streaming a /v1/query
+        deadline = time.time() + 30
+        while not srv.queries and time.time() < deadline:
+            time.sleep(0.05)
+        assert srv.queries, "job never reached the server"
+        time.sleep(0.5)  # let the reader block between throttled batches
+        sc.cancelJobGroup(group)
+        deadline = time.time() + 30
+        while not srv.cancelled and time.time() < deadline:
+            time.sleep(0.1)
+        t.join(timeout=30)
+        assert srv.cancelled, "server never saw /v1/cancel after job kill"
+        assert err and isinstance(err[0], (Py4JJavaError, Exception))
+
+
+def test_like_pushdown_escapes_wildcards(registered):
+    """startswith/contains/endswith filters are CONSUMED by pushFilters,
+    so a value containing % or _ must be escaped in the remote LIKE or
+    extra rows come back with no local re-filter to catch them."""
+    import pandas as pd
+
+    with ArrowTestServer({"lineitem": LINEITEM}) as srv:
+        # build a tiny table where the distinction matters
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="dd_like_")
+        path = os.path.join(d, "t.parquet")
+        pd.DataFrame({"s": ["user_1", "userX1", "100%", "100x", "a_b", "axb"]}
+                     ).to_parquet(path)
+        srv.tables["t"] = path
+        df = dd_read_arrow(registered, srv.url, source_table="t")
+        got = sorted(r.s for r in df.where(df.s.startswith("user_")).collect())
+        assert got == ["user_1"], got
+        got = sorted(r.s for r in df.where(df.s.endswith("%")).collect())
+        assert got == ["100%"], got
+        got = sorted(r.s for r in df.where(df.s.contains("_")).collect())
+        assert got == ["a_b", "user_1"], got
+
+
+def test_select_sugar_prunes_remote_projection(registered, server):
+    server.queries.clear()
+    df = dd_read_arrow(
+        registered, server.url, source_table="lineitem",
+        select=["l_orderkey", "l_quantity"],
+    )
+    assert df.columns == ["l_orderkey", "l_quantity"]
+    assert df.count() == _direct(registered, LINEITEM).count()
+    assert any('"l_orderkey", "l_quantity"' in q for q in server.queries)
+    with pytest.raises(ValueError):
+        dd_read_arrow(
+            registered, server.url, source_table="lineitem",
+            select=["l_orderkey"], columns=["l_quantity"],
+        )
+
+
 def test_filter_to_sql_serialization():
     from pyspark.sql.datasource import (
         EqualTo,
@@ -194,5 +278,8 @@ def test_filter_to_sql_serialization():
     assert filter_to_sql(EqualTo(("s",), "o'brien")) == "\"s\" = 'o''brien'"
     assert filter_to_sql(IsNull(("x",))) == '"x" IS NULL'
     assert filter_to_sql(In(("k",), (1, 2, 3))) == '"k" IN (1, 2, 3)'
-    assert filter_to_sql(StringStartsWith(("s",), "ab")) == "\"s\" LIKE 'ab%'"
+    assert (filter_to_sql(StringStartsWith(("s",), "ab"))
+            == "\"s\" LIKE 'ab%' ESCAPE '\\'")
+    assert (filter_to_sql(StringStartsWith(("s",), "a_b"))
+            == "\"s\" LIKE 'a\\_b%' ESCAPE '\\'")
     assert filter_to_sql(EqualTo(("nested", "f"), 1)) is None  # not pushed

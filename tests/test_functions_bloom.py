@@ -47,6 +47,33 @@ def test_param_clamps():
     assert k == 16  # hashes clamped to [1, 16]
 
 
+def test_blob_layout_matches_reference_exactly():
+    """The three layout details of bloom_filter.cpp:106-113 the first
+    draft got wrong: byte-rounded num_bits, sizing over ALL elements
+    (NULLs included), and empty-array-counts-as-one."""
+    # 25 elements * 10 bpe = 250 bits -> rounds up to 256 (32 bytes)
+    bf = bloom_create_py([f"e{i}" for i in range(25)])
+    _, num_bits, _, _ = struct.unpack_from("<IIII", bf)
+    assert num_bits == 256
+    assert len(bf) == 16 + 32
+    # NULL elements count toward the size even though they are skipped
+    # on insert: 24 non-null + 1 null sizes identically to 25 non-null
+    bf_null = bloom_create_py([f"e{i}" for i in range(24)] + [None])
+    _, n2, _, _ = struct.unpack_from("<IIII", bf_null)
+    assert n2 == 256
+    # empty array counts as one element -> MIN_BITS floor
+    bf_empty = bloom_create_py([])
+    _, n3, _, _ = struct.unpack_from("<IIII", bf_empty)
+    assert n3 == MIN_BITS
+
+
+def test_contains_all_empty_probe_beats_blob_validation():
+    # reference order (bloom_filter.cpp:266-269): empty list -> true is
+    # decided BEFORE the blob is validated
+    assert bloom_contains_all_py(b"junk", []) is True
+    assert bloom_contains_all_py(b"", []) is True
+
+
 def test_no_false_negatives():
     elems = [f"token_{i}" for i in range(5000)]
     bf = bloom_create_py(elems)

@@ -50,6 +50,17 @@ def test_cosine_topk_matches_sql_twin(spark, emb):
     assert _topk_sets(got) == _topk_sets(want)
 
 
+def test_cosine_topk_exclude_self_flag(spark, emb):
+    """exclude_self=False must keep the self-match (sim ~= 1 for a unit
+    vector), and must not drop cross-namespace id collisions."""
+    queries = emb.where("vec_id % 100 = 0")
+    with_self = cosine_topk(emb, queries, k=1, exclude_self=False).collect()
+    # every query's top-1 is itself
+    assert all(r.qid == r.vec_id for r in with_self)
+    without = cosine_topk(emb, queries, k=1, exclude_self=True).collect()
+    assert all(r.qid != r.vec_id for r in without)
+
+
 def test_ivf_fullprobe_equals_exact(spark, emb):
     queries = emb.where("vec_id % 100 = 0")
     exact = cosine_topk(emb, queries, k=5).collect()
