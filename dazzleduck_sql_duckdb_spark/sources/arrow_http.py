@@ -513,6 +513,55 @@ def dd_read_arrow(
     return r.load()
 
 
+def dd_read_arrow_agg(
+    spark,
+    url: str,
+    *,
+    source_table: str | None = None,
+    sql: str | None = None,
+    aggs: dict[str, str],
+    group_by: list[str] | None = None,
+    where: str | None = None,
+    auth_token: str | None = None,
+):
+    """Aggregation pushdown as an explicit builder: the aggregate runs
+    ON THE SERVER and only the (tiny) aggregated result crosses the
+    wire.
+
+    The reference rewrites a host-side aggregate over a remote scan into
+    ``SELECT <aggs> FROM (<orig>) AS _subq [WHERE ..] [GROUP BY ..]``
+    transparently (src/optimizer/aggregation_pushdown.cpp:247-418); the
+    Python DataSource API has no aggregate hook, so this helper emits
+    the same rewrite explicitly. A plain ``dd_read_arrow(...).agg(...)``
+    still works but ships raw rows — at scale, always use this for
+    remote aggregation.
+
+    `aggs` maps output alias -> SQL aggregate expression (server
+    dialect), e.g. ``{"n": "count(*)", "sum_qty": "sum(l_quantity)"}``.
+    `group_by` columns are prepended to the SELECT list.
+    """
+    if bool(sql) == bool(source_table):
+        raise ValueError(
+            "dd_read_arrow_agg: exactly one of `sql` or `source_table`"
+        )
+    if not aggs:
+        raise ValueError("dd_read_arrow_agg: `aggs` must not be empty")
+    base = sql if sql else f"SELECT * FROM {source_table}"
+    keys = list(group_by or [])
+    select = ", ".join(
+        ['"' + k.replace('"', '""') + '"' for k in keys]
+        + [f"{expr} AS {alias}" for alias, expr in aggs.items()]
+    )
+    remote = f"SELECT {select} FROM ({base}) AS _subq"
+    if where:
+        remote += f" WHERE {where}"
+    if keys:
+        remote += " GROUP BY " + ", ".join(
+            '"' + k.replace('"', '""') + '"' for k in keys
+        )
+    return dd_read_arrow(spark, url, sql=remote, auth_token=auth_token)
+
+
 def dd_splits(
     spark,
     url: str,

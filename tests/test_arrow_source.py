@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from dazzleduck_sql_duckdb_spark.functions.misc import login
 from dazzleduck_sql_duckdb_spark.sources import (
@@ -262,6 +263,68 @@ def test_select_sugar_prunes_remote_projection(registered, server):
             registered, server.url, source_table="lineitem",
             select=["l_orderkey"], columns=["l_quantity"],
         )
+
+
+def test_agg_pushdown_builder_server_side(registered, server):
+    """dd_read_arrow_agg ships the aggregate to the server: the wire SQL
+    carries the GROUP BY, and only aggregated rows come back."""
+    from dazzleduck_sql_duckdb_spark.sources import dd_read_arrow_agg
+
+    server.queries.clear()
+    df = dd_read_arrow_agg(
+        registered, server.url, source_table="lineitem",
+        group_by=["l_returnflag"],
+        aggs={"n": "count(*)", "sum_qty": "CAST(sum(l_quantity) AS DOUBLE)"},
+        where='"l_quantity" < 30',
+    )
+    got = {r.l_returnflag: (r.n, r.sum_qty) for r in df.collect()}
+    want = {
+        r.l_returnflag: (r.n, r.sum_qty)
+        for r in _direct(registered, LINEITEM)
+        .where("l_quantity < 30")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+    # the aggregation text reached the server (not just SELECT *)
+    assert any("GROUP BY" in q and "sum(l_quantity)" in q
+               for q in server.queries)
+    with pytest.raises(ValueError):
+        dd_read_arrow_agg(registered, server.url, source_table="t", aggs={})
+
+
+def test_arrow_ipc_buffer_scan_roundtrip(registered):
+    """In-memory IPC buffers register as a DataFrame (the reference's
+    scan_arrow_ipc surface); multi-buffer concat + malformed error."""
+    import pyarrow as pa
+
+    from dazzleduck_sql_duckdb_spark.sources.ipc import (
+        dd_scan_arrow_ipc,
+        to_arrow_ipc,
+    )
+
+    src = registered.range(0, 100).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS dbl", "CONCAT('r', id) AS s"
+    )
+    buf = to_arrow_ipc(src)
+    back = dd_scan_arrow_ipc(registered, buf)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+    # two buffers concatenate
+    both = dd_scan_arrow_ipc(registered, [buf, buf])
+    assert both.count() == 200
+    with pytest.raises(ValueError):
+        dd_scan_arrow_ipc(registered, [])
+    with pytest.raises(pa.ArrowInvalid):
+        dd_scan_arrow_ipc(registered, b"not an arrow stream")
 
 
 def test_filter_to_sql_serialization():
