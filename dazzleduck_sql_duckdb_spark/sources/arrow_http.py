@@ -98,14 +98,42 @@ def _query_url(base: str, sql: str, query_id: int) -> str:
     return f"{base.rstrip('/')}/v1/query?q={q}&id={query_id}"
 
 
+HTTP_RETRIES = 3
+HTTP_BACKOFF_S = 0.2
+
+
 def _open_stream(url: str, token: str | None, extra: dict | None = None):
+    """Open the HTTP stream with bounded retry on transient failures.
+
+    The reference inherits httpfs's retry defaults (3 attempts with
+    backoff) for every fetch because it buffers whole bodies; we stream,
+    so only the OPEN retries here — a connection dying mid-stream
+    surfaces to Spark, whose task retry is the correct distributed
+    retry unit (the replacement task re-runs the whole split). 4xx is a
+    client error and never retried (the reference's InvalidInput vs
+    IOException distinction, arrow_http_client.cpp:82-89)."""
+    import time
+
     req = urllib.request.Request(url, headers={**_headers(token), **(extra or {})})
-    try:
-        return urllib.request.urlopen(req, timeout=HTTP_TIMEOUT_S)
-    except urllib.error.HTTPError as e:
-        raise RuntimeError(
-            f"dd_read_arrow: HTTP {e.code} from server: {e.read()[:200]!r}"
-        ) from e
+    last: Exception | None = None
+    for attempt in range(HTTP_RETRIES):
+        try:
+            return urllib.request.urlopen(req, timeout=HTTP_TIMEOUT_S)
+        except urllib.error.HTTPError as e:
+            if e.code < 500:
+                raise RuntimeError(
+                    f"dd_read_arrow: HTTP {e.code} from server:"
+                    f" {e.read()[:200]!r}"
+                ) from e
+            last = RuntimeError(
+                f"dd_read_arrow: HTTP {e.code} from server:"
+                f" {e.read()[:200]!r}"
+            )
+        except urllib.error.URLError as e:
+            last = RuntimeError(f"dd_read_arrow: connection failed: {e}")
+        if attempt < HTTP_RETRIES - 1:
+            time.sleep(HTTP_BACKOFF_S * (2**attempt))
+    raise last
 
 
 def _fetch_plan(
@@ -231,7 +259,12 @@ def _sql_literal(v) -> str | None:
 
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float, decimal.Decimal)):
+    if isinstance(v, float):
+        # inf/nan have no portable SQL literal -> keep the filter local
+        import math
+
+        return str(v) if math.isfinite(v) else None
+    if isinstance(v, (int, decimal.Decimal)):
         return str(v)
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"

@@ -265,6 +265,51 @@ def test_select_sugar_prunes_remote_projection(registered, server):
         )
 
 
+def test_open_retries_5xx_but_not_4xx(monkeypatch):
+    """Transient (5xx / connection) failures retry with backoff on
+    stream open; 4xx client errors raise immediately."""
+    import urllib.error
+
+    from dazzleduck_sql_duckdb_spark.sources import arrow_http as ah
+
+    monkeypatch.setattr(ah, "HTTP_BACKOFF_S", 0.001)
+    calls = {"n": 0}
+
+    def flaky(req, timeout):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise urllib.error.URLError("boom")
+        return "stream"
+
+    monkeypatch.setattr(ah.urllib.request, "urlopen", flaky)
+    assert ah._open_stream("http://x/v1/query?q=1", None) == "stream"
+    assert calls["n"] == 3
+
+    def always_503(req, timeout):
+        calls["n"] += 1
+        raise urllib.error.HTTPError(
+            "http://x", 503, "unavailable", {}, __import__("io").BytesIO(b"")
+        )
+
+    calls["n"] = 0
+    monkeypatch.setattr(ah.urllib.request, "urlopen", always_503)
+    with pytest.raises(RuntimeError, match="HTTP 503"):
+        ah._open_stream("http://x/v1/query?q=1", None)
+    assert calls["n"] == ah.HTTP_RETRIES
+
+    def always_400(req, timeout):
+        calls["n"] += 1
+        raise urllib.error.HTTPError(
+            "http://x", 400, "bad", {}, __import__("io").BytesIO(b"nope")
+        )
+
+    calls["n"] = 0
+    monkeypatch.setattr(ah.urllib.request, "urlopen", always_400)
+    with pytest.raises(RuntimeError, match="HTTP 400"):
+        ah._open_stream("http://x/v1/query?q=1", None)
+    assert calls["n"] == 1  # client errors never retry
+
+
 def test_agg_pushdown_builder_server_side(registered, server):
     """dd_read_arrow_agg ships the aggregate to the server: the wire SQL
     carries the GROUP BY, and only aggregated rows come back."""
@@ -346,3 +391,6 @@ def test_filter_to_sql_serialization():
     assert (filter_to_sql(StringStartsWith(("s",), "a_b"))
             == "\"s\" LIKE 'a\\_b%' ESCAPE '\\'")
     assert filter_to_sql(EqualTo(("nested", "f"), 1)) is None  # not pushed
+    # non-finite floats have no portable SQL literal -> stay local
+    assert filter_to_sql(GreaterThan(("p",), float("inf"))) is None
+    assert filter_to_sql(EqualTo(("p",), float("nan"))) is None
