@@ -23,11 +23,17 @@ per-split HTTP fetch, whole     ``read()`` streams ``pyarrow.ipc``
   (http_stream_factory.cpp:20)    memory at any scale)
 query-id per query/split        random int63 ids, same role
   (:347-351, :457-466)
-cancel monitor thread firing    event-driven GET /v1/cancel: generator
-  GET /v1/cancel (:103-157)       close, SIGTERM handler, and atexit all
-                                  drain an in-flight query registry (a
-                                  Python worker has no pollable interrupt
-                                  flag to poll at 50 ms like the ref)
+cancel monitor thread firing    two-channel: (1) event-driven GET
+  GET /v1/cancel (:103-157)       /v1/cancel — generator close, SIGTERM
+                                  handler, atexit drain an in-flight
+                                  registry (graceful teardown paths);
+                                  (2) for JVM-killed tasks the pyspark
+                                  daemon SIGKILLs the worker — no hook
+                                  can run — so the closed TCP socket is
+                                  the cancel signal, and servers must
+                                  treat the connection as the query
+                                  lease (local_server does; bounded by
+                                  the server's write cadence)
 ==============================  =========================================
 
 Aggregation pushdown (aggregation_pushdown.cpp) is intentionally NOT

@@ -13,6 +13,13 @@ src/scalar_function/dd_login.cpp), so `dd_read_arrow` / `dd_splits` /
 - ``POST /v1/login`` {username, password[, claims]} -> {"accessToken"}
 - ``GET /v1/cancel?id=<qid>`` -> records the cancellation
 
+Cancellation is recorded into ``server.cancelled`` from BOTH channels a
+real fleet needs: the explicit /v1/cancel endpoint (fired by the client
+on generator close / SIGTERM / atexit), and a mid-stream connection
+drop (the only signal a SIGKILLed Spark worker can emit — the pyspark
+daemon kills interrupted task workers with SIGKILL, so the TCP close is
+the cancellation; the connection is the query lease).
+
 Test/demo use only — the point of the engine is that Spark executors
 fetch from *real* fleets of such servers; this one simply speaks the
 same protocol from a thread on localhost.
@@ -84,6 +91,7 @@ class _Handler(BaseHTTPRequestHandler):
         sql = qs.get("q", [None])[0]
         if not sql:
             return self._deny(400, "missing q")
+        query_id = int(qs.get("id", ["0"])[0])
         self.server.queries.append(sql)
         con = self._connect()  # must outlive the lazy relation
         try:
@@ -117,19 +125,28 @@ class _Handler(BaseHTTPRequestHandler):
                 self.w.flush()
 
         sink = _Chunked(self.wfile)
-        with pa.ipc.new_stream(sink, tbl.schema) as writer:
-            for batch in tbl.to_batches(
-                max_chunksize=self.server.batch_rows or 8192
-            ):
-                writer.write_batch(batch)
-                sink.flush()
-                if self.server.throttle_s:
-                    # simulate a slow producer so tests can kill a task
-                    # while its reader is blocked between batches
-                    import time
+        try:
+            with pa.ipc.new_stream(sink, tbl.schema) as writer:
+                for batch in tbl.to_batches(
+                    max_chunksize=self.server.batch_rows or 8192
+                ):
+                    writer.write_batch(batch)
+                    sink.flush()
+                    if self.server.throttle_s:
+                        # simulate a slow producer so tests can kill a
+                        # task while its reader blocks between batches
+                        import time
 
-                    time.sleep(self.server.throttle_s)
-        self.wfile.write(b"0\r\n\r\n")
+                        time.sleep(self.server.throttle_s)
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            # Wire-level cancellation: the client connection dropped
+            # mid-stream, which is how a SIGKILLed Spark worker (pyspark
+            # daemon kills interrupted tasks with SIGKILL — no Python
+            # hook can run) signals abandonment. The connection IS the
+            # query lease; treat the drop as a cancel of this query id.
+            self.server.cancelled.append(query_id)
+            self.close_connection = True
 
     def _handle_plan(self, qs) -> None:
         if not self._authed():
