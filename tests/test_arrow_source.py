@@ -389,6 +389,37 @@ def test_arrow_ipc_buffer_scan_roundtrip(registered):
         dd_scan_arrow_ipc(registered, b"not an arrow stream")
 
 
+def test_ipc_scan_differential_vs_parquet(registered, tables):
+    """The reference's core IPC differential (arrow_test.js:499-554):
+    the same queries over an IPC-scanned table and the parquet-direct
+    table must agree value-for-value. Round-trips lineitem through
+    to_arrow_ipc -> dd_scan_arrow_ipc and runs the reference's
+    lineitem-suite shapes against both."""
+    from dazzleduck_sql_duckdb_spark.sources.ipc import (
+        dd_scan_arrow_ipc,
+        to_arrow_ipc,
+    )
+
+    direct = _direct(registered, LINEITEM)
+    ipc = dd_scan_arrow_ipc(registered, to_arrow_ipc(direct))
+    ipc.createOrReplaceTempView("lineitem_ipc")
+    direct.createOrReplaceTempView("lineitem_pq")
+    suite = [
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM {t}",
+        "SELECT CAST(sum(l_orderkey) AS BIGINT) AS s FROM {t}",
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM {t}"
+        " GROUP BY l_returnflag",
+        "SELECT l_orderkey, l_quantity FROM {t} WHERE l_quantity < 5",
+        "SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi"
+        " FROM {t}",
+        "SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n FROM {t}",
+    ]
+    for q in suite:
+        a = sorted(map(tuple, registered.sql(q.format(t="lineitem_ipc")).collect()))
+        b = sorted(map(tuple, registered.sql(q.format(t="lineitem_pq")).collect()))
+        assert a == b, q
+
+
 def test_filter_to_sql_serialization():
     from pyspark.sql.datasource import (
         EqualTo,
