@@ -840,25 +840,30 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
 
 @q("q18_large_volume")
 def _q18(d: str) -> str:
-    """TPC-H Q18: large-volume orders, HAVING subquery as an inner join.
+    """TPC-H Q18: large-volume orders — ONE lineitem aggregation total.
 
     The textbook IN-subquery form makes Spark infer the semi-join filter
-    onto BOTH orders and lineitem — the heavy per-orderkey aggregation
-    runs twice. GROUP BY emits distinct keys, so joining the aggregated
-    subquery inner is semantically identical and computes it once (the
-    dominant cost at scale: one full lineitem agg, not two)."""
+    onto BOTH orders and lineitem, running the heavy per-orderkey
+    aggregation twice; even the aggregated-inner-join form re-aggregates
+    the joined lineitem rows. But the HAVING predicate and the output
+    column are the SAME per-orderkey sum, so one grouped pass produces
+    both: aggregate lineitem by orderkey once, filter > 220, then join
+    the (small) surviving keys to orders and customer. At scale this is
+    one full lineitem shuffle instead of two, and the post-filter join
+    input shrinks from |lineitem| to |big orders|."""
     od = D.epoch_us("CAST(o_orderdate AS TIMESTAMP)", d)
     return f"""
+WITH okq AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 220
+)
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
   CAST({od} AS BIGINT) AS order_us,
-  CAST(CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,4))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS total_qty
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-JOIN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 220) big
-  ON o.o_orderkey = big.l_orderkey
-GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+  CAST(CAST(round(okq.qty, 4) AS DECIMAL(38,4)) AS DOUBLE) AS total_qty
+FROM okq
+JOIN orders o ON o.o_orderkey = okq.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
 

@@ -109,12 +109,13 @@ def test_tpch_exists_decorrelated_to_semi_join(plans):
 def test_q18_subquery_aggregated_once(plans):
     """The IN-subquery form makes Spark infer the semi join onto both
     orders AND lineitem — the heavy per-orderkey aggregation runs twice.
-    The catalog uses the inner-join form: exactly 2 lineitem scans
-    (main + subquery), not 3."""
+    The catalog computes the per-orderkey sum ONCE (the HAVING predicate
+    and the output column are the same aggregate): exactly 1 lineitem
+    scan."""
     p = plans("q18_large_volume")
     scans = [ln for ln in p.splitlines()
              if "FileScan parquet" in ln and "l_quantity" in ln]
-    assert len(scans) == 2, p
+    assert len(scans) == 1, p
 
 
 def test_top_terms_heap_topk_with_partial_counts(plans):
