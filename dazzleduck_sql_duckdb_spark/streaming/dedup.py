@@ -37,6 +37,13 @@ def dedup_stream(
     """
     df = events
     if watermark_col:
+        from pyspark.sql import functions as F
+
+        # watermarks require TIMESTAMP; parquet micros arrive as
+        # TIMESTAMP_NTZ and the cast is identity under the UTC session
+        df = df.withColumn(
+            watermark_col, F.col(watermark_col).cast("timestamp")
+        )
         df = df.withWatermark(watermark_col, watermark)
         return df.dropDuplicatesWithinWatermark(key_cols)
     return df.dropDuplicates(key_cols)

@@ -60,6 +60,29 @@ def test_native_dedup_stream(spark, dup_dir):
     assert got.select("event_id").distinct().count() == n_distinct
 
 
+def test_native_dedup_stream_watermarked_keys_only(spark, dup_dir):
+    """The watermarked path dedups on the keys ALONE
+    (dropDuplicatesWithinWatermark): a key reappearing at a different
+    event time within the horizon is still dropped, with state bounded
+    by the watermark — NOT keyed on (key, event_time), which would
+    re-emit every distinct timestamp."""
+    out = dedup_stream(
+        _stream(spark, dup_dir), ["event_id"],
+        watermark_col="ts", watermark="24 hours",
+    )
+    assert out.isStreaming
+    _drain(out, "dedup_native_wm")
+    got = spark.table("dedup_native_wm")
+    n_distinct = (
+        spark.read.parquet(dup_dir).select("event_id").distinct().count()
+    )
+    # every key exactly once, even though the same event_id arrives in
+    # two files (micro-batches) with identical timestamps and would
+    # also arrive at different ts in a (key, ts)-keyed dedup
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
 def test_first_seen_custom_stateful(spark, dup_dir):
     out = first_seen_dedup(_stream(spark, dup_dir), "event_id")
     assert out.isStreaming
