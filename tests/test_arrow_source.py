@@ -100,6 +100,30 @@ def test_filter_pushdown_reaches_server(registered, server):
     assert pushed, f"filter not pushed; server saw: {server.queries}"
 
 
+def test_pushdown_vs_local_execution_equality(registered, server):
+    """The reference's pushdown differential
+    (dd_read_arrow_aggregation_pushdown_split.test_slow:49-141 spirit):
+    a scan whose filter pushes to the server must return exactly the
+    rows a local-execution plan (direct parquet + local filter)
+    produces — pushdown is an optimization, never a semantic change.
+    (Spark refuses to run a pushFilters-implementing source with the
+    pushdown conf off, so local execution is modeled by the direct
+    scan; mixed pushable/unpushable predicates exercise the partial-
+    pushdown contract where Spark re-applies the residual.)"""
+    pred = (
+        "o_totalprice > 150000 AND o_orderstatus = 'O'"
+        " AND pmod(o_orderkey, 3) = 0"  # not serializable -> stays local
+    )
+    server.queries.clear()
+    df = dd_read_arrow(registered, server.url, source_table="orders")
+    pushed = sorted(map(tuple, df.where(pred).collect()))
+    wire = [s for s in server.queries if "WHERE" in s]
+    assert wire, "no filter reached the server"
+    assert all("pmod" not in s for s in wire)  # residual stayed local
+    local = sorted(map(tuple, _direct(registered, ORDERS).where(pred).collect()))
+    assert pushed == local and pushed
+
+
 def test_exactly_one_of_sql_and_table(registered, server):
     with pytest.raises(Exception):
         dd_read_arrow(registered, server.url).count()
