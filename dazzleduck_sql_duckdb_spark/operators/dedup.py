@@ -63,7 +63,13 @@ def _np_shingle_set(text: str, n: int) -> np.ndarray:
     t = text.strip(" ").lower()
     codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
     if len(codes) < n:
-        codes = np.pad(codes, (0, n - len(codes)))  # substr pads short text
+        # SQL substr returns the SHORT string as the single shingle; pad
+        # to the window width with a sentinel ABOVE the Unicode range
+        # (0x10FFFF) so 'a' and 'a\x00' stay distinct and no padded
+        # window can collide with a real n-codepoint window
+        codes = np.pad(
+            codes, (0, n - len(codes)), constant_values=0x110000
+        )
         w = codes.reshape(1, n).astype(np.int64)
     else:
         w = np.lib.stride_tricks.sliding_window_view(codes, n).astype(np.int64)
