@@ -33,6 +33,11 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
     key = (spark, sf_dir)
     if key in _PREPARED:
         return
+    # every NTZ->TIMESTAMP cast (events.ts, o_orderdate epoch exprs)
+    # interprets the naive value in the session timezone; the DuckDB
+    # oracle's epoch_us() is UTC-naive, so a non-UTC driver JVM would
+    # shift every event/date epoch. Pin it (runtime-settable).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # dd_read_arrow's pushFilters requires this (runtime-settable)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     # driver sessions come vanilla (200 shuffle partitions): size to cores

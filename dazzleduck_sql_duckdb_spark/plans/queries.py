@@ -487,7 +487,7 @@ def _build_view_click_attr(spark, sf_dir: str):
 
     ev = spark.table("events").select(
         "user_id", "event_id", "event_type",
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.expr(_event_us(SPARK)).alias("us"),
     )
     views = ev.where(F.col("event_type") == "view").select(
         "user_id",
@@ -1686,7 +1686,13 @@ _STAGE_CACHE: dict[tuple[int, str], object] = {}
 
 
 def _stage(spark, view: str, sql: str):
-    """Materialize `sql` as a persisted temp view (once per session+view)."""
+    """Materialize `sql` as a persisted temp view.
+
+    Deliberately re-executed on every call: the SQL reads session temp
+    views (documents etc.) that load_tables re-points at a different
+    sf_dir between gate runs, so a (spark, view) cache hit could serve
+    stale data. The cache exists only to unpersist the previous
+    incarnation."""
     key = (spark, view)
     df = spark.sql(sql)
     old = _STAGE_CACHE.get(key)
@@ -2159,7 +2165,7 @@ def _build_asof_join(spark, sf_dir: str):
     from ..operators.joins import asof_join
 
     ev = spark.table("events").select(
-        "event_id", "user_id", F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us")
+        "event_id", "user_id", F.expr(_event_us(SPARK)).alias("ts_us")
     )
     ord_ = (
         spark.table("orders")
@@ -2195,7 +2201,7 @@ def _build_activity_range(spark, sf_dir: str):
     from ..operators.joins import range_join_binned
 
     ev = spark.table("events").select(
-        "event_id", "user_id", F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us")
+        "event_id", "user_id", F.expr(_event_us(SPARK)).alias("ts_us")
     )
     prior = ev.select(
         "user_id",

@@ -57,8 +57,10 @@ Usage::
 
 from __future__ import annotations
 
+import atexit
 import json
 import random
+import threading
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -108,7 +110,16 @@ HTTP_RETRIES = 3
 HTTP_BACKOFF_S = 0.2
 
 
-def _open_stream(url: str, token: str | None, extra: dict | None = None):
+class TransientHTTPError(RuntimeError):
+    """5xx / connection failure — safe to retry the open."""
+
+
+def _open_stream(
+    url: str,
+    token: str | None,
+    extra: dict | None = None,
+    retries: int = HTTP_RETRIES,
+):
     """Open the HTTP stream with bounded retry on transient failures.
 
     The reference inherits httpfs's retry defaults (3 attempts with
@@ -117,12 +128,16 @@ def _open_stream(url: str, token: str | None, extra: dict | None = None):
     surfaces to Spark, whose task retry is the correct distributed
     retry unit (the replacement task re-runs the whole split). 4xx is a
     client error and never retried (the reference's InvalidInput vs
-    IOException distinction, arrow_http_client.cpp:82-89)."""
+    IOException distinction, arrow_http_client.cpp:82-89). /v1/query
+    opens pass retries=1 and retry in read() with a FRESH query id per
+    attempt (re-issuing one id could double-execute server-side with no
+    way to cancel the orphan); /v1/plan and schema probes are idempotent
+    and retry the same URL here."""
     import time
 
     req = urllib.request.Request(url, headers={**_headers(token), **(extra or {})})
     last: Exception | None = None
-    for attempt in range(HTTP_RETRIES):
+    for attempt in range(retries):
         try:
             return urllib.request.urlopen(req, timeout=HTTP_TIMEOUT_S)
         except urllib.error.HTTPError as e:
@@ -131,13 +146,13 @@ def _open_stream(url: str, token: str | None, extra: dict | None = None):
                     f"dd_read_arrow: HTTP {e.code} from server:"
                     f" {e.read()[:200]!r}"
                 ) from e
-            last = RuntimeError(
+            last = TransientHTTPError(
                 f"dd_read_arrow: HTTP {e.code} from server:"
                 f" {e.read()[:200]!r}"
             )
         except urllib.error.URLError as e:
-            last = RuntimeError(f"dd_read_arrow: connection failed: {e}")
-        if attempt < HTTP_RETRIES - 1:
+            last = TransientHTTPError(f"dd_read_arrow: connection failed: {e}")
+        if attempt < retries - 1:
             time.sleep(HTTP_BACKOFF_S * (2**attempt))
     raise last
 
@@ -202,7 +217,10 @@ def _cancel(base: str, query_id: int, token: str | None) -> None:
 # is sent at most once per query id.
 
 _INFLIGHT: dict[int, tuple[str, str | None]] = {}
-_INFLIGHT_LOCK = __import__("threading").Lock()
+# RLock: the SIGTERM handler runs on the main thread between bytecodes
+# and may interrupt _inflight_add/_inflight_pop while the lock is held
+# BY THE SAME THREAD — a plain Lock would deadlock the dying worker
+_INFLIGHT_LOCK = threading.RLock()
 _SIGTERM_HOOKED = False
 
 
@@ -232,7 +250,6 @@ def _hook_sigterm() -> None:
     if _SIGTERM_HOOKED:
         return
     import signal
-    import threading
 
     if threading.current_thread() is not threading.main_thread():
         return
@@ -243,6 +260,8 @@ def _hook_sigterm() -> None:
             _cancel_all_inflight()
             if callable(prev):
                 prev(signum, frame)
+            elif prev is signal.SIG_IGN:
+                return  # the host opted to ignore SIGTERM — respect it
             else:
                 signal.signal(signal.SIGTERM, signal.SIG_DFL)
                 signal.raise_signal(signal.SIGTERM)
@@ -253,7 +272,7 @@ def _hook_sigterm() -> None:
         pass
 
 
-__import__("atexit").register(_cancel_all_inflight)
+atexit.register(_cancel_all_inflight)
 
 
 # ------------------------------------------------------------ filter -> SQL
@@ -483,12 +502,32 @@ class ArrowHttpReader(DataSourceReader):
         Cancellation: the query id is tracked in the in-flight registry
         for the SIGTERM/atexit sweeps (see the cancel-lifecycle block),
         and an early generator close fires /v1/cancel directly."""
+        import time
+
         import pyarrow as pa
 
         _hook_sigterm()
-        url = _query_url(partition.endpoint, partition.query, partition.query_id)
-        resp = _open_stream(url, self.token)
-        _inflight_add(partition.query_id, partition.endpoint, self.token)
+        # retry the OPEN here rather than in _open_stream: each attempt
+        # gets a FRESH query id (re-issuing one id could double-execute
+        # server-side) and the failed attempt's id is cancelled
+        # best-effort in case the server started executing it
+        query_id = partition.query_id
+        resp = None
+        last: Exception | None = None
+        for attempt in range(HTTP_RETRIES):
+            url = _query_url(partition.endpoint, partition.query, query_id)
+            try:
+                resp = _open_stream(url, self.token, retries=1)
+                break
+            except TransientHTTPError as e:
+                last = e
+                _cancel(partition.endpoint, query_id, self.token)
+                query_id = _new_query_id()
+                if attempt < HTTP_RETRIES - 1:
+                    time.sleep(HTTP_BACKOFF_S * (2**attempt))
+        if resp is None:
+            raise last
+        _inflight_add(query_id, partition.endpoint, self.token)
         done = False
         try:
             reader = pa.ipc.open_stream(resp)
@@ -496,11 +535,11 @@ class ArrowHttpReader(DataSourceReader):
                 yield batch
             done = True
         finally:
-            still_inflight = _inflight_pop(partition.query_id) is not None
+            still_inflight = _inflight_pop(query_id) is not None
             resp.close()
             if not done and still_inflight:
                 # task killed/errored mid-stream -> best-effort cancel
-                _cancel(partition.endpoint, partition.query_id, self.token)
+                _cancel(partition.endpoint, query_id, self.token)
 
 
 # ------------------------------------------------------------ helpers

@@ -139,7 +139,7 @@ class _Handler(BaseHTTPRequestHandler):
 
                         time.sleep(self.server.throttle_s)
             self.wfile.write(b"0\r\n\r\n")
-        except (BrokenPipeError, ConnectionResetError, OSError):
+        except (BrokenPipeError, ConnectionResetError):
             # Wire-level cancellation: the client connection dropped
             # mid-stream, which is how a SIGKILLed Spark worker (pyspark
             # daemon kills interrupted tasks with SIGKILL — no Python
