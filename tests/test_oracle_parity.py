@@ -39,6 +39,16 @@ def test_entry_smoke(spark):
     assert df.columns
 
 
+def test_prepare_pins_utc_session_timezone(spark):
+    """The driver's session is vanilla and every NTZ->TIMESTAMP cast is
+    session-timezone-dependent; _prepare must pin UTC or a non-UTC
+    driver JVM shifts every event/date epoch vs the DuckDB oracle."""
+    import __spark_entry__ as E
+
+    E.queries()["lineitem_count"](spark, SF_DIR)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
 def test_gate_window_covers_every_family():
     """The driver gates the FIRST 50 catalog entries. Pin that the window
     is exactly 50, leads the catalog, and contains at least one entry
