@@ -1075,6 +1075,66 @@ def _build_dedup_components(spark, sf_dir: str):
     return connected_components(pairs, "doc_a", "doc_b")
 
 
+# shared tail: given a (doc_id, component) relation `{comp}` covering the
+# clustered docs, label every document (unclustered docs are their own
+# component) and keep ONE representative per component — longest text,
+# doc_id tie-break. Identical SQL in both dialects.
+_CANON_TAIL = """
+WITH lab AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN {comp} c ON c.doc_id = d.doc_id),
+ranked AS (
+  SELECT lab.*,
+    row_number() OVER (PARTITION BY component
+                       ORDER BY n_chars DESC, doc_id) AS rk,
+    count(*) OVER (PARTITION BY component) AS n_docs
+  FROM lab)
+SELECT CAST(component AS BIGINT) AS component,
+  CAST(doc_id AS BIGINT) AS kept_doc,
+  CAST(n_chars AS BIGINT) AS kept_chars,
+  CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked WHERE rk = 1
+"""
+
+
+@q("dedup_canonical_corpus")
+def _dedup_canonical(d: str) -> str:
+    """The dedup pipeline's end product: the deduplicated corpus. Every
+    near-dup cluster (connected components over the MinHash pair graph)
+    keeps one canonical representative — longest text, lowest doc_id on
+    ties — and unclustered documents keep themselves.
+
+    Scale: components via iterative min-label propagation (bounded
+    rounds, no driver graph state); the labeling join is |docs| x
+    |clustered docs| hash join; representative selection is one window
+    over component. The oracle walks the same graph with a recursive
+    CTE over the brute-force pairs and applies the identical selection
+    SQL."""
+    pairs = _minhash_lsh(DUCK)
+    comp = f"""(
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM pairs),
+reach(node, r) AS (
+  SELECT s AS node, s AS r FROM edges
+  UNION
+  SELECT e.t AS node, reach.r FROM reach JOIN edges e ON e.s = reach.node)
+SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+)"""
+    return _CANON_TAIL.format(comp=comp)
+
+
+def _build_dedup_canonical(spark, sf_dir: str):
+    from ..operators.components import connected_components
+
+    pairs = _build_minhash_df(spark)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    comps.createOrReplaceTempView("__canon_comp")
+    return spark.sql(_CANON_TAIL.format(comp="__canon_comp"))
+
+
 def _simhash_from_hashes(hs_col: str, d: str) -> str:
     """60-bit SimHash from a column holding the per-token hash array."""
     hs = hs_col
@@ -2343,6 +2403,7 @@ SPARK_BUILDERS.update(
         "events_view_click_attribution": _build_view_click_attr,
         "remote_agg_pushdown": _build_remote_agg_pushdown,
         "dedup_components": _build_dedup_components,
+        "dedup_canonical_corpus": _build_dedup_canonical,
     }
 )
 
