@@ -1127,12 +1127,45 @@ SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
 
 
 def _build_dedup_canonical(spark, sf_dir: str):
+    """Spark path: aggregation-based representative selection instead of
+    the oracle's window. row_number() OVER (PARTITION BY component ...)
+    sorts each component inside ONE partition — a pathological
+    mega-cluster (template spam) becomes a single hot sort at 100 TB.
+    max(n_chars) + min(doc_id among maxima) are partial-aggregatable
+    (map-side combine, skew-immune) and select the identical row; `lab`
+    is persisted because both aggregation passes read it."""
+    from pyspark.sql import functions as F
+
     from ..operators.components import connected_components
 
     pairs = _build_minhash_df(spark)
     comps = connected_components(pairs, "doc_a", "doc_b")
-    comps.createOrReplaceTempView("__canon_comp")
-    return spark.sql(_CANON_TAIL.format(comp="__canon_comp"))
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    lab = (
+        docs.join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            "n_chars",
+        )
+        .persist()
+    )
+    mx = lab.groupBy("component").agg(
+        F.max("n_chars").alias("kept_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return (
+        lab.join(mx, "component")
+        .where(F.col("n_chars") == F.col("kept_chars"))
+        .groupBy("component", "kept_chars", "n_docs")
+        .agg(F.min("doc_id").alias("kept_doc"))
+        .select(
+            F.col("component").cast("long"),
+            F.col("kept_doc").cast("long"),
+            F.col("kept_chars").cast("long"),
+            F.col("n_docs").cast("long"),
+        )
+    )
 
 
 def _simhash_from_hashes(hs_col: str, d: str) -> str:
