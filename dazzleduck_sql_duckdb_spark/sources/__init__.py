@@ -7,6 +7,7 @@ from .arrow_http import (
     ArrowHttpDataSource,
     dd_read_arrow,
     dd_read_arrow_agg,
+    dd_read_arrow_narrow,
     dd_splits,
     register,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "ArrowHttpDataSource",
     "dd_read_arrow",
     "dd_read_arrow_agg",
+    "dd_read_arrow_narrow",
     "dd_scan_arrow_ipc",
     "dd_splits",
     "register",

@@ -61,6 +61,7 @@ import atexit
 import json
 import random
 import threading
+import time
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -186,13 +187,15 @@ def _fetch_plan(
     return splits
 
 
-def _cancel(base: str, query_id: int, token: str | None) -> None:
+def _cancel(
+    base: str, query_id: int, token: str | None, timeout: float = 5.0
+) -> None:
     """Best-effort GET /v1/cancel (cancel_monitor.cpp semantics: failures
     are swallowed, arrow_http_client.cpp:194-199)."""
     try:
         url = f"{base.rstrip('/')}/v1/cancel?id={query_id}"
         req = urllib.request.Request(url, headers=_headers(token))
-        urllib.request.urlopen(req, timeout=5).close()
+        urllib.request.urlopen(req, timeout=timeout).close()
     except Exception:
         pass
 
@@ -234,12 +237,23 @@ def _inflight_pop(query_id: int) -> tuple[str, str | None] | None:
         return _INFLIGHT.pop(query_id, None)
 
 
+# A dying worker must not stall on an unresponsive server: the whole
+# teardown sweep (SIGTERM handler / atexit) gets one shared deadline,
+# not 5s per query.
+_SWEEP_DEADLINE_S = 5.0
+
+
 def _cancel_all_inflight() -> None:
     with _INFLIGHT_LOCK:
         items = list(_INFLIGHT.items())
         _INFLIGHT.clear()
+    deadline = time.monotonic() + _SWEEP_DEADLINE_S
     for qid, (endpoint, token) in items:
-        _cancel(endpoint, qid, token)
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break  # out of budget — the server's connection-drop-as-
+            # cancel lease covers whatever we could not reach
+        _cancel(endpoint, qid, token, timeout=min(2.0, remaining))
 
 
 def _hook_sigterm() -> None:
@@ -378,6 +392,10 @@ class ArrowSplit(InputPartition):
     split_size: int = 0
     query_checksum: str = ""
     value: int = field(default=0)
+    # all replicas that can serve this split (split_info.hpp:20-37 —
+    # a reference split carries endpoints[], not a single address);
+    # read() fails over across them. Empty -> (endpoint,).
+    endpoints: tuple = ()
 
 
 class ArrowHttpDataSource(DataSource):
@@ -489,6 +507,7 @@ class ArrowHttpReader(DataSourceReader):
                 split_size=s["split_size"],
                 query_checksum=s["query_checksum"],
                 value=i,
+                endpoints=tuple(s["endpoints"]) or (self.url,),
             )
             for i, s in enumerate(plan)
         ]
@@ -501,33 +520,47 @@ class ArrowHttpReader(DataSourceReader):
 
         Cancellation: the query id is tracked in the in-flight registry
         for the SIGTERM/atexit sweeps (see the cancel-lifecycle block),
-        and an early generator close fires /v1/cancel directly."""
+        and an early generator close fires /v1/cancel directly.
+
+        Endpoint failover: a split planned by the server may carry
+        several replica endpoints (split_info.hpp:20-37). Attempts
+        rotate through them — a dead or 5xx replica costs one attempt
+        and the next replica is tried immediately (no backoff while
+        untried replicas remain); each attempt uses a FRESH query id
+        and best-effort-cancels the abandoned one on the endpoint that
+        saw it."""
         import time
 
         import pyarrow as pa
 
         _hook_sigterm()
+        eps = [e for e in partition.endpoints if e] or [partition.endpoint]
+        attempts = max(HTTP_RETRIES, len(eps))
         # retry the OPEN here rather than in _open_stream: each attempt
         # gets a FRESH query id (re-issuing one id could double-execute
         # server-side) and the failed attempt's id is cancelled
         # best-effort in case the server started executing it
         query_id = partition.query_id
+        endpoint = eps[0]
         resp = None
         last: Exception | None = None
-        for attempt in range(HTTP_RETRIES):
-            url = _query_url(partition.endpoint, partition.query, query_id)
+        for attempt in range(attempts):
+            endpoint = eps[attempt % len(eps)]
+            url = _query_url(endpoint, partition.query, query_id)
             try:
                 resp = _open_stream(url, self.token, retries=1)
                 break
             except TransientHTTPError as e:
                 last = e
-                _cancel(partition.endpoint, query_id, self.token)
+                _cancel(endpoint, query_id, self.token, timeout=2.0)
                 query_id = _new_query_id()
-                if attempt < HTTP_RETRIES - 1:
-                    time.sleep(HTTP_BACKOFF_S * (2**attempt))
+                if attempt + 1 < len(eps):
+                    continue  # untried replica next — fail over now
+                if attempt < attempts - 1:
+                    time.sleep(HTTP_BACKOFF_S * (2 ** (attempt // len(eps))))
         if resp is None:
             raise last
-        _inflight_add(query_id, partition.endpoint, self.token)
+        _inflight_add(query_id, endpoint, self.token)
         done = False
         try:
             reader = pa.ipc.open_stream(resp)
@@ -539,7 +572,7 @@ class ArrowHttpReader(DataSourceReader):
             resp.close()
             if not done and still_inflight:
                 # task killed/errored mid-stream -> best-effort cancel
-                _cancel(partition.endpoint, query_id, self.token)
+                _cancel(endpoint, query_id, self.token)
 
 
 # ------------------------------------------------------------ helpers
@@ -589,6 +622,63 @@ def dd_read_arrow(
     if columns:
         r = r.option("columns", ",".join(columns))
     return r.load()
+
+
+def dd_read_arrow_narrow(
+    spark,
+    url: str,
+    plan_fn,
+    **options,
+):
+    """Automatic projection pruning for the remote source: the caller
+    writes a plain downstream query and the helper derives the pruned
+    server-side SELECT — no hand-maintained `columns=` list.
+
+    The reference prunes transparently inside DuckDB's optimizer
+    (read_arrow_dd.cpp:246-262,296); Spark 4.1's Python DataSource API
+    exposes no column-pruning hook (DataSourceReader has only
+    partitions/pushFilters/read, and the physical BatchScan over a
+    Python source keeps the full ReadSchema — verified empirically), so
+    this helper recovers the same wire saving one level up:
+
+    1. build the wide remote DataFrame and apply ``plan_fn`` to it;
+    2. collect, from Catalyst's *optimized* logical plan, every scan
+       column any downstream operator references (optimized, so columns
+       a later select/drop discards are already gone);
+    3. rebuild the source with ``select=<referenced columns>`` — the
+       remote SELECT list shrinks, so the wire payload does — and
+       re-apply ``plan_fn``.
+
+    ``plan_fn`` must be a pure DataFrame -> DataFrame function (it runs
+    twice). Costs one extra LIMIT-0 schema probe for the rebuilt
+    source; nothing is executed. Falls back to the unpruned plan when
+    every column is referenced or the JVM plan is unreachable (e.g.
+    Spark Connect)."""
+    if options.get("select") or options.get("columns"):
+        # caller already prunes by hand — nothing to derive
+        return plan_fn(dd_read_arrow(spark, url, **options))
+    wide = dd_read_arrow(spark, url, **options)
+    downstream = plan_fn(wide)
+    try:
+        plan = downstream._jdf.queryExecution().optimizedPlan()
+        needed: set[str] = set()
+
+        def walk(node) -> None:
+            if "DataSourceV2ScanRelation" not in node.nodeName():
+                refs = node.references().toSeq()
+                for i in range(refs.size()):
+                    needed.add(refs.apply(i).name())
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(plan)
+    except Exception:
+        return downstream  # no py4j plan access — serve unpruned
+    pruned = [c for c in wide.columns if c in needed]
+    if not pruned or len(pruned) == len(wide.columns):
+        return downstream
+    return plan_fn(dd_read_arrow(spark, url, select=pruned, **options))
 
 
 def dd_read_arrow_agg(

@@ -125,8 +125,16 @@ class _Handler(BaseHTTPRequestHandler):
                 self.w.flush()
 
         sink = _Chunked(self.wfile)
+        opts = None
+        if self.server.compression:
+            # compressed IPC body buffers (base_stream_reader.cpp:11-50
+            # decompresses these server-side frames; pyarrow's reader
+            # handles them transparently on our side)
+            opts = pa.ipc.IpcWriteOptions(
+                compression=self.server.compression
+            )
         try:
-            with pa.ipc.new_stream(sink, tbl.schema) as writer:
+            with pa.ipc.new_stream(sink, tbl.schema, options=opts) as writer:
                 for batch in tbl.to_batches(
                     max_chunksize=self.server.batch_rows or 8192
                 ):
@@ -167,6 +175,7 @@ class _Handler(BaseHTTPRequestHandler):
         n = max(1, min(MAX_SPLITS, (est_bytes + split_size - 1) // split_size))
         checksum = hashlib.sha256(sql.encode()).hexdigest()[:16]
         base = f"http://{self.server.server_address[0]}:{self.server.server_address[1]}"
+        endpoints = [*self.server.extra_endpoints, base]
         splits = []
         for i in range(n):
             # each split: deterministic rewrite, independently runnable
@@ -184,7 +193,7 @@ class _Handler(BaseHTTPRequestHandler):
             )
             splits.append(
                 {
-                    "endpoints": [base],
+                    "endpoints": endpoints,
                     "descriptor": {
                         "statementHandle": {
                             "query": split_sql,
@@ -240,6 +249,8 @@ class ArrowTestServer(ThreadingHTTPServer):
         port: int = 0,
         throttle_s: float = 0.0,
         batch_rows: int = 0,
+        compression: str | None = None,
+        extra_endpoints: list[str] | None = None,
     ):
         super().__init__(("127.0.0.1", port), _Handler)
         self.tables = dict(tables)
@@ -247,6 +258,12 @@ class ArrowTestServer(ThreadingHTTPServer):
         self.credentials = credentials
         self.throttle_s = throttle_s
         self.batch_rows = batch_rows
+        # IPC body compression ("zstd"/"lz4") for /v1/query responses
+        self.compression = compression
+        # advertised ahead of this server's own address in every split's
+        # endpoints[] — lets tests plant dead/unreachable replicas to
+        # exercise client-side failover
+        self.extra_endpoints = list(extra_endpoints or [])
         self.queries: list[str] = []
         self.cancelled: list[int] = []
         self._thread: threading.Thread | None = None

@@ -444,6 +444,102 @@ def test_ipc_scan_differential_vs_parquet(registered, tables):
         assert a == b, q
 
 
+def test_split_failover_dead_then_live_endpoint(registered):
+    """A split advertising a dead replica first (connection refused) must
+    still return the oracle answer via the live replica — the client
+    rotates through endpoints[] (split_info.hpp:20-37) instead of
+    pinning endpoints[0]. The dead endpoint uses a bound-but-unlistened
+    port so the failure is immediate, not a timeout."""
+    import socket
+
+    # reserve a port with no listener: connect() to it refuses instantly
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    dead_port = sock.getsockname()[1]
+    sock.close()
+    dead = f"http://127.0.0.1:{dead_port}"
+    with ArrowTestServer(
+        {"orders": ORDERS}, extra_endpoints=[dead]
+    ) as srv:
+        split = dd_read_arrow(
+            registered, srv.url, source_table="orders",
+            split=True, split_size=64 * 300,
+        )
+        assert split.rdd.getNumPartitions() > 1
+        direct = _direct(registered, ORDERS)
+        assert sorted(map(tuple, split.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        # every split's data was served by the live replica
+        assert len(srv.queries) >= split.rdd.getNumPartitions()
+
+
+def test_zstd_compressed_stream_roundtrip(registered):
+    """The reference decompresses ZSTD IPC body buffers
+    (base_stream_reader.cpp:11-50); our reader must transparently
+    handle a server that compresses every batch. Differential: remote
+    scan over a zstd stream == direct parquet, split mode included."""
+    with ArrowTestServer({"lineitem": LINEITEM}, compression="zstd") as srv:
+        df = dd_read_arrow(registered, srv.url, source_table="lineitem")
+        direct = _direct(registered, LINEITEM)
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        split = dd_read_arrow(
+            registered, srv.url, source_table="lineitem",
+            split=True, split_size=64 * 300,
+        )
+        assert sorted(map(tuple, split.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+
+def test_narrow_helper_derives_pruned_remote_select(registered):
+    """dd_read_arrow_narrow must ship a pruned SELECT to the server for
+    a narrow downstream query over a wide remote table, WITHOUT the
+    caller passing columns= (the ergonomic gap vs the reference's
+    transparent pruning, read_arrow_dd.cpp:246-262). Differential: the
+    narrowed plan's result equals the unpruned one."""
+    from dazzleduck_sql_duckdb_spark.sources import dd_read_arrow_narrow
+
+    with ArrowTestServer({"lineitem": LINEITEM}) as srv:
+        def plan(df):
+            return (
+                df.where("l_quantity < 10")
+                .groupBy("l_returnflag")
+                .agg(F.sum("l_quantity").alias("qty"))
+            )
+
+        narrowed = dd_read_arrow_narrow(
+            registered, srv.url, plan, source_table="lineitem"
+        )
+        got = {r.l_returnflag: r.qty for r in narrowed.collect()}
+        want = {
+            r.l_returnflag: r.qty
+            for r in plan(_direct(registered, LINEITEM)).collect()
+        }
+        assert got.keys() == want.keys()
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-9
+        # the data-serving query the server saw named only the three
+        # referenced columns, not SELECT * over the wide table
+        data_queries = [q for q in srv.queries if "LIMIT 0" not in q]
+        assert data_queries, "no data query reached the server"
+        # shape: SELECT * FROM (SELECT "l_quantity", "l_returnflag"
+        # FROM (...)) AS _subq WHERE ... — the outer * ranges over the
+        # pruned subquery, so the wire payload carries 2 columns
+        final = data_queries[-1]
+        assert '"l_quantity", "l_returnflag"' in final
+        assert "l_extendedprice" not in final
+        # an identity plan stays unpruned (every column referenced...
+        # nothing to derive) and still answers correctly
+        ident = dd_read_arrow_narrow(
+            registered, srv.url, lambda df: df.select(df.columns),
+            source_table="lineitem",
+        )
+        assert ident.count() == _direct(registered, LINEITEM).count()
+
+
 def test_filter_to_sql_serialization():
     from pyspark.sql.datasource import (
         EqualTo,
