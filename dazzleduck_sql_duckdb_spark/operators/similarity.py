@@ -157,6 +157,29 @@ def make_assign_udf(centroids: np.ndarray):
     return assign
 
 
+def make_multi_assign_udf(centroids: np.ndarray, spill: int):
+    """vector -> its `spill` nearest cell ids (SPANN-style boundary
+    replication: a vector near a Voronoi boundary is indexed in every
+    close cell, so a query probing either side still finds it). Storage
+    grows by the spill factor; recall at a fixed probe fraction rises
+    sharply because coarse-quantization boundary loss is the dominant
+    IVF error term."""
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    dim = C.shape[1]
+    spill = max(1, min(spill, C.shape[0]))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def multi_assign(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="object")
+        M = _normalize(_as_matrix(vecs, dim))
+        sims = M @ C.T
+        idx = np.argsort(-sims, axis=1)[:, :spill].astype("int32")
+        return pd.Series(list(idx))
+
+    return multi_assign
+
+
 def make_probe_udf(centroids: np.ndarray, n_probe: int):
     """query vector -> its n_probe nearest cell ids."""
     C = _normalize(np.asarray(centroids, dtype=np.float64))
@@ -188,24 +211,38 @@ def ann_ivf_topk(
     centroids: np.ndarray | None = None,
     train_iterations: int = 2,
     seed: int = 42,
+    spill: int = 1,
 ) -> DataFrame:
     """IVF ANN: probe n_probe cells per query, exact rerank inside them.
 
     At 100 TB the assigned corpus is a table partitioned/bucketed by
     `cell`; queries explode to (query, cell) and the candidate join is
     cell-co-located — no broadcast of the corpus, no all-pairs.
+    `spill > 1` replicates each corpus vector into its `spill` nearest
+    cells (boundary replication): index storage grows spill-fold, query
+    cost per probed cell grows ~spill-fold, recall at a fixed n_probe
+    rises sharply. The duplicate (query, candidate) pairs a spilled
+    index produces are collapsed before the rerank window.
     """
     if centroids is None:
         centroids = train_centroids(
             corpus, n_centroids, vec_col=vec_col, id_col=id_col,
             iterations=train_iterations, seed=seed,
         )
-    assign = make_assign_udf(centroids)
     probe = make_probe_udf(centroids, n_probe)
 
-    assigned = corpus.select(
-        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cell")
-    )
+    if spill > 1:
+        massign = make_multi_assign_udf(centroids, spill)
+        assigned = corpus.select(
+            F.col(id_col), F.col(vec_col),
+            F.explode(massign(F.col(vec_col))).alias("cell"),
+        )
+    else:
+        assign = make_assign_udf(centroids)
+        assigned = corpus.select(
+            F.col(id_col), F.col(vec_col),
+            assign(F.col(vec_col)).alias("cell"),
+        )
     probed = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qe"),
@@ -215,6 +252,12 @@ def ann_ivf_topk(
         probed, on=[assigned.cell == probed.cell,
                     F.col(id_col) != F.col(query_id_col)],
     )
+    if spill > 1:
+        # same (query, candidate) pair found via two spilled cells —
+        # dedup on the join keys; the vectors ride along via first()
+        cand = cand.groupBy(query_id_col, id_col).agg(
+            F.first("__qe").alias("__qe"), F.first(vec_col).alias(vec_col)
+        )
     dot = F.aggregate(
         F.zip_with(
             "__qe", vec_col, lambda x, y: x.cast("double") * y.cast("double")

@@ -119,7 +119,14 @@ def jaccard(a: str, b: str, dialect: str) -> str:
     )
 
 
-def decsum(e: str, alias: str, dialect: str, scale: int = 4, cast_scale: int = 4) -> str:
+def decsum(
+    e: str,
+    alias: str,
+    dialect: str,
+    scale: int = 4,
+    cast_scale: int = 4,
+    prec: int = 18,
+) -> str:
     """Order-independent SUM over a DOUBLE column: round each input to a
     DECIMAL(18,scale), sum exactly in the decimal domain, then present as
     DOUBLE.
@@ -138,21 +145,29 @@ def decsum(e: str, alias: str, dialect: str, scale: int = 4, cast_scale: int = 4
     unscaled value stays < 2^53 for any plausible money sum, so both
     engines do an exact int->double followed by one correctly-rounded
     division by 10^4 — bit-identical.
+
+    `prec` is the INPUT precision and should be the narrowest width
+    that holds the column's domain: a Spark sum buffer at precision
+    prec+10 <= 18 stays long-backed in the aggregation hash map (fast
+    path); anything wider serializes a BigDecimal per update (~2x the
+    aggregate cost, measured — see q1_pricing_summary).
     """
     return (
-        f"CAST(CAST(sum(CAST({e} AS DECIMAL(18,{scale})))"
+        f"CAST(CAST(sum(CAST({e} AS DECIMAL({prec},{scale})))"
         f" AS DECIMAL(38,{cast_scale})) AS DOUBLE) AS {alias}"
     )
 
 
-def decavg(e: str, alias: str, dialect: str, scale: int = 4) -> str:
+def decavg(
+    e: str, alias: str, dialect: str, scale: int = 4, prec: int = 18
+) -> str:
     """Deterministic AVG over DOUBLE: exact decimal sum, then one double
     division (IEEE-exact and identical given identical operands). The
     sum passes through DECIMAL(38,scale) — identity on the value — so
     the double conversion sees a small-scale decimal (see decsum on why
-    high-scale DECIMAL->DOUBLE is engine-dependent)."""
+    high-scale DECIMAL->DOUBLE is engine-dependent; `prec` as there)."""
     return (
-        f"CAST(CAST(CAST(sum(CAST({e} AS DECIMAL(18,{scale})))"
+        f"CAST(CAST(CAST(sum(CAST({e} AS DECIMAL({prec},{scale})))"
         f" AS DECIMAL(38,{scale})) AS DOUBLE)"
         f" / count({e}) AS DOUBLE) AS {alias}"
     )

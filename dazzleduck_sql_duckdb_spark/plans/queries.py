@@ -200,15 +200,27 @@ def _q6(d: str) -> str:
 
 @q("q1_pricing_summary")
 def _q1(d: str) -> str:
+    """Decimal widths are the narrowest that hold the column domain
+    (quantity <= 50 -> DECIMAL(8,4); discount/tax <= 0.1 ->
+    DECIMAL(5,4); extendedprice < 1e9 -> DECIMAL(13,4)): a Spark sum
+    buffer at precision <= 18 stays long-backed in the UnsafeRow
+    aggregation hash map, while wider buffers serialize a BigDecimal
+    per update. Measured at sf0.1: 0.74s vs 0.94s median with uniform
+    DECIMAL(18,4) inputs — identical values (DECIMAL(27,4) accumulation
+    alone measured 0.88s: the width only matters when it crosses the
+    18-digit long-backed boundary). Overflow headroom at the narrow
+    widths: qty buffer DECIMAL(18,4) caps ~1e14 (~sf600k), price
+    buffer DECIMAL(23,4) ~1e19 — far past any real scale, and Spark
+    NULLs (not wraps) on decimal overflow."""
     return f"""
 SELECT l_returnflag, l_linestatus,
-  CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
-  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
-  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
-  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_charge,
-  {D.decavg('l_quantity', 'avg_qty', d)},
-  {D.decavg('l_extendedprice', 'avg_price', d)},
-  {D.decavg('l_discount', 'avg_disc', d)},
+  CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(8,4))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(13,4))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(13,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(13,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4)))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_charge,
+  {D.decavg('l_quantity', 'avg_qty', d, prec=8)},
+  {D.decavg('l_extendedprice', 'avg_price', d, prec=13)},
+  {D.decavg('l_discount', 'avg_disc', d, prec=8)},
   CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -595,9 +607,11 @@ def _string_fns(d: str) -> str:
     ol = ("octet_length(c_name)" if d == SPARK
           else "octet_length(encode(c_name))")
     # serialize the list-typed lambda result: the driver canon sorts a
-    # pandas frame and dies on unhashable list cells
+    # pandas frame and dies on unhashable list cells. coalesce on the
+    # DuckDB side: for an empty array Spark's concat_ws returns ''
+    # while DuckDB's array_to_string returns NULL
     joined = (f"concat_ws('|', {upper2})" if d == SPARK
-              else f"array_to_string({upper2}, '|')")
+              else f"coalesce(array_to_string({upper2}, '|'), '')")
     return f"""
 SELECT c_custkey,
   CAST(length(c_name) AS INT) AS name_len,
@@ -1133,7 +1147,9 @@ def _build_dedup_canonical(spark, sf_dir: str):
     mega-cluster (template spam) becomes a single hot sort at 100 TB.
     max(n_chars) + min(doc_id among maxima) are partial-aggregatable
     (map-side combine, skew-immune) and select the identical row; `lab`
-    is persisted because both aggregation passes read it."""
+    is persisted because both aggregation passes read it. The previous
+    incarnation is unpersisted via _STAGE_CACHE so repeated gate/parity
+    runs in one session don't accumulate cached partitions."""
     from pyspark.sql import functions as F
 
     from ..operators.components import connected_components
@@ -1141,15 +1157,20 @@ def _build_dedup_canonical(spark, sf_dir: str):
     pairs = _build_minhash_df(spark)
     comps = connected_components(pairs, "doc_a", "doc_b")
     docs = spark.table("documents").select("doc_id", "n_chars")
-    lab = (
-        docs.join(comps, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("component"),
-            "n_chars",
-        )
-        .persist()
+    lab = docs.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+        "n_chars",
     )
+    key = (spark, "__dedup_canonical_lab__")
+    old = _STAGE_CACHE.get(key)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    lab = lab.persist()
+    _STAGE_CACHE[key] = lab
     mx = lab.groupBy("component").agg(
         F.max("n_chars").alias("kept_chars"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1293,7 +1314,7 @@ def _ann_ivf_fullprobe(d: str) -> str:
     return _knn(d)  # identical result contract -> identical oracle
 
 
-def _build_ann_ivf(n_probe: int):
+def _build_ann_ivf(n_probe: int, spill: int = 1):
     def build(spark, sf_dir: str):
         from ..operators.similarity import ann_ivf_topk
 
@@ -1301,7 +1322,7 @@ def _build_ann_ivf(n_probe: int):
         queries = emb.where("vec_id % 100 = 0")
         return ann_ivf_topk(
             emb, queries, k=5, n_centroids=8, n_probe=n_probe,
-            query_id_col="qid",
+            query_id_col="qid", spill=spill,
         )
 
     return build
@@ -1309,8 +1330,76 @@ def _build_ann_ivf(n_probe: int):
 
 @q("embed_ann_ivf_probed")
 def _ann_ivf_probed(d: str) -> str:
-    # approximate path (n_probe=4 of 8 cells) — rows-only check
+    # approximate path (n_probe=4 of 8 cells, spill=2 boundary
+    # replication) — rows-only check; embed_ann_recall hash-gates its
+    # recall against the exact top-k
     return _knn(d)
+
+
+# the probed path must recover at least this fraction of the exact
+# top-k over all queries. Measured for (n_centroids=8, n_probe=4,
+# spill=2): 1.0 / 1.0 / 0.93 at sf0.001 / 0.01 / 0.1; without spill the
+# same probe fraction measured 0.74-0.84 — boundary replication is what
+# buys the margin. The floor sits low enough to survive a testdata
+# regeneration, high enough that a broken probe/assign/rerank stage
+# (recall collapses toward 0) trips it.
+ANN_RECALL_FLOOR = 0.85
+
+
+@q("embed_ann_recall")
+def _ann_recall(d: str) -> str:
+    """Hash-gated recall floor for the approximate (n_probe < n_cells)
+    ANN path — the quality metric for `embed_ann_ivf_probed`, which is
+    otherwise only rows-checked. Spark computes recall = |probed top-k
+    INTERSECT exact top-k| / |exact top-k| for real (the builder runs
+    BOTH pipelines); the oracle grounds n_queries/n_exact in the same
+    data via the brute-force SQL and asserts the floor holds, so a
+    probe/assign/rerank regression flips `recall_ge_floor` and breaks
+    the hash. Differential-vs-exact pattern after the reference's split
+    test (test/sql/dd_read_arrow_split.test_slow:40-62)."""
+    exact = _knn(d)
+    return f"""
+SELECT CAST(nq AS BIGINT) AS n_queries,
+  CAST(n_exact AS BIGINT) AS n_exact,
+  CAST(5 AS INT) AS k, CAST(4 AS INT) AS n_probe,
+  n_exact > 0 AS recall_ge_floor
+FROM (
+  SELECT count(DISTINCT qid) AS nq, count(*) AS n_exact
+  FROM ({exact}) exact_topk)
+"""
+
+
+def _build_ann_recall(spark, sf_dir: str):
+    from ..operators.similarity import ann_ivf_topk
+
+    from pyspark.sql import functions as F
+
+    k, n_probe = 5, 4
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id % 100 = 0")
+    # the exact config embed_ann_ivf_probed ships
+    probed = ann_ivf_topk(
+        emb, queries, k=k, n_centroids=8, n_probe=n_probe,
+        query_id_col="qid", spill=2,
+    ).select("qid", "vec_id")
+    exact = spark.sql(spark_sql_for("embed_knn_bruteforce")).select(
+        "qid", "vec_id"
+    )
+    stats = exact.agg(
+        F.count_distinct("qid").alias("nq"), F.count(F.lit(1)).alias("n_exact")
+    )
+    hits = probed.join(exact, ["qid", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return stats.crossJoin(hits).select(
+        F.col("nq").cast("long").alias("n_queries"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(n_probe).cast("int").alias("n_probe"),
+        (
+            (F.col("n_hits") / F.col("n_exact")) >= F.lit(ANN_RECALL_FLOOR)
+        ).alias("recall_ge_floor"),
+    )
 
 
 @q("embed_cosine_neardup")
@@ -2430,13 +2519,14 @@ SPARK_BUILDERS.update(
         "remote_login_scan": _build_remote_login_scan,
         "bucketed_join_rollup": _build_bucketed_join_rollup,
         "embed_ann_ivf_fullprobe": _build_ann_ivf(n_probe=8),
-        "embed_ann_ivf_probed": _build_ann_ivf(n_probe=4),
+        "embed_ann_ivf_probed": _build_ann_ivf(n_probe=4, spill=2),
         "embed_neardup_lsh": _build_embed_neardup_lsh,
         "events_sessionize_native": _build_sessionize_native,
         "events_view_click_attribution": _build_view_click_attr,
         "remote_agg_pushdown": _build_remote_agg_pushdown,
         "dedup_components": _build_dedup_components,
         "dedup_canonical_corpus": _build_dedup_canonical,
+        "embed_ann_recall": _build_ann_recall,
     }
 )
 
@@ -2474,74 +2564,75 @@ def oracle_sql_for(name: str) -> str:
 
 # ------------------------------------------------------------ gate order
 #
-# The driver's correctness gate covers the FIRST 50 catalog entries. Order
-# the window so every operator family gets a hard-signal verdict this
-# round: the families never gated in round 1 (bloom, dedup, ANN, text,
-# remote, joins, skew, multimodal) come first, then the 17 entries whose
-# round-1 verdict was defeated by presentation (terminal DECIMAL repr /
-# list-typed column — both fixed). Entries past the window are r1-green
-# and stay pinned by tests/ + tools/check_parity.py.
+# The driver's correctness gate covers the FIRST 50 catalog entries.
+# Round-3 window goal: after this round, EVERY catalog entry has a
+# driver verdict from round 2 or 3 — i.e. post the r2 nanos->micros
+# events migration — with zero never-gated and zero stale rows.
+# Composition: (a) the 6 entries never gated in r1/r2, (b) the entries
+# added or changed this round, (c) the 8 events entries whose only
+# verdict predates the micros migration, (d) every remaining r1-only
+# entry, (e) one r2-green canary per operator family. Entries past the
+# window are r2-green and stay pinned by tests/ + tools/check_parity.py.
 
 _GATE_WINDOW = [
-    # -- never gated in r1: functions / bloom
-    "bloom_no_false_negatives",
-    "dd_search_marker",
-    # -- dedup family
-    "dedup_exact",
+    # -- (a) never gated in r1/r2
+    "dd_version",
+    "dedup_canonical_corpus",
+    "simhash_values",
+    "text_token_stats",
+    "remote_splits_plan",
+    "multimodal_features",
+    # -- (b) added/changed this round: new recall gate; probed/fullprobe
+    #    share the spill-capable IVF path; string_functions' oracle
+    #    gained the empty-array coalesce
+    "embed_ann_recall",
+    "embed_ann_ivf_probed",
+    "embed_ann_ivf_fullprobe",
+    "string_functions",
+    # -- (c) events entries gated only in r1, pre-micros-migration
+    "events_count_distinct",
+    "events_json_extract",
+    "events_sessionize",
+    "events_sessionize_native",
+    "events_type_pivot",
+    "events_funnel",
+    "events_view_click_attribution",
+    "events_grouping_sets",
+    # -- (d) every remaining r1-only entry
+    "lineitem_count",
+    "lineitem_sum_orderkey",
+    "lineitem_full_scan",
+    "lineitem_point_filter",
+    "lineitem_projection",
+    "lineitem_range_filter",
+    "lineitem_date_filter_count",
+    "null_laws",
+    "empty_set_laws",
+    "order_by_limit",
+    "distinct_rows",
+    "cte_union_all",
+    "scalar_subquery_filter",
+    "semi_anti_join",
+    "window_topk_per_group",
+    "orders_set_ops",
+    "orders_cube",
+    "cast_matrix",
+    "try_cast_matrix",
+    "remote_agg_pushdown",
+    "part_brand_stats",
+    "nation_presence_full_join",
+    "q4_order_priority",
+    "dd_array_contains_all",
+    "dd_array_contains_all_fn",
+    # -- (e) r2-green family canaries (q1 also re-verifies the decimal
+    #    accumulation-width work this round)
+    "q1_pricing_summary",
     "dedup_minhash_lsh",
     "dedup_components",
-    "dedup_simhash",
-    "ngram_jaccard_sampled",
-    # -- embedding similarity family
-    "embed_knn_bruteforce",
-    "embed_ann_ivf_fullprobe",
-    "embed_ann_ivf_probed",
-    "embed_cosine_neardup",
-    "embed_neardup_lsh",
-    # -- text analysis family
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    "text_repetition",
-    "docs_length_quantiles",
-    "pipeline_clean_corpus",
-    "docs_shard_assignment",
-    "cross_source_contamination",
-    "corpus_top_terms",
-    "text_tfidf_topk",
-    "docs_stratified_sample",
-    "pack_sequences",
-    "text_redact_pii",
-    # -- remote source family
+    "bloom_no_false_negatives",
     "remote_scan_split_agg",
-    "remote_scan_filter_pushdown",
-    "remote_login_scan",
-    # -- storage / join / skew family
     "bucketed_join_rollup",
     "events_orders_asof_join",
-    "events_activity_range_join",
-    "skew_salted_join_agg",
-    # -- multimodal family
-    "multimodal_media_keys",
-    # -- r1 presentation-defeated verdicts (fixed: terminal DOUBLE casts,
-    #    serialized list column) — need fresh green rows
-    "q6_revenue",
-    "q1_pricing_summary",
-    "orders_global_aggs",
-    "orders_group_agg",
-    "join_region_rollup",
-    "events_hourly_rollup",
-    "orders_rollup",
-    "supplier_nation_join",
-    "customer_orders_left_join",
-    "orders_running_totals",
-    "q3_shipping_priority",
-    "q5_regional_volume",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_volume",
-    "q19_disjunctive_join",
-    "string_functions",
 ]
 
 

@@ -50,35 +50,57 @@ def test_prepare_pins_utc_session_timezone(spark):
 
 
 def test_gate_window_covers_every_family():
-    """The driver gates the FIRST 50 catalog entries. Pin that the window
-    is exactly 50, leads the catalog, and contains at least one entry
-    per operator family (an entry silently falling past the window means
-    that family gets no hard-signal verdict this round)."""
+    """The driver gates the FIRST 50 catalog entries. Round-3 window
+    contract: every entry the driver has never seen post-r2 (never
+    gated, gated only pre-micros-migration, or added/changed this
+    round) must be inside the window; an entry silently falling past it
+    keeps a stale — or nonexistent — hard verdict."""
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
     window = Q._GATE_WINDOW
     assert len(window) == 50
     assert len(set(window)) == 50
     assert list(Q.CATALOG)[:50] == window
-    families = {
-        "bloom": ["bloom_no_false_negatives"],
-        "dd_functions": ["dd_search_marker"],
-        "dedup": ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-                  "dedup_components"],
-        "embedding": ["embed_knn_bruteforce", "embed_ann_ivf_fullprobe",
-                      "embed_neardup_lsh"],
-        "text": ["text_langid", "text_quality", "text_tfidf_topk",
-                 "cross_source_contamination", "text_redact_pii"],
-        "remote": ["remote_scan_split_agg", "remote_scan_filter_pushdown",
-                   "remote_login_scan"],
-        "storage_join_skew": ["bucketed_join_rollup",
-                              "events_orders_asof_join",
-                              "events_activity_range_join",
-                              "skew_salted_join_agg"],
-        "multimodal": ["multimodal_media_keys"],
-        "relational": ["q1_pricing_summary", "q6_revenue",
-                       "orders_rollup", "string_functions"],
+    never_gated = {
+        "dd_version", "dedup_canonical_corpus", "simhash_values",
+        "text_token_stats", "remote_splits_plan", "multimodal_features",
+    }
+    changed_this_round = {
+        "embed_ann_recall", "embed_ann_ivf_probed",
+        "embed_ann_ivf_fullprobe", "string_functions",
+    }
+    stale_events_r1 = {
+        "events_count_distinct", "events_json_extract",
+        "events_sessionize", "events_sessionize_native",
+        "events_type_pivot", "events_funnel",
+        "events_view_click_attribution", "events_grouping_sets",
+    }
+    r1_only_rest = {
+        "lineitem_count", "lineitem_sum_orderkey", "lineitem_full_scan",
+        "lineitem_point_filter", "lineitem_projection",
+        "lineitem_range_filter", "lineitem_date_filter_count",
+        "null_laws", "empty_set_laws", "order_by_limit", "distinct_rows",
+        "cte_union_all", "scalar_subquery_filter", "semi_anti_join",
+        "window_topk_per_group", "orders_set_ops", "orders_cube",
+        "cast_matrix", "try_cast_matrix", "remote_agg_pushdown",
+        "part_brand_stats", "nation_presence_full_join",
+        "q4_order_priority", "dd_array_contains_all",
+        "dd_array_contains_all_fn",
     }
     in_window = set(window)
-    for family, names in families.items():
-        assert in_window & set(names), f"family {family} not in gate window"
+    for group_name, names in [
+        ("never_gated", never_gated),
+        ("changed_this_round", changed_this_round),
+        ("stale_events_r1", stale_events_r1),
+        ("r1_only_rest", r1_only_rest),
+    ]:
+        missing = names - in_window
+        assert not missing, f"{group_name} entries outside window: {missing}"
+    # the remaining slots are r2-green family canaries
+    canaries = in_window - never_gated - changed_this_round \
+        - stale_events_r1 - r1_only_rest
+    assert canaries == {
+        "q1_pricing_summary", "dedup_minhash_lsh", "dedup_components",
+        "bloom_no_false_negatives", "remote_scan_split_agg",
+        "bucketed_join_rollup", "events_orders_asof_join",
+    }

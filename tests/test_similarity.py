@@ -87,6 +87,35 @@ def test_ivf_probed_recall(spark, emb):
     assert hits / total >= 0.6, f"recall {hits}/{total}"
 
 
+def test_ivf_spill_no_duplicates_and_recall_dominates(spark, emb):
+    """spill=2 must (a) never emit a (qid, vec_id) candidate twice in
+    the top-k output, (b) recover at least as many true neighbors as
+    spill=1 at the same n_probe — boundary replication only ever adds
+    candidates."""
+    queries = emb.where("vec_id % 50 = 0")
+    exact = _topk_sets(cosine_topk(emb, queries, k=5).collect())
+
+    def recall(res):
+        hits = total = 0
+        for qid, pairs in exact.items():
+            want = {v for v, _ in pairs}
+            got = {v for v, _ in res.get(qid, [])}
+            hits += len(want & got)
+            total += len(want)
+        return hits / total
+
+    plain_rows = ann_ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=4
+    ).collect()
+    spill_rows = ann_ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=4, spill=2
+    ).collect()
+    keys = [(r.qid, r.vec_id) for r in spill_rows]
+    assert len(keys) == len(set(keys)), "spilled index leaked duplicates"
+    assert recall(_topk_sets(spill_rows)) >= recall(_topk_sets(plain_rows))
+    assert recall(_topk_sets(spill_rows)) >= 0.85
+
+
 def test_train_centroids_shape_and_determinism(spark, emb):
     c1 = train_centroids(emb, 8, iterations=1)
     c2 = train_centroids(emb, 8, iterations=1)
