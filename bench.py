@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_components",
+    "dedup_canonical_corpus",
     "embed_knn_bruteforce",
     "text_langid",
     "text_quality",
@@ -64,14 +66,12 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = -1.0
-
-    spark = get_spark(app_name="dazzleduck_bench")
+def run_spark_bench(sf_dir: str, spark=None) -> dict[str, float]:
+    """Run the headline set once, fully executed via noop writes; return
+    {query: seconds}. Shared by the CLI below and tools/bench_report.py
+    so every harness times the identical discipline."""
+    if spark is None:
+        spark = get_spark(app_name="dazzleduck_bench")
     spark.conf.set("spark.sql.parquet.filterPushdown", "true")
 
     queries = E.queries()
@@ -100,7 +100,17 @@ def main() -> int:
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+    return timings
 
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    timings = run_spark_bench(sf_dir)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

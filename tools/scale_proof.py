@@ -1,0 +1,172 @@
+"""Empirical scale-proof for the dedup/ANN pipelines.
+
+    python tools/scale_proof.py [--small N] [--big N]
+
+Generates two synthetic documents/embeddings sets that mimic the driver
+testdata's structure (same 31-token vocabulary, 10-100-token docs,
+lang/source mix, planted exact+near duplicate clusters at the observed
+~0.5% density; unit-norm 64-d embeddings, 10 labels) at two sizes
+(default 5k and 50k docs — the sf0.1 and sf1 equivalents), runs each
+pipeline at both sizes on the same local session, and prints the
+per-pipeline scaling exponent  e = log(t_big/t_small) / log(N_big/
+N_small).  LSH/candidates-then-verify pipelines should land near e ~ 1
+(linear); e ~ 2 would expose a hidden all-pairs or hot key before a
+real cluster does.
+
+Output parquet lives under .scale/ (gitignored); results are printed
+as a markdown table to paste into BENCH_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_P = [0.4, 0.15, 0.15, 0.15, 0.15]
+
+
+def gen_documents(n: int, out: str, seed: int = 42) -> None:
+    rng = np.random.default_rng(seed)
+    texts: list[str] = []
+    langs = list(rng.choice(LANGS, size=n, p=LANG_P))
+    sources = [f"src{int(i)}" for i in rng.integers(0, 20, size=n)]
+    for _ in range(n):
+        ln = int(rng.integers(10, 101))
+        texts.append(" ".join(rng.choice(VOCAB, size=ln)))
+    # plant duplicate structure at the driver-testdata density:
+    # ~0.2% exact-dup pairs, ~0.4% near-dup pairs (1-2 token edits)
+    n_exact, n_near = max(1, n // 500), max(1, n // 250)
+    for _ in range(n_exact):
+        a, b = rng.integers(0, n, size=2)
+        texts[b] = texts[a]
+        langs[b] = langs[a]
+    for _ in range(n_near):
+        a, b = rng.integers(0, n, size=2)
+        toks = texts[a].split()
+        for _ in range(int(rng.integers(1, 3))):
+            toks[int(rng.integers(0, len(toks)))] = str(
+                rng.choice(VOCAB)
+            )
+        texts[b] = " ".join(toks)
+        langs[b] = langs[a]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, out)
+
+
+def gen_embeddings(n: int, out: str, dim: int = 64, seed: int = 7) -> None:
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, dim))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in V],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(
+                rng.integers(0, 10, size=n).astype(np.int32), pa.int32()
+            ),
+        }
+    )
+    pq.write_table(tbl, out)
+
+
+PIPELINES = [
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_canonical_corpus",
+    "embed_ann_ivf_fullprobe",
+    "embed_ann_ivf_probed",
+]
+
+
+def run_at(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    queries = E.queries()
+    out: dict[str, float] = {}
+    # warm the kernel path once so codegen/fork costs don't pollute
+    queries["dedup_exact"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    for name in PIPELINES:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> int:
+    small = 5_000
+    big = 50_000
+    args = sys.argv[1:]
+    if "--small" in args:
+        small = int(args[args.index("--small") + 1])
+    if "--big" in args:
+        big = int(args[args.index("--big") + 1])
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(root, ".scale")
+    dirs = {}
+    for label, n in [("small", small), ("big", big)]:
+        d = os.path.join(base, label)
+        os.makedirs(d, exist_ok=True)
+        docs, embs = os.path.join(d, "documents.parquet"), os.path.join(
+            d, "embeddings.parquet"
+        )
+        if not os.path.exists(docs):
+            print(f"# generating {label}: {n} docs", file=sys.stderr)
+            gen_documents(n, docs)
+        if not os.path.exists(embs):
+            gen_embeddings(max(n // 2, 100), embs)
+        dirs[label] = d
+
+    from dazzleduck_sql_duckdb_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_proof")
+    t_small = run_at(spark, dirs["small"])
+    t_big = run_at(spark, dirs["big"])
+
+    ratio_n = big / small
+    print(f"\n| pipeline | t({small}) s | t({big}) s | exponent |")
+    print("|---|---|---|---|")
+    for name in PIPELINES:
+        a, b = t_small[name], t_big[name]
+        e = math.log(b / a) / math.log(ratio_n) if a > 0 else float("nan")
+        print(f"| {name} | {a:.2f} | {b:.2f} | {e:.2f} |")
+    print(
+        "\n(exponent = log-time ratio / log-size ratio; 1.0 = linear,"
+        " 2.0 = all-pairs. Sub-linear values mean fixed overhead still"
+        " dominates at the small size.)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
