@@ -109,16 +109,22 @@ def run_at(spark, sf_dir: str) -> dict[str, float]:
 
     queries = E.queries()
     out: dict[str, float] = {}
-    # warm the kernel path once so codegen/fork costs don't pollute
-    queries["dedup_exact"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
     for name in PIPELINES:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        # warm run first: the first pandas-UDF pipeline of a session
+        # pays ~10s of Python-worker fork + numpy import across 32
+        # workers, which would otherwise be charged entirely to the
+        # small size and flatten the measured exponent toward 0
+        for is_warm in (True, False):
+            # the pipelines persist() intermediate stages and Spark's
+            # CacheManager dedups by logical plan — drop the warm run's
+            # cache so the timed run recomputes (workers stay warm)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            if not is_warm:
+                out[name] = round(time.perf_counter() - t0, 3)
     return out
 
 
@@ -154,16 +160,32 @@ def main() -> int:
     t_big = run_at(spark, dirs["big"])
 
     ratio_n = big / small
+    # the ANN catalog entries take every 100th vector as a query, so
+    # the query set grows with the corpus: raw wall-time scales as
+    # (queries x per-query cost). Normalize those rows per query so the
+    # exponent measures per-query cost vs corpus size — the number a
+    # cluster operator actually provisions for.
+    n_queries = {
+        "small": max(max(small // 2, 100) // 100, 1),
+        "big": max(max(big // 2, 100) // 100, 1),
+    }
     print(f"\n| pipeline | t({small}) s | t({big}) s | exponent |")
     print("|---|---|---|---|")
     for name in PIPELINES:
         a, b = t_small[name], t_big[name]
+        if name.startswith("embed_ann"):
+            a, b = a / n_queries["small"], b / n_queries["big"]
+            label = f"{name} (per query)"
+        else:
+            label = name
         e = math.log(b / a) / math.log(ratio_n) if a > 0 else float("nan")
-        print(f"| {name} | {a:.2f} | {b:.2f} | {e:.2f} |")
+        print(f"| {label} | {a:.3f} | {b:.3f} | {e:.2f} |")
     print(
         "\n(exponent = log-time ratio / log-size ratio; 1.0 = linear,"
         " 2.0 = all-pairs. Sub-linear values mean fixed overhead still"
-        " dominates at the small size.)"
+        " dominates at the small size. ANN rows are per-query: the"
+        " catalog entries grow the query set with the corpus, so raw"
+        " wall-time there conflates two linear axes.)"
     )
     return 0
 
