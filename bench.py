@@ -100,6 +100,18 @@ def run_spark_bench(sf_dir: str, spark=None) -> dict[str, float]:
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # cache hygiene between queries: every query re-stages its own
+        # persisted views, so nothing is shared across entries — but
+        # leftover blocks (persisted stage views, and the iterative
+        # pipelines' localCheckpoint RDDs) fill the storage pool and can
+        # evict a LATER query's stage mid-run, silently recomputing it
+        # (observed: 3-15x inflation on the post-dedup text queries in
+        # one long session). Drop caches outside the timed region, and
+        # nudge the JVM to let ContextCleaner release checkpoint blocks
+        # after the checkpointing pipelines.
+        spark.catalog.clearCache()
+        if name in ("dedup_components", "dedup_canonical_corpus"):
+            spark.sparkContext._jvm.System.gc()
     return timings
 
 
