@@ -68,6 +68,7 @@ def test_gate_window_covers_every_family():
     changed_this_round = {
         "embed_ann_recall", "embed_ann_ivf_probed",
         "embed_ann_ivf_fullprobe", "string_functions",
+        "text_repetition",
     }
     stale_events_r1 = {
         "events_count_distinct", "events_json_extract",
@@ -99,8 +100,11 @@ def test_gate_window_covers_every_family():
     # the remaining slots are r2-green family canaries
     canaries = in_window - never_gated - changed_this_round \
         - stale_events_r1 - r1_only_rest
+    # bloom_no_false_negatives was displaced by text_repetition's
+    # rewrite: r2-green, unchanged since, and locally pinned by the
+    # hypothesis never-false-negative law
     assert canaries == {
         "q1_pricing_summary", "dedup_minhash_lsh", "dedup_components",
-        "bloom_no_false_negatives", "remote_scan_split_agg",
+        "remote_scan_split_agg",
         "bucketed_join_rollup", "events_orders_asof_join",
     }

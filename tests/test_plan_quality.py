@@ -140,12 +140,24 @@ def test_explodes_generate_raw_arrays_not_transforms(plans):
     row (measured 15x at sf0.1): every exploding query must posexplode/
     explode a raw or exchange-materialized array, never transform(...)
     inline. Detect by asserting no lambda marker inside Generate."""
-    for name in ["text_repetition", "cross_source_contamination",
+    for name in ["cross_source_contamination",
                  "corpus_top_terms", "text_tfidf_topk"]:
         p = plans(name)
         gen_lines = [ln for ln in p.splitlines() if "Generate " in ln]
         assert gen_lines, name
         assert all("lambdafunction" not in ln for ln in gen_lines), name
+
+
+def test_repetition_is_per_row_zero_shuffle(plans):
+    """text_repetition's outputs are functions of one document's token
+    array, so its plan must stay fully per-row: no Generate (explode)
+    and no key-partitioned exchange — at 100 TB the old explode +
+    GROUP BY (doc_id, bigram) form shuffled the whole corpus twice.
+    The only allowed exchange is the narrow-input REPARTITION hint
+    (round-robin, a no-op on real multi-partition inputs)."""
+    p = plans("text_repetition")
+    assert "Generate " not in p
+    assert "hashpartitioning" not in p
 
 
 def test_shard_assignment_never_reads_text(plans):
