@@ -6,18 +6,22 @@ sampling) runs as Arrow-batched ``mapInPandas`` stages so executors
 process media without ever materializing a partition as Python objects
 row-by-row.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT available in this
-environment, so the decode kernel is pluggable: ``decoder=`` takes any
-``bytes -> np.ndarray`` callable. The default raises NotImplementedError
-(clearly-marked stub); ``deterministic_fake_decoder`` produces a
-seeded-by-content fake pixel array so the Spark-side plumbing — schema,
-batch shapes, partitioning, metadata propagation — is fully real and
-testable. Swapping in a real decoder changes no plan shape.
+The decode kernel is pluggable: ``decoder=`` takes any ``bytes ->
+np.ndarray`` callable. UNCOMPRESSED container formats are decoded for
+real, in pure numpy, with no codec library: PPM/PGM (netpbm P6/P5),
+BMP (24-bit BI_RGB), and WAV (PCM 8/16-bit) — see ``decode_media``.
+Compressed codec formats (jpeg/png/mp4/...) need PIL/ffmpeg, which are
+NOT available in this environment; for those the slot raises a
+clearly-marked NotImplementedError, and ``deterministic_fake_decoder``
+produces a seeded-by-content fake pixel array so the Spark-side
+plumbing — schema, batch shapes, partitioning, metadata propagation —
+stays fully testable. Swapping decoders changes no plan shape.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -50,10 +54,183 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def stub_decoder(payload: bytes) -> np.ndarray:
-    """The real-codec slot. Not implemented in this container."""
+    """The compressed-codec slot. Not implemented in this container."""
     raise NotImplementedError(
         "media decode requires a codec library (PIL/ffmpeg); plug a real "
-        "`decoder=` into extract_features, or use deterministic_fake_decoder"
+        "`decoder=` into extract_features, use decode_media for the "
+        "pure-numpy formats (ppm/pgm/bmp/wav), or use "
+        "deterministic_fake_decoder"
+    )
+
+
+# ------------------------------------------------- real pure-numpy codecs
+#
+# Uncompressed container formats need only header parsing + frombuffer:
+# these are REAL decoders (golden-pixel tested), not stubs. They cover
+# the raw interchange formats a training pipeline's pre-decoded shards
+# actually use; entropy-coded formats (jpeg/png/h264) remain behind
+# stub_decoder because no codec library ships in this container.
+
+
+def _pnm_header(payload: bytes) -> tuple[bytes, list[int], int]:
+    """Parse a netpbm header: magic + 3 ints (w, h, maxval), skipping
+    whitespace and '#' comments; returns (magic, [w, h, maxval],
+    data_offset)."""
+    magic = payload[:2]
+    vals: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(vals) < 3:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        vals.append(int(payload[i:j]))
+        i = j
+    return magic, vals, i + 1  # exactly ONE whitespace before raster
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """netpbm binary raster: P6 (RGB) -> (h, w, 3) uint8, P5 (gray) ->
+    (h, w) uint8. maxval <= 255 only (the 16-bit variant is rare)."""
+    magic, (w, h, maxval), off = _pnm_header(payload)
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary netpbm payload: {magic!r}")
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    return raster.reshape(h, w, 3) if ch == 3 else raster.reshape(h, w)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w[, 3]) uint8 -> P6/P5 bytes (round-trips decode_ppm)."""
+    a = np.asarray(img, dtype=np.uint8)
+    magic = b"P6" if a.ndim == 3 else b"P5"
+    h, w = a.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB Windows bitmap -> (h, w, 3) uint8 RGB.
+
+    Handles the two quirks that make naive readers wrong: rows are
+    padded to 4-byte boundaries, and a positive height means the raster
+    is stored bottom-up."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit bottom-up BI_RGB bytes."""
+    a = np.asarray(img, dtype=np.uint8)
+    h, w = a.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    data = raster.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM (8- or 16-bit) -> (n_frames, n_channels) float32
+    in [-1, 1]. Walks the chunk list (fmt /data can be preceded by
+    LIST/fact chunks), so real-world files parse too."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    fmt = data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (sz,) = struct.unpack_from("<I", payload, i + 4)
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels = struct.unpack_from("<HH", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError("only PCM 8/16-bit supported")
+    if bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=len(data) // 2
+        ).astype(np.float32) / 32768.0
+    else:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    frames = len(samples) // channels
+    return samples[: frames * channels].reshape(frames, channels)
+
+
+def encode_wav(
+    samples: np.ndarray, *, sample_rate: int = 16_000
+) -> bytes:
+    """(n_frames, n_channels) float in [-1, 1] -> 16-bit PCM WAV bytes."""
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    pcm = np.clip(np.round(a * 32768.0), -32768, 32767).astype("<i2")
+    channels = pcm.shape[1]
+    data = pcm.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+REAL_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
+    "ppm": decode_ppm,
+    "pgm": decode_ppm,
+    "bmp": decode_bmp,
+    "wav": decode_wav,
+}
+
+
+def decode_media(payload: bytes, media_format: str) -> np.ndarray:
+    """Dispatch by container format: pure-numpy decode for the
+    uncompressed formats, explicit NotImplementedError for codec ones."""
+    f = media_format.lower()
+    if f in REAL_DECODERS:
+        return REAL_DECODERS[f](payload)
+    raise NotImplementedError(
+        f"format {media_format!r} needs a codec library (PIL/ffmpeg); "
+        f"pure-numpy formats available here: {sorted(REAL_DECODERS)}"
     )
 
 
@@ -159,6 +336,8 @@ def resize_images(
     oh, ow = out_hw
 
     def _block_mean(img: np.ndarray) -> np.ndarray:
+        if img.ndim == 3:  # RGB -> luminance-free channel mean
+            img = img.mean(axis=2)
         h, w = img.shape[:2]
         # cell boundaries via integer bucketing (handles non-divisible
         # shapes; every source pixel lands in exactly one cell)

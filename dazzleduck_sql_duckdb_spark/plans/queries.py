@@ -2450,8 +2450,10 @@ def _build_skew_salted(spark, sf_dir: str):
 # Media-as-binary columns (operators/multimodal.py) exercised on real
 # bytes: documents.text encoded as the opaque payload. The dedup-key
 # stage is JVM-side (sha2/octet_length — oracle-checked); the feature
-# stage runs the mapInPandas decode plumbing with the deterministic
-# fake decoder (rows-only: the pooled features aren't SQL).
+# stage synthesizes a valid 8x8 PPM per document and runs the REAL
+# pure-numpy decoder through mapInPandas (rows-only: the pooled
+# features aren't SQL; codec formats like jpeg stay stubbed — no
+# codec library in this container).
 
 
 @q("multimodal_media_keys")
@@ -2493,17 +2495,23 @@ def _media_features_q(d: str) -> str:
 def _build_media_features(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
-    from ..operators.multimodal import (
-        deterministic_fake_decoder,
-        extract_features,
-    )
+    from ..operators.multimodal import decode_ppm, extract_features
 
+    # synthesize a VALID 8x8 P6 (PPM) payload per document JVM-side —
+    # "P6\n8 8\n255\n" header + the doc's first 192 text bytes as RGB
+    # raster (zero-padded) — so the feature stage exercises the real
+    # pure-numpy decoder end-to-end, not the fake: header parse,
+    # raster reshape to (8, 8, 3), then pooled features.
+    header = "P6\n8 8\n255\n".encode().hex().upper()
     media = spark.table("documents").select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode("text", "UTF-8").alias("payload"),
+        F.expr(
+            f"concat(X'{header}',"
+            " rpad(encode(text, 'UTF-8'), 192, X'00'))"
+        ).alias("payload"),
     )
-    feats = extract_features(media, decoder=deterministic_fake_decoder)
+    feats = extract_features(media, decoder=decode_ppm)
     # serialize the float-array feature: the driver canon (pandas sort)
     # cannot hash list cells, even on rows-only entries
     return feats.withColumn(
