@@ -112,6 +112,10 @@ RELATIONAL = [
     "q18_large_volume",
     "orders_running_totals",
     "window_topk_per_group",
+    "events_sessionize",
+    "events_funnel",
+    "events_orders_asof_join",
+    "events_activity_range_join",
 ]
 
 
@@ -125,8 +129,13 @@ def build_relational_big(src_dir: str, out_dir: str, copies: int = 10) -> None:
     li = pq.read_table(os.path.join(src_dir, "lineitem.parquet"))
     od = pq.read_table(os.path.join(src_dir, "orders.parquet"))
     cu = pq.read_table(os.path.join(src_dir, "customer.parquet"))
+    ev = pq.read_table(os.path.join(src_dir, "events.parquet"))
     okey_off = int(pa.compute.max(li["l_orderkey"]).as_py()) + 1
     ckey_off = int(pa.compute.max(cu["c_custkey"]).as_py()) + 1
+    # events.user_id joins o_custkey (as-of join): same shift keeps the
+    # replicas join-consistent; timestamps stay put — copy i is "10x the
+    # users over the same period", which also densifies range-join bins
+    ekey_off = int(pa.compute.max(ev["event_id"]).as_py()) + 1
 
     def shifted(tbl: pa.Table, shifts: dict[str, int], i: int) -> pa.Table:
         cols = {}
@@ -142,6 +151,8 @@ def build_relational_big(src_dir: str, out_dir: str, copies: int = 10) -> None:
         ("orders.parquet", od, {"o_orderkey": okey_off,
                                 "o_custkey": ckey_off}),
         ("customer.parquet", cu, {"c_custkey": ckey_off}),
+        ("events.parquet", ev, {"event_id": ekey_off,
+                                "user_id": ckey_off}),
     ]:
         out = os.path.join(out_dir, fname)
         if os.path.exists(out):
@@ -152,7 +163,7 @@ def build_relational_big(src_dir: str, out_dir: str, copies: int = 10) -> None:
             pa.concat_tables(parts), out,
             row_group_size=max(len(tbl), 1),
         )
-    for t in ["region", "nation", "supplier", "part", "events",
+    for t in ["region", "nation", "supplier", "part",
               "documents", "embeddings"]:
         src = os.path.join(src_dir, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
