@@ -142,3 +142,60 @@ def test_rolling_hash_jaccard_matches_string_jaccard(a, b):
     ha, hb = _np_shingle_set(a, 6), _np_shingle_set(b, 6)
     sa, sb = _model_shingles(a), _model_shingles(b)
     assert len(np.intersect1d(ha, hb)) == len(sa & sb)
+
+
+# ---------------------------------------------- media codec roundtrips
+
+import numpy as np  # noqa: E402
+
+from dazzleduck_sql_duckdb_spark.operators.multimodal import (  # noqa: E402
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+)
+
+dims = st.tuples(
+    st.integers(min_value=1, max_value=16),  # h
+    st.integers(min_value=1, max_value=16),  # w
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(dims, st.integers(min_value=0, max_value=2**32 - 1), st.booleans())
+def test_ppm_roundtrip_any_image(hw, seed, gray):
+    """decode(encode(img)) == img for every uint8 image, RGB and gray."""
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(dims, st.integers(min_value=0, max_value=2**32 - 1))
+def test_bmp_roundtrip_any_image(hw, seed):
+    """Roundtrip across every (h, w) — widths 1..16 sweep all four
+    stride-padding residues and heights exercise the bottom-up flip."""
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=200),  # frames
+    st.integers(min_value=1, max_value=4),    # channels
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_wav_roundtrip_any_pcm(frames, channels, seed):
+    """decode(encode(x)) recovers every sample within one 16-bit
+    quantization step, preserving the (frames, channels) shape."""
+    rng = np.random.default_rng(seed)
+    s = rng.uniform(-0.999, 0.999, size=(frames, channels))
+    out = decode_wav(encode_wav(s, sample_rate=16_000))
+    assert out.shape == (frames, channels)
+    assert np.abs(out - s).max() < 1 / 32768 + 1e-9
