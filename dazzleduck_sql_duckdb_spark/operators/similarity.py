@@ -203,7 +203,7 @@ def ann_ivf_topk(
     queries: DataFrame,
     k: int = 5,
     *,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -223,8 +223,17 @@ def ann_ivf_topk(
     cost per probed cell grows ~spill-fold, recall at a fixed n_probe
     rises sharply. The duplicate (query, candidate) pairs a spilled
     index produces are collapsed before the rerank window.
+
+    ``n_centroids=None`` auto-sizes the index to ~sqrt(N) cells
+    (clamped to [4, 65536]) — the classical IVF balance point where
+    both the coarse-quantizer scan and the per-probe candidate list
+    stay O(sqrt(N)). The fixed-count default suits the test scale;
+    production callers should pass None (or a measured value).
     """
     if centroids is None:
+        if n_centroids is None:
+            n = corpus.count()
+            n_centroids = max(4, min(65_536, int(round(n ** 0.5))))
         centroids = train_centroids(
             corpus, n_centroids, vec_col=vec_col, id_col=id_col,
             iterations=train_iterations, seed=seed,

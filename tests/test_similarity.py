@@ -153,3 +153,18 @@ def test_neardup_lsh_finds_planted_pair(spark):
     pairs = embed_neardup_pairs_lsh(df, threshold=0.99).collect()
     assert {(p.vec_a, p.vec_b) for p in pairs} == {(100, 101)}
     assert pairs[0].sim >= 0.99
+
+
+def test_ivf_auto_sizes_to_sqrt_n(spark, emb):
+    """n_centroids=None sizes the index to ~sqrt(N) cells; with
+    n_probe >= that cell count the probe clamps to fullprobe and the
+    result must equal exact search — verifying the auto path end to
+    end, not just the arithmetic."""
+    n = emb.count()
+    want_cells = max(4, min(65_536, int(round(n ** 0.5))))
+    queries = emb.where("vec_id % 100 = 0")
+    got = ann_ivf_topk(
+        emb, queries, k=5, n_centroids=None, n_probe=want_cells,
+    ).collect()
+    exact = cosine_topk(emb, queries, k=5).collect()
+    assert _topk_sets(got) == _topk_sets(exact)
