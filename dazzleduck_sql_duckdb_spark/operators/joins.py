@@ -48,10 +48,18 @@ def asof_join(
     one wins is unspecified — pre-aggregate the right side to one row
     per (key, time) for deterministic results.
 
+    NULL semantics match SQL ASOF (``right_time <= left_time`` is never
+    satisfied by a NULL on either side): right rows with NULL time are
+    dropped before the merge — without this they would sort NULLS-FIRST
+    ahead of every real row and leak into the carry-forward — and left
+    rows with NULL time get NULL payloads (they sort before all
+    non-NULL right rows, so nothing precedes them).
+
     Both time columns must be mutually comparable (use epoch integers
     when the sides store different temporal types).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    right = right.where(F.col(right_time).isNotNull())
     payload = [c for c in right.columns if c not in keys and c != right_time]
     carry = [c for c in left.columns if c not in keys]
     if set(carry) & set(payload):
