@@ -32,10 +32,21 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over an events parquet directory (new files are
-    discovered per micro-batch; schema must be explicit for streams)."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    discovered per micro-batch; schema must be explicit for streams).
+
+    ``max_files_per_trigger`` caps files per micro-batch — with the
+    availableNow trigger the source then processes the directory as a
+    SEQUENCE of micro-batches (oldest file first), which is how the
+    tests exercise cross-batch state: session merging, join buffering,
+    watermark advance."""
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(path)
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
