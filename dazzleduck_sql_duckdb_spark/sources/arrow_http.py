@@ -58,8 +58,10 @@ Usage::
 from __future__ import annotations
 
 import atexit
+import functools
 import json
 import random
+import re
 import threading
 import time
 import urllib.error
@@ -681,6 +683,37 @@ def dd_read_arrow_narrow(
     return plan_fn(dd_read_arrow(spark, url, select=pruned, **options))
 
 
+_SPLIT_SAFE_FNS = ("count", "sum", "min", "max")  # IsSplitSafe set
+
+
+def _split_safe_merge(alias: str, expr: str):
+    """Spark-side merge function for a server-computed partial aggregate,
+    or raise if the aggregate is not split-safe.
+
+    Mirrors the reference's ``IsSplitSafe`` gate
+    (aggregation_pushdown.cpp:190-199): only sum/count/count(*)/min/max
+    merge across splits; ``avg`` and ``DISTINCT`` do not (a DISTINCT
+    partial loses cross-split duplicates; an avg partial loses its
+    weight), and one unsafe aggregate fails the whole call — the
+    reference falls back to local execution there (:341-343), this
+    builder directs the caller to ``split=False`` (single-stream
+    server-side aggregation) which is contract-equivalent.
+    """
+    from pyspark.sql import functions as F
+
+    m = re.match(r"\s*([a-z_]+)\s*\(\s*(distinct\b)?", expr, re.IGNORECASE)
+    fn = m.group(1).lower() if m else None
+    if fn not in _SPLIT_SAFE_FNS or (m and m.group(2)):
+        raise ValueError(
+            f"dd_read_arrow_agg: `{alias}={expr}` is not split-safe "
+            "(split mode pushes only sum/count/min/max without DISTINCT, "
+            "the reference's IsSplitSafe set — use split=False for a "
+            "single-stream server-side aggregate)"
+        )
+    # count partials merge by SUM; sum/min/max merge by themselves
+    return F.sum if fn in ("count", "sum") else getattr(F, fn)
+
+
 def dd_read_arrow_agg(
     spark,
     url: str,
@@ -691,6 +724,8 @@ def dd_read_arrow_agg(
     group_by: list[str] | None = None,
     where: str | None = None,
     auth_token: str | None = None,
+    split: bool = False,
+    split_size: int | None = None,
 ):
     """Aggregation pushdown as an explicit builder: the aggregate runs
     ON THE SERVER and only the (tiny) aggregated result crosses the
@@ -707,6 +742,16 @@ def dd_read_arrow_agg(
     `aggs` maps output alias -> SQL aggregate expression (server
     dialect), e.g. ``{"n": "count(*)", "sum_qty": "sum(l_quantity)"}``.
     `group_by` columns are prepended to the SELECT list.
+
+    ``split=True`` is the reference's split-mode aggregation pushdown
+    (aggregation_pushdown.cpp:341-343 + IsSplitSafe :190-199): the base
+    relation is planned into splits (/v1/plan), EACH SPLIT computes the
+    aggregate over its slice server-side, and Spark merges the partials
+    (sum of sums/counts, min of mins, max of maxes) — the aggregation
+    itself distributes across the server fleet instead of running in
+    one stream. Only split-safe aggregates are accepted; ``avg`` and
+    ``DISTINCT`` raise, directing the caller to ``split=False``
+    (the reference's fallback contract, expressed explicitly).
     """
     if bool(sql) == bool(source_table):
         raise ValueError(
@@ -720,14 +765,31 @@ def dd_read_arrow_agg(
         ['"' + k.replace('"', '""') + '"' for k in keys]
         + [f"{expr} AS {alias}" for alias, expr in aggs.items()]
     )
-    remote = f"SELECT {select} FROM ({base}) AS _subq"
-    if where:
-        remote += f" WHERE {where}"
-    if keys:
-        remote += " GROUP BY " + ", ".join(
-            '"' + k.replace('"', '""') + '"' for k in keys
-        )
-    return dd_read_arrow(spark, url, sql=remote, auth_token=auth_token)
+
+    def _agg_sql(rel: str) -> str:
+        out = f"SELECT {select} FROM ({rel}) AS _subq"
+        if where:
+            out += f" WHERE {where}"
+        if keys:
+            out += " GROUP BY " + ", ".join(
+                '"' + k.replace('"', '""') + '"' for k in keys
+            )
+        return out
+
+    if not split:
+        return dd_read_arrow(spark, url, sql=_agg_sql(base), auth_token=auth_token)
+
+    merges = {a: _split_safe_merge(a, e) for a, e in aggs.items()}
+    plan = _fetch_plan(url, base, split_size, auth_token)
+    parts = [
+        dd_read_arrow(spark, url, sql=_agg_sql(s["query"]), auth_token=auth_token)
+        for s in plan
+    ]
+    partials = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    grouped = partials.groupBy(*keys) if keys else partials.groupBy()
+    return grouped.agg(
+        *[m(alias).alias(alias) for alias, m in merges.items()]
+    )
 
 
 def dd_splits(

@@ -128,3 +128,94 @@ def test_agg_pushdown_equals_local_spark(registered, server, aggs, grp, whr):
                 f"{c}: server={pr[c]!r} local={lr[c]!r} "
                 f"(aggs={aggs}, grp={grp}, where={whr})"
             )
+
+
+# ---- split mode: per-split server-side partials + Spark-side merge ----
+
+_safe_agg_expr = st.one_of(
+    st.just("count(*)"),
+    st.builds(lambda c: f"count({c})", st.sampled_from(_NUM)),
+    st.builds(lambda c: f"sum({c})", st.sampled_from(_NUM)),
+    st.builds(lambda c: f"min({c})", st.sampled_from(_NUM)),
+    st.builds(lambda c: f"max({c})", st.sampled_from(_NUM)),
+)
+_safe_aggs = st.lists(_safe_agg_expr, min_size=1, max_size=3, unique=True).map(
+    lambda exprs: {f"a{i}": e for i, e in enumerate(exprs)}
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_safe_aggs, _group, _where)
+def test_split_agg_partials_equal_local(registered, server, aggs, grp, whr):
+    """Split mode: EACH split computes the aggregate over its slice on
+    the server and Spark merges the partials (the reference's split-mode
+    aggregation pushdown, IsSplitSafe set only).  Merged result must
+    equal Spark computing the same SQL locally."""
+    merged = dd_read_arrow_agg(
+        registered,
+        server.url,
+        source_table="orders",
+        aggs=aggs,
+        group_by=grp,
+        where=whr,
+        split=True,
+        split_size=16384,  # several splits at sf0.001
+    ).collect()
+
+    keys = list(grp or [])
+    select = ", ".join(
+        keys + [f"{expr} AS {alias}" for alias, expr in aggs.items()]
+    )
+    local_sql = f"SELECT {select} FROM parquet.`{ORDERS}`"
+    if whr:
+        local_sql += f" WHERE {whr}"
+    if keys:
+        local_sql += " GROUP BY " + ", ".join(keys)
+    local = registered.sql(local_sql).collect()
+
+    skey = lambda r: tuple(repr(r[k]) for k in keys)  # noqa: E731
+    merged, local = sorted(merged, key=skey), sorted(local, key=skey)
+    assert len(merged) == len(local)
+    for mr, lr in zip(merged, local):
+        for c in keys + list(aggs):
+            assert _cells_equal(mr[c], lr[c]), (
+                f"{c}: split-merged={mr[c]!r} local={lr[c]!r} "
+                f"(aggs={aggs}, grp={grp}, where={whr})"
+            )
+
+
+def test_split_agg_partials_ran_server_side(registered, server):
+    server.queries.clear()
+    out = dd_read_arrow_agg(
+        registered,
+        server.url,
+        source_table="orders",
+        aggs={"n": "count(*)", "s": "sum(o_totalprice)"},
+        split=True,
+        split_size=16384,
+    ).collect()
+    assert len(out) == 1
+    # every split's wire query carries BOTH the slice predicate and the
+    # aggregate — the partials really ran on the server, per split
+    wire = [q for q in server.queries if "hash(_b)" in q]
+    assert len(wire) >= 2, f"expected >=2 split queries, saw {server.queries}"
+    assert all("count(*)" in q and "sum(o_totalprice)" in q for q in wire)
+
+
+def test_split_agg_rejects_unsafe_aggregates(registered, server):
+    """avg / DISTINCT partials don't merge — the IsSplitSafe contract
+    (one unsafe aggregate fails the whole call, like the reference's
+    whole-query fallback)."""
+    for bad in ({"a": "avg(o_totalprice)"}, {"d": "count(DISTINCT o_custkey)"}):
+        with pytest.raises(ValueError, match="not split-safe"):
+            dd_read_arrow_agg(
+                registered,
+                server.url,
+                source_table="orders",
+                aggs={"n": "count(*)", **bad},
+                split=True,
+            )
