@@ -627,23 +627,32 @@ FROM customer WHERE c_custkey % 100 = 0
 
 @q("remote_agg_pushdown")
 def _remote_agg_pushdown(d: str) -> str:
-    """Aggregation pushdown parity (SURVEY §2.3 A1-A2): the aggregate is
-    computed BY THE SERVER (shipped via the sql= option — the same wire
-    contract the reference's optimizer rewrite produces:
-    'SELECT <aggs> FROM (<orig>) AS _subq WHERE ...'), and the oracle
-    computes it locally; HUGEINT sum arrives as DECIMAL(38,0) and is
-    CAST to BIGINT (the §7.4 type-reconciliation rule)."""
+    """Aggregation pushdown parity (SURVEY §2.3 A1-A3): ONE gated row
+    pair hard-verifies BOTH server-side aggregation paths against the
+    oracle — 'single' = the whole aggregate computed by the server in
+    one stream (the reference's non-split optimizer rewrite,
+    'SELECT <aggs> FROM (<orig>) AS _subq WHERE ...'), 'split' = the
+    aggregate computed PER SPLIT on the server with Spark merging the
+    partials (the reference's split-mode pushdown, IsSplitSafe set).
+    Both must hash-match the oracle computing the same aggregate
+    locally; HUGEINT sums arrive as DECIMAL(38,0) and are CAST to
+    BIGINT (the §7.4 type-reconciliation rule)."""
     return (
-        "SELECT CAST(n AS BIGINT) AS n, CAST(sum_qty AS BIGINT) AS sum_qty,"
-        " min_price, max_price FROM (SELECT count(*) AS n,"
+        "WITH r AS (SELECT count(*) AS n,"
         " sum(CAST(l_quantity AS BIGINT)) AS sum_qty,"
         " min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price"
-        " FROM lineitem WHERE l_quantity < 25) t"
+        " FROM lineitem WHERE l_quantity < 25)"
+        " SELECT 'single' AS path, CAST(n AS BIGINT) AS n,"
+        " CAST(sum_qty AS BIGINT) AS sum_qty, min_price, max_price FROM r"
+        " UNION ALL"
+        " SELECT 'split' AS path, CAST(n AS BIGINT) AS n,"
+        " CAST(sum_qty AS BIGINT) AS sum_qty, min_price, max_price FROM r"
     )
 
 
 def _build_remote_agg_pushdown(spark, sf_dir: str):
     from ..sources import dd_read_arrow, register
+    from ..sources.arrow_http import dd_read_arrow_agg
 
     register(spark)
     srv = _server_for(sf_dir)
@@ -652,12 +661,32 @@ def _build_remote_agg_pushdown(spark, sf_dir: str):
         " min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price"
         " FROM (SELECT * FROM lineitem) AS _subq WHERE l_quantity < 25"
     )
-    scan = dd_read_arrow(spark, srv.url, sql=remote_sql)
-    return scan.selectExpr(
+    single = dd_read_arrow(spark, srv.url, sql=remote_sql).selectExpr(
+        "'single' AS path",
         "CAST(n AS BIGINT) AS n",
         "CAST(sum_qty AS BIGINT) AS sum_qty",  # HUGEINT -> DECIMAL(38,0) -> BIGINT
         "min_price", "max_price",
     )
+    split = dd_read_arrow_agg(
+        spark,
+        srv.url,
+        source_table="lineitem",
+        aggs={
+            "n": "count(*)",
+            "sum_qty": "sum(CAST(l_quantity AS BIGINT))",
+            "min_price": "min(l_extendedprice)",
+            "max_price": "max(l_extendedprice)",
+        },
+        where="l_quantity < 25",
+        split=True,
+        split_size=1 << 20,
+    ).selectExpr(
+        "'split' AS path",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(sum_qty AS BIGINT) AS sum_qty",
+        "min_price", "max_price",
+    )
+    return single.unionByName(split)
 
 
 @q("part_brand_stats")
