@@ -524,13 +524,15 @@ class ArrowHttpReader(DataSourceReader):
         for the SIGTERM/atexit sweeps (see the cancel-lifecycle block),
         and an early generator close fires /v1/cancel directly.
 
-        Endpoint failover: a split planned by the server may carry
-        several replica endpoints (split_info.hpp:20-37). Attempts
-        rotate through them — a dead or 5xx replica costs one attempt
-        and the next replica is tried immediately (no backoff while
-        untried replicas remain); each attempt uses a FRESH query id
-        and best-effort-cancels the abandoned one on the endpoint that
-        saw it."""
+        Endpoint failover + load spreading: a split planned by the
+        server may carry several replica endpoints (split_info.hpp:
+        20-37). Split i STARTS at replica i % n — N splits spread
+        evenly across the fleet instead of all hammering replica 0 —
+        and attempts then rotate: a dead or 5xx replica costs one
+        attempt and the next replica is tried immediately (no backoff
+        while untried replicas remain); each attempt uses a FRESH
+        query id and best-effort-cancels the abandoned one on the
+        endpoint that saw it."""
         import time
 
         import pyarrow as pa
@@ -543,11 +545,12 @@ class ArrowHttpReader(DataSourceReader):
         # server-side) and the failed attempt's id is cancelled
         # best-effort in case the server started executing it
         query_id = partition.query_id
-        endpoint = eps[0]
+        start = partition.value % len(eps)  # deterministic, retry-stable
+        endpoint = eps[start]
         resp = None
         last: Exception | None = None
         for attempt in range(attempts):
-            endpoint = eps[attempt % len(eps)]
+            endpoint = eps[(start + attempt) % len(eps)]
             url = _query_url(endpoint, partition.query, query_id)
             try:
                 resp = _open_stream(url, self.token, retries=1)

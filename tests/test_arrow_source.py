@@ -562,3 +562,31 @@ def test_filter_to_sql_serialization():
     # non-finite floats have no portable SQL literal -> stay local
     assert filter_to_sql(GreaterThan(("p",), float("inf"))) is None
     assert filter_to_sql(EqualTo(("p",), float("nan"))) is None
+
+
+def test_split_load_spreads_across_live_replicas(registered):
+    """Two LIVE replicas advertised per split: split i starts at
+    replica i % n, so a multi-split scan spreads its fetches across the
+    fleet instead of hammering endpoints[0] — while results stay
+    exactly equal to the direct scan."""
+    with ArrowTestServer({"orders": ORDERS}) as replica:
+        with ArrowTestServer(
+            {"orders": ORDERS}, extra_endpoints=[replica.url]
+        ) as primary:
+            split = dd_read_arrow(
+                registered, primary.url, source_table="orders",
+                split=True, split_size=64 * 300,
+            )
+            n_splits = split.rdd.getNumPartitions()
+            assert n_splits > 1
+            primary.queries.clear()
+            replica.queries.clear()
+            direct = _direct(registered, ORDERS)
+            assert sorted(map(tuple, split.collect())) == sorted(
+                map(tuple, direct.collect())
+            )
+            # both replicas actually served split data
+            p = [q for q in primary.queries if "hash(_b)" in q]
+            r = [q for q in replica.queries if "hash(_b)" in q]
+            assert p and r, (primary.queries, replica.queries)
+            assert len(p) + len(r) == n_splits
