@@ -598,6 +598,7 @@ def dd_read_arrow(
     split_size: int | None = None,
     columns: list[str] | None = None,
     select: list[str] | None = None,
+    schema=None,
 ):
     """DataFrame builder mirroring the table-function signature
     (read_arrow_dd.cpp:880-891).
@@ -609,11 +610,17 @@ def dd_read_arrow(
     Python DataSource API (Spark 4.1) exposes no column-pruning hook, so
     downstream ``.select(...)`` cannot derive this automatically — a
     narrow query over a wide remote table should always pass `select`.
+
+    `schema` (a StructType) skips the LIMIT-0 probe entirely — used when
+    the caller already knows the result schema (e.g. the split-mode
+    aggregation builder probes once and reuses it for every split).
     """
     if columns and select:
         raise ValueError("dd_read_arrow: pass `select` or `columns`, not both")
     columns = select or columns
     r = spark.read.format("dd_read_arrow").option("url", url)
+    if schema is not None:
+        r = r.schema(schema)
     if sql is not None:
         r = r.option("sql", sql)
     if source_table is not None:
@@ -784,9 +791,18 @@ def dd_read_arrow_agg(
 
     merges = {a: _split_safe_merge(a, e) for a, e in aggs.items()}
     plan = _fetch_plan(url, base, split_size, auth_token)
-    parts = [
-        dd_read_arrow(spark, url, sql=_agg_sql(s["query"]), auth_token=auth_token)
-        for s in plan
+    # probe the first split's schema once; every split's aggregate has
+    # the identical shape, so the remaining N-1 LIMIT-0 probes are
+    # skipped (one round trip instead of N)
+    first = dd_read_arrow(
+        spark, url, sql=_agg_sql(plan[0]["query"]), auth_token=auth_token
+    )
+    parts = [first] + [
+        dd_read_arrow(
+            spark, url, sql=_agg_sql(s["query"]), auth_token=auth_token,
+            schema=first.schema,
+        )
+        for s in plan[1:]
     ]
     partials = functools.reduce(lambda a, b: a.unionByName(b), parts)
     grouped = partials.groupBy(*keys) if keys else partials.groupBy()

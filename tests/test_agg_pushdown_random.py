@@ -204,6 +204,10 @@ def test_split_agg_partials_ran_server_side(registered, server):
     wire = [q for q in server.queries if "hash(_b)" in q]
     assert len(wire) >= 2, f"expected >=2 split queries, saw {server.queries}"
     assert all("count(*)" in q and "sum(o_totalprice)" in q for q in wire)
+    # schema is probed ONCE and reused across splits: exactly one
+    # LIMIT-0 round trip regardless of split count
+    probes = [q for q in server.queries if "LIMIT 0" in q]
+    assert len(probes) == 1, f"expected 1 schema probe, saw {probes}"
 
 
 def test_split_agg_rejects_unsafe_aggregates(registered, server):
