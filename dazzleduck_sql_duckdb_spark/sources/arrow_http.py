@@ -58,7 +58,6 @@ Usage::
 from __future__ import annotations
 
 import atexit
-import functools
 import json
 import random
 import re
@@ -385,6 +384,26 @@ def _like(attribute: tuple, pattern: str) -> str | None:
 # ------------------------------------------------------------ the source
 
 
+def _quote_key(k: str) -> str:
+    return '"' + k.strip().replace('"', '""') + '"'
+
+
+def _agg_wrap(
+    rel: str, select: str, where: str | None, group_by: list[str]
+) -> str:
+    """The reference's aggregation-pushdown rewrite template
+    (aggregation_pushdown.cpp:247-418): ``SELECT <aggs> FROM (<rel>)
+    AS _subq [WHERE ..] [GROUP BY ..]``. Applied per split in split
+    mode; the WHERE is idempotent there (the split plan is already
+    taken over the filtered relation)."""
+    out = f"SELECT {select} FROM ({rel}) AS _subq"
+    if where:
+        out += f" WHERE {where}"
+    if group_by:
+        out += " GROUP BY " + ", ".join(_quote_key(k) for k in group_by)
+    return out
+
+
 @dataclass
 class ArrowSplit(InputPartition):
     endpoint: str
@@ -436,14 +455,35 @@ class ArrowHttpDataSource(DataSource):
             raise ValueError("dd_read_arrow: `url` option is required")
         return url
 
+    def _agg_options(self) -> tuple[str, str | None, list[str]] | None:
+        """Split-mode aggregation pushdown options (set by
+        dd_read_arrow_agg): the partial-aggregate SELECT list, optional
+        WHERE, and GROUP BY keys. None when this is a plain scan."""
+        select = self.options.get("agg_select")
+        if not select:
+            return None
+        gb = self.options.get("agg_group_by")
+        return (
+            select,
+            self.options.get("agg_where") or None,
+            [k.strip() for k in gb.split(",")] if gb else [],
+        )
+
     def schema(self) -> StructType:
         """Cheap schema probe: LIMIT 0 wrapper, read only the Arrow schema
         message (vs the reference's full-result fetch at Bind,
-        read_arrow_dd.cpp:353-378)."""
+        read_arrow_dd.cpp:353-378). In split-agg mode the probe wraps
+        the aggregate over the WHOLE base relation — the identical
+        template every split runs over its slice, so one round trip
+        yields the schema shared by all N split partials."""
         import pyarrow as pa
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        probe = f"SELECT * FROM ({self._base_query()}) AS _subq LIMIT 0"
+        base = self._base_query()
+        agg = self._agg_options()
+        if agg is not None:
+            base = _agg_wrap(base, *agg)
+        probe = f"SELECT * FROM ({base}) AS _subq LIMIT 0"
         token = self.options.get("auth_token")
         with _open_stream(
             _query_url(self._url(), probe, _new_query_id()), token
@@ -461,20 +501,32 @@ class ArrowHttpDataSource(DataSource):
             token=self.options.get("auth_token"),
             split=str(self.options.get("split", "false")).lower() == "true",
             split_size=int(self.options.get("split_size", 0)) or None,
+            agg=self._agg_options(),
         )
 
 
 class ArrowHttpReader(DataSourceReader):
-    def __init__(self, url, base_query, token, split, split_size):
+    def __init__(self, url, base_query, token, split, split_size, agg=None):
         self.url = url
         self.base_query = base_query
         self.token = token
         self.split = split
         self.split_size = split_size
+        # split-agg mode: (select_list, where, group_keys) — each
+        # partition's query wraps its split in the aggregate template
+        self.agg = agg
         self.where: list[str] = []
 
     # -- pushdown ----------------------------------------------------
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        if self.agg is not None:
+            # split-agg mode: this scan yields PARTIAL aggregates that
+            # Spark still has to merge — a filter applied per split
+            # pre-merge would be wrong for any predicate over an
+            # aggregate output, so nothing is consumed here. (The
+            # caller's WHERE travels inside the agg template instead.)
+            yield from filters
+            return
         for f in filters:
             frag = filter_to_sql(f)
             if frag is None:
@@ -491,6 +543,8 @@ class ArrowHttpReader(DataSourceReader):
 
     # -- planning ----------------------------------------------------
     def partitions(self):
+        if self.agg is not None:
+            return self._agg_partitions()
         sql = self._effective_query()
         if not self.split:
             return [
@@ -504,6 +558,38 @@ class ArrowHttpReader(DataSourceReader):
                 endpoint=(s["endpoints"][0] if s["endpoints"] else self.url),
                 query=s["query"],
                 # fresh id per split (read_arrow_dd.cpp:457-466)
+                query_id=_new_query_id(),
+                producer_id=s["producer_id"],
+                split_size=s["split_size"],
+                query_checksum=s["query_checksum"],
+                value=i,
+                endpoints=tuple(s["endpoints"]) or (self.url,),
+            )
+            for i, s in enumerate(plan)
+        ]
+
+    def _agg_partitions(self):
+        """Split-mode aggregation pushdown: ONE scan relation whose
+        partitions each carry their split's rewritten aggregate SQL —
+        the exact mechanism the plain split scan uses, so the driver
+        plan holds a single source node regardless of split count
+        (1000 splits = 1000 InputPartitions, not 1000 unioned scans).
+
+        The split plan is taken over the FILTERED relation (base +
+        WHERE): a selective predicate shrinks the split count the same
+        way it shrinks the non-agg split path, instead of planning the
+        unfiltered base into many near-empty per-split queries.
+        Re-applying the WHERE inside the agg template per split stays
+        correct because the predicate is idempotent."""
+        select, where, group_by = self.agg
+        filtered = self.base_query
+        if where:
+            filtered = f"SELECT * FROM ({filtered}) AS _subq WHERE {where}"
+        plan = _fetch_plan(self.url, filtered, self.split_size, self.token)
+        return [
+            ArrowSplit(
+                endpoint=(s["endpoints"][0] if s["endpoints"] else self.url),
+                query=_agg_wrap(s["query"], select, where, group_by),
                 query_id=_new_query_id(),
                 producer_id=s["producer_id"],
                 split_size=s["split_size"],
@@ -696,6 +782,50 @@ def dd_read_arrow_narrow(
 _SPLIT_SAFE_FNS = ("count", "sum", "min", "max")  # IsSplitSafe set
 
 
+def _parse_single_agg(expr: str) -> tuple[str, bool] | None:
+    """Parse `expr` as EXACTLY one aggregate call ``fn(<args>)`` —
+    nothing before, nothing after — returning (fn_lower, is_distinct),
+    or None if the expression has any other shape.
+
+    The reference gates split safety structurally, per
+    BoundAggregateExpression (aggregation_pushdown.cpp:190-199), so a
+    compound expression like ``max(a) - min(a)`` or ``sum(a)+1`` can
+    never sneak through as "a max". A name-prefix regex could be fooled
+    by exactly those shapes (merging ``max(a)-min(a)`` partials with
+    MAX is silently wrong); this scanner requires the call's closing
+    parenthesis to be the last token, tracking paren depth and
+    single-quoted strings (so ``count(')')`` parses correctly)."""
+    s = expr.strip()
+    m = re.match(r"([A-Za-z_][A-Za-z_0-9]*)\s*\(", s)
+    if not m:
+        return None
+    depth, in_str, end = 0, False, -1
+    i = m.end() - 1
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    i += 1  # '' escape
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+        i += 1
+    if end < 0 or s[end + 1 :].strip():
+        return None  # unbalanced, or trailing tokens after the call
+    inner = s[m.end() : end]
+    distinct = re.match(r"\s*distinct\b", inner, re.IGNORECASE) is not None
+    return m.group(1).lower(), distinct
+
+
 def _split_safe_merge(alias: str, expr: str):
     """Spark-side merge function for a server-computed partial aggregate,
     or raise if the aggregate is not split-safe.
@@ -704,22 +834,30 @@ def _split_safe_merge(alias: str, expr: str):
     (aggregation_pushdown.cpp:190-199): only sum/count/count(*)/min/max
     merge across splits; ``avg`` and ``DISTINCT`` do not (a DISTINCT
     partial loses cross-split duplicates; an avg partial loses its
-    weight), and one unsafe aggregate fails the whole call — the
-    reference falls back to local execution there (:341-343), this
-    builder directs the caller to ``split=False`` (single-stream
-    server-side aggregation) which is contract-equivalent.
+    weight). The expression must BE a single aggregate call — compound
+    expressions (``max(a) - min(a)``, ``sum(a)+1``) are rejected even
+    when every function inside is individually safe, matching the
+    reference's per-BoundAggregateExpression structural check. One
+    unsafe aggregate fails the whole call — the reference falls back to
+    local execution there (:341-343), this builder directs the caller
+    to ``split=False`` (single-stream server-side aggregation) which is
+    contract-equivalent.
     """
     from pyspark.sql import functions as F
 
-    m = re.match(r"\s*([a-z_]+)\s*\(\s*(distinct\b)?", expr, re.IGNORECASE)
-    fn = m.group(1).lower() if m else None
-    if fn not in _SPLIT_SAFE_FNS or (m and m.group(2)):
+    parsed = _parse_single_agg(expr)
+    if (
+        parsed is None
+        or parsed[0] not in _SPLIT_SAFE_FNS
+        or parsed[1]
+    ):
         raise ValueError(
             f"dd_read_arrow_agg: `{alias}={expr}` is not split-safe "
-            "(split mode pushes only sum/count/min/max without DISTINCT, "
-            "the reference's IsSplitSafe set — use split=False for a "
-            "single-stream server-side aggregate)"
+            "(split mode pushes only a single sum/count/min/max call "
+            "without DISTINCT, the reference's IsSplitSafe set — use "
+            "split=False for a single-stream server-side aggregate)"
         )
+    fn = parsed[0]
     # count partials merge by SUM; sum/min/max merge by themselves
     return F.sum if fn in ("count", "sum") else getattr(F, fn)
 
@@ -759,9 +897,14 @@ def dd_read_arrow_agg(
     aggregate over its slice server-side, and Spark merges the partials
     (sum of sums/counts, min of mins, max of maxes) — the aggregation
     itself distributes across the server fleet instead of running in
-    one stream. Only split-safe aggregates are accepted; ``avg`` and
-    ``DISTINCT`` raise, directing the caller to ``split=False``
-    (the reference's fallback contract, expressed explicitly).
+    one stream. The partials arrive through ONE scan relation whose
+    InputPartitions each carry their split's rewritten aggregate SQL
+    (the same mechanism the plain split scan uses), so the driver-side
+    plan is O(1) in split count — a 1000-split fleet costs 1000 tasks,
+    not a 1000-ary union of scan nodes. Only split-safe aggregates are
+    accepted; ``avg`` and ``DISTINCT`` (and any compound expression)
+    raise, directing the caller to ``split=False`` (the reference's
+    fallback contract, expressed explicitly).
     """
     if bool(sql) == bool(source_table):
         raise ValueError(
@@ -772,39 +915,33 @@ def dd_read_arrow_agg(
     base = sql if sql else f"SELECT * FROM {source_table}"
     keys = list(group_by or [])
     select = ", ".join(
-        ['"' + k.replace('"', '""') + '"' for k in keys]
+        [_quote_key(k) for k in keys]
         + [f"{expr} AS {alias}" for alias, expr in aggs.items()]
     )
 
-    def _agg_sql(rel: str) -> str:
-        out = f"SELECT {select} FROM ({rel}) AS _subq"
-        if where:
-            out += f" WHERE {where}"
-        if keys:
-            out += " GROUP BY " + ", ".join(
-                '"' + k.replace('"', '""') + '"' for k in keys
-            )
-        return out
-
     if not split:
-        return dd_read_arrow(spark, url, sql=_agg_sql(base), auth_token=auth_token)
+        return dd_read_arrow(
+            spark, url, sql=_agg_wrap(base, select, where, keys),
+            auth_token=auth_token,
+        )
 
     merges = {a: _split_safe_merge(a, e) for a, e in aggs.items()}
-    plan = _fetch_plan(url, base, split_size, auth_token)
-    # probe the first split's schema once; every split's aggregate has
-    # the identical shape, so the remaining N-1 LIMIT-0 probes are
-    # skipped (one round trip instead of N)
-    first = dd_read_arrow(
-        spark, url, sql=_agg_sql(plan[0]["query"]), auth_token=auth_token
+    r = (
+        spark.read.format("dd_read_arrow")
+        .option("url", url)
+        .option("sql", base)
+        .option("split", "true")
+        .option("agg_select", select)
     )
-    parts = [first] + [
-        dd_read_arrow(
-            spark, url, sql=_agg_sql(s["query"]), auth_token=auth_token,
-            schema=first.schema,
-        )
-        for s in plan[1:]
-    ]
-    partials = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    if where:
+        r = r.option("agg_where", where)
+    if keys:
+        r = r.option("agg_group_by", ",".join(keys))
+    if auth_token:
+        r = r.option("auth_token", auth_token)
+    if split_size:
+        r = r.option("split_size", str(split_size))
+    partials = r.load()
     grouped = partials.groupBy(*keys) if keys else partials.groupBy()
     return grouped.agg(
         *[m(alias).alias(alias) for alias, m in merges.items()]

@@ -76,18 +76,17 @@ def registered(spark):
     return spark
 
 
-def _num_or_none(v):
-    if isinstance(v, Decimal):
-        return float(v)
-    return v
-
-
 def _cells_equal(a, b):
-    a, b = _num_or_none(a), _num_or_none(b)
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
+        # only genuinely float-valued cells (avg, DOUBLE columns) get a
+        # tolerance — association order makes them non-exact
         return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+    # exact integer aggregates (count/sum over ints) compare EXACTLY:
+    # int == Decimal is exact in Python, so a sum at 1e9+ scale where a
+    # float coercion would mask an off-by-one still fails loudly
+    assert isinstance(a, (int, str, Decimal)), type(a)
     return a == b
 
 
@@ -223,3 +222,96 @@ def test_split_agg_rejects_unsafe_aggregates(registered, server):
                 aggs={"n": "count(*)", **bad},
                 split=True,
             )
+
+
+def test_split_agg_rejects_compound_expressions(registered, server):
+    """The IsSplitSafe gate is STRUCTURAL (one aggregate call, nothing
+    else), like the reference's per-BoundAggregateExpression check —
+    'max(a) - min(a)' must not slip through as 'a max' and be merged
+    with MAX (silently wrong partials)."""
+    for bad in (
+        "max(o_totalprice) - min(o_totalprice)",
+        "sum(o_totalprice)+1",
+        "sum(o_totalprice)/sum(o_orderkey)",
+        "1 + count(*)",
+        "o_orderkey",
+    ):
+        with pytest.raises(ValueError, match="not split-safe"):
+            dd_read_arrow_agg(
+                registered,
+                server.url,
+                source_table="orders",
+                aggs={"b": bad},
+                split=True,
+            )
+
+
+def test_split_agg_accepts_nested_and_quoted_args(registered, server):
+    """Structural parse must still accept a single call whose ARGUMENT
+    contains parens or quoted strings: sum(coalesce(x, 0)) is one SUM."""
+    out = dd_read_arrow_agg(
+        registered,
+        server.url,
+        source_table="orders",
+        aggs={"s": "sum(coalesce(o_orderkey, 0))"},
+        split=True,
+        split_size=16384,
+    ).collect()
+    local = registered.sql(
+        f"SELECT sum(coalesce(o_orderkey, 0)) AS s FROM parquet.`{ORDERS}`"
+    ).collect()
+    assert _cells_equal(out[0]["s"], local[0]["s"])
+
+
+def test_split_agg_is_one_scan_relation(registered, server):
+    """Verdict-r3 directive: split-mode agg pushdown must ride ONE data
+    source whose partitions() carries each split's rewritten aggregate
+    SQL — not an N-ary union of per-split DataFrames. At a 1000-split
+    100 TB scan the union's O(n_splits) driver plan is the bottleneck;
+    one scan relation keeps plan size O(1) in split count."""
+    server.queries.clear()
+    df = dd_read_arrow_agg(
+        registered,
+        server.url,
+        source_table="orders",
+        aggs={"n": "count(*)", "s": "sum(o_totalprice)"},
+        split=True,
+        split_size=16384,
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, plan
+    assert plan.count("dd_read_arrow") == 1, plan
+    # and the partials still genuinely fan out: several split tasks
+    out = df.collect()
+    assert len(out) == 1
+    wire = [q for q in server.queries if "hash(_b)" in q]
+    assert len(wire) >= 2
+
+
+def test_split_agg_plans_filtered_relation(registered, server):
+    """The split plan is taken over base+WHERE, so a selective filter
+    shrinks the split count instead of planning the unfiltered base
+    into near-empty per-split round trips (advisor r3). o_orderkey<60
+    keeps ~15 of 1500 rows at sf0.001: the filtered estimate fits one
+    split at this split_size where the unfiltered base needs several."""
+    server.queries.clear()
+    out = dd_read_arrow_agg(
+        registered,
+        server.url,
+        source_table="orders",
+        aggs={"n": "count(*)", "mx": "max(o_totalprice)"},
+        where="o_orderkey < 60",
+        split=True,
+        split_size=16384,
+    ).collect()
+    local = registered.sql(
+        "SELECT count(*) AS n, max(o_totalprice) AS mx"
+        f" FROM parquet.`{ORDERS}` WHERE o_orderkey < 60"
+    ).collect()
+    assert _cells_equal(out[0]["n"], local[0]["n"])
+    assert _cells_equal(out[0]["mx"], local[0]["mx"])
+    wire = [q for q in server.queries if "hash(_b)" in q]
+    # filtered relation -> single split; each split query carries the
+    # WHERE both inside the planned slice and re-applied in the template
+    assert len(wire) == 1, wire
+    assert wire[0].count("o_orderkey < 60") >= 2, wire[0]
