@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def salted_join(
@@ -33,14 +34,22 @@ def salted_join(
     ``big.join(small, on, how)`` for inner/left joins."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
-    # deterministic pseudo-random salt per row (no rand(): keeps the
-    # plan reproducible and retry-safe — task retries must not re-salt)
+    # deterministic salt per row: xxhash64 over the ROW'S OWN columns —
+    # a pure function of the data, so it is retry-stable (a re-executed
+    # task salts identically; monotonically_increasing_id/rand are not,
+    # being partition-position dependent). Identical duplicate rows
+    # share a bucket — acceptable, since hot keys are hot via many
+    # DISTINCT payload rows; and even under re-salting the join result
+    # is correct regardless, because the small side carries every salt
+    # value (fully replicated).
+    hashable = [
+        f.name for f in big.schema.fields
+        if not isinstance(f.dataType, T.MapType)  # xxhash64 rejects maps
+    ] or [on]
     big_s = big.withColumn(
         "__salt",
-        F.pmod(
-            F.xxhash64(F.col(on), F.monotonically_increasing_id()),
-            F.lit(salt),
-        ).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt))
+        .cast("int"),
     )
     small_s = small.withColumn(
         "__salt",

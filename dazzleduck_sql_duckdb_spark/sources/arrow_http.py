@@ -750,8 +750,11 @@ def dd_read_arrow_narrow(
     ``plan_fn`` must be a pure DataFrame -> DataFrame function (it runs
     twice). Costs one extra LIMIT-0 schema probe for the rebuilt
     source; nothing is executed. Falls back to the unpruned plan when
-    every column is referenced or the JVM plan is unreachable (e.g.
-    Spark Connect)."""
+    every column is referenced — silently, since nothing was lost — or
+    when the JVM plan is unreachable (e.g. Spark Connect), LOUDLY via
+    ``warnings.warn``: a Connect caller would otherwise believe the
+    projection was pushed while full-width rows cross the wire; they
+    should pass ``select=`` explicitly there."""
     if options.get("select") or options.get("columns"):
         # caller already prunes by hand — nothing to derive
         return plan_fn(dd_read_arrow(spark, url, **options))
@@ -771,7 +774,18 @@ def dd_read_arrow_narrow(
                 walk(ch.apply(i))
 
         walk(plan)
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            "dd_read_arrow_narrow: cannot reach the optimized plan "
+            f"({type(e).__name__}: {e}) — likely Spark Connect, where "
+            "_jdf is unavailable. Serving the UNPRUNED remote scan; "
+            "pass select=[...] to dd_read_arrow to prune the wire "
+            "payload explicitly.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return downstream  # no py4j plan access — serve unpruned
     pruned = [c for c in wide.columns if c in needed]
     if not pruned or len(pruned) == len(wide.columns):

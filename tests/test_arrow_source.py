@@ -540,6 +540,35 @@ def test_narrow_helper_derives_pruned_remote_select(registered):
         assert ident.count() == _direct(registered, LINEITEM).count()
 
 
+def test_narrow_helper_warns_loudly_without_jvm_plan(registered):
+    """When the optimized plan is unreachable (Spark Connect: no _jdf),
+    the helper must NOT silently serve the unpruned scan — it warns so
+    the caller knows to pass select= explicitly (verdict r3 #7)."""
+    import warnings
+
+    from dazzleduck_sql_duckdb_spark.sources import dd_read_arrow_narrow
+
+    class NoJvmDF:
+        """Stands in for a Connect DataFrame: _jdf access raises."""
+
+        @property
+        def _jdf(self):
+            raise AttributeError("no JVM handle under Spark Connect")
+
+    sentinel = NoJvmDF()
+    with ArrowTestServer({"lineitem": LINEITEM}) as srv:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = dd_read_arrow_narrow(
+                registered, srv.url, lambda df: sentinel,
+                source_table="lineitem",
+            )
+        assert out is sentinel  # unpruned plan is still served
+        msgs = [str(w.message) for w in caught
+                if issubclass(w.category, RuntimeWarning)]
+        assert any("UNPRUNED" in m and "select=" in m for m in msgs), msgs
+
+
 def test_filter_to_sql_serialization():
     from pyspark.sql.datasource import (
         EqualTo,
