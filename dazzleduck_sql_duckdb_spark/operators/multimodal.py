@@ -7,11 +7,12 @@ process media without ever materializing a partition as Python objects
 row-by-row.
 
 The decode kernel is pluggable: ``decoder=`` takes any ``bytes ->
-np.ndarray`` callable. UNCOMPRESSED container formats are decoded for
-real, in pure numpy, with no codec library: PPM/PGM (netpbm P6/P5),
-BMP (24-bit BI_RGB), and WAV (PCM 8/16-bit) — see ``decode_media``.
-Compressed codec formats (jpeg/png/mp4/...) need PIL/ffmpeg, which are
-NOT available in this environment; for those the slot raises a
+np.ndarray`` callable. Decoded for REAL, with no external codec
+library: PPM/PGM (netpbm P6/P5), BMP (24-bit BI_RGB), WAV (PCM
+8/16-bit) in pure numpy, and PNG (8-bit gray/RGB/RGBA/palette, all
+five row filters) via stdlib ``zlib`` — see ``decode_media``. The
+remaining codec formats (jpeg/mp4/...) need PIL/ffmpeg, which are NOT
+available in this environment; for those the slot raises a
 clearly-marked NotImplementedError, and ``deterministic_fake_decoder``
 produces a seeded-by-content fake pixel array so the Spark-side
 plumbing — schema, batch shapes, partitioning, metadata propagation —
@@ -22,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -68,8 +70,9 @@ def stub_decoder(payload: bytes) -> np.ndarray:
 # Uncompressed container formats need only header parsing + frombuffer:
 # these are REAL decoders (golden-pixel tested), not stubs. They cover
 # the raw interchange formats a training pipeline's pre-decoded shards
-# actually use; entropy-coded formats (jpeg/png/h264) remain behind
-# stub_decoder because no codec library ships in this container.
+# actually use. PNG is also real — its DEFLATE stream decodes with
+# stdlib zlib (decode_png below); only formats whose entropy coders
+# live in external libraries (jpeg/h264) remain behind stub_decoder.
 
 
 def _pnm_header(payload: bytes) -> tuple[bytes, list[int], int]:
@@ -158,6 +161,117 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + dib + data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> channels
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 array, with REAL DEFLATE decode via stdlib zlib —
+    no external codec library needed (this is the one entropy-coded
+    format whose compression lives in the stdlib). Supports bit depth
+    8, color types 0 (gray -> (h,w)), 2 (RGB -> (h,w,3)), 3 (palette
+    -> (h,w,3)), 4 (gray+alpha -> (h,w,2)), 6 (RGBA -> (h,w,4)),
+    non-interlaced; all five row filters (none/sub/up/average/paeth,
+    RFC 2083 §6) are unfiltered."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, n = len(_PNG_SIG), len(payload)
+    ihdr = palette = None
+    idat = bytearray()
+    while i + 8 <= n:
+        (ln,), typ = struct.unpack_from(">I", payload, i), payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            "only 8-bit non-interlaced PNG supported "
+            f"(depth={depth} interlace={interlace})"
+        )
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    bpp = _PNG_CHANNELS[ctype]  # bytes/pixel == channels at depth 8
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 2:  # Up — fully vectorized
+            row = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth recur on the just-reconstructed left
+            # neighbor -> sequential in x (vector across channels only).
+            # Fine here: pixel loops are tiny vs the zlib inflate, and
+            # this runs inside an Arrow-batched mapInPandas worker.
+            for x in range(0, stride, bpp):
+                left = row[x - bpp : x] if x else np.zeros(bpp, np.int64)
+                up = prev[x : x + bpp]
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = (
+                        prev[x - bpp : x] if x else np.zeros(bpp, np.int64)
+                    )
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, ul),
+                    )
+                row[x : x + bpp] = (row[x : x + bpp] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = row
+        prev = row
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return palette[out.reshape(h, w)]
+    return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, bpp)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 (h,w) gray / (h,w,3) RGB / (h,w,4) RGBA -> PNG bytes
+    (filter 0 rows, one zlib-deflated IDAT; round-trips decode_png)."""
+    a = np.asarray(img, dtype=np.uint8)
+    h, w = a.shape[:2]
+    ch = 1 if a.ndim == 2 else a.shape[2]
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + typ + body + struct.pack(">I", crc)
+
+    raster = a.reshape(h, w * ch)
+    raw = b"".join(b"\x00" + raster[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(payload: bytes) -> np.ndarray:
     """RIFF/WAVE PCM (8- or 16-bit) -> (n_frames, n_channels) float32
     in [-1, 1]. Walks the chunk list (fmt /data can be preceded by
@@ -219,6 +333,7 @@ REAL_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "pgm": decode_ppm,
     "bmp": decode_bmp,
     "wav": decode_wav,
+    "png": decode_png,
 }
 
 

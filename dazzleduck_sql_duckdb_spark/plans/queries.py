@@ -2538,6 +2538,25 @@ def _build_media_keys(spark, sf_dir: str):
 # payload starts with; total payload = 11 + 192 raster bytes = 203
 _PPM_HDR_HEX = "P6\n8 8\n255\n".encode().hex().upper()
 
+# DuckDB mirror of extract_features' pooling over an 8x8x3 raster whose
+# bytes are `rh` (384 uppercase hex chars = 192 bytes): for each of the
+# 16 chunks, the EXACT integer sum of its 12 bytes, '|'-joined. The
+# Spark side rescales each float32 chunk-mean m to round(m*12), which
+# provably recovers the integer sum for sums <= 3060.
+_CHUNK_SUMS_ORACLE = """array_to_string(list_transform(
+    list_transform(range(0, 16), j ->
+      list_sum(list_transform(range(0, 12), i ->
+        (strpos('0123456789ABCDEF',
+                substr(rh, CAST(j*12+i AS INT)*2 + 1, 1)) - 1) * 16
+        + strpos('0123456789ABCDEF',
+                 substr(rh, CAST(j*12+i AS INT)*2 + 2, 1)) - 1
+      ))), s -> CAST(s AS VARCHAR)), '|')"""
+
+# Spark twin: float32 chunk-mean -> exact integer byte sum
+_CHUNK_SUMS_SPARK = (
+    "concat_ws('|', transform(feature, x -> CAST(round(x * 12) AS INT)))"
+)
+
 
 @q("multimodal_features")
 def _media_features_q(d: str) -> str:
@@ -2571,14 +2590,7 @@ WITH hexed AS (
 )
 SELECT media_id, 'image' AS kind, CAST(203 AS BIGINT) AS n_bytes,
   sha256(lower('{_PPM_HDR_HEX}' || rh)) AS payload_sha,
-  array_to_string(list_transform(
-    list_transform(range(0, 16), j ->
-      list_sum(list_transform(range(0, 12), i ->
-        (strpos('0123456789ABCDEF',
-                substr(rh, CAST(j*12+i AS INT)*2 + 1, 1)) - 1) * 16
-        + strpos('0123456789ABCDEF',
-                 substr(rh, CAST(j*12+i AS INT)*2 + 2, 1)) - 1
-      ))), s -> CAST(s AS VARCHAR)), '|') AS feature
+  {_CHUNK_SUMS_ORACLE} AS feature
 FROM hexed
 """
 
@@ -2620,11 +2632,72 @@ def _build_media_features(spark, sf_dir: str):
             "n_bytes",
             "payload_sha",
             # float32 chunk-mean -> exact integer byte sum (see oracle)
-            F.expr(
-                "concat_ws('|',"
-                " transform(feature, x -> CAST(round(x * 12) AS INT)))"
-            ).alias("feature"),
+            F.expr(_CHUNK_SUMS_SPARK).alias("feature"),
         )
+    )
+
+
+@q("multimodal_png_features")
+def _png_features_q(d: str) -> str:
+    """HASH-GATED end-to-end PNG pipeline (verdict r3 #4): per doc the
+    Spark side packs the first 192 text bytes (zero-padded) into an
+    8x8x3 raster, ENCODES it as a real PNG (stdlib zlib DEFLATE) in one
+    mapInPandas stage, DECODES it with decode_png (chunk walk, inflate,
+    row unfiltering) in the feature stage, and pools chunk sums. The
+    zlib-compressed payload bytes themselves are codec-dependent, so
+    n_bytes/sha stay out of this gate (the PPM twin pins payload
+    bytes); the DECODED pixels are deterministic byte arithmetic the
+    oracle mirrors exactly — any corruption across encode->deflate->
+    inflate->unfilter->pool breaks the hash."""
+    return f"""
+WITH hexed AS (
+  SELECT doc_id AS media_id,
+         rpad(substr(upper(hex(encode(text))), 1, 384), 384, '0') AS rh
+  FROM documents
+)
+SELECT media_id, 'image' AS kind,
+  {_CHUNK_SUMS_ORACLE} AS feature
+FROM hexed
+"""
+
+
+def _build_png_features(spark, sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import (
+        decode_png, encode_png, extract_features,
+    )
+
+    raw = spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.expr("rpad(encode(text, 'UTF-8'), 192, X'00')").alias("raster"),
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    np.frombuffer(bytes(r), np.uint8).reshape(8, 8, 3)
+                )
+                for r in pdf["raster"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                }
+            )
+
+    media = raw.mapInPandas(
+        encode, schema="media_id BIGINT, kind STRING, payload BINARY"
+    )
+    feats = extract_features(media, decoder=decode_png)
+    return feats.select(
+        "media_id", "kind", F.expr(_CHUNK_SUMS_SPARK).alias("feature")
     )
 
 
@@ -2635,6 +2708,7 @@ SPARK_BUILDERS.update(
         "skew_salted_join_agg": _build_skew_salted,
         "multimodal_media_keys": _build_media_keys,
         "multimodal_features": _build_media_features,
+        "multimodal_png_features": _build_png_features,
         "remote_scan_split_agg": _build_remote_scan_split_agg,
         "remote_scan_filter_pushdown": _build_remote_scan_filter,
         "remote_splits_plan": _build_remote_splits,
