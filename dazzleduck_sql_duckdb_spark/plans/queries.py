@@ -2759,77 +2759,70 @@ def oracle_sql_for(name: str) -> str:
 # ------------------------------------------------------------ gate order
 #
 # The driver's correctness gate covers the FIRST 50 catalog entries.
-# Round-3 window goal: after this round, EVERY catalog entry has a
-# driver verdict from round 2 or 3 — i.e. post the r2 nanos->micros
-# events migration — with zero never-gated and zero stale rows.
-# Composition: (a) the 6 entries never gated in r1/r2, (b) the entries
-# added or changed this round, (c) the 8 events entries whose only
-# verdict predates the micros migration, (d) every remaining r1-only
-# entry, (e) one r2-green canary per operator family. Entries past the
-# window are r2-green and stay pinned by tests/ + tools/check_parity.py.
+# Round-4 window goal: re-gate (a) every entry CHANGED this round and
+# (b) every entry whose latest verdict is r2 (the 41 entries outside
+# the r3 window — r3 proved them unchanged-green, but freshness decays)
+# plus (c) canaries for the r4-touched mechanisms. Entries outside this
+# window all carry r3-green verdicts and stay pinned by tests/ +
+# tools/check_parity.py.
 
 _GATE_WINDOW = [
-    # -- (a) never gated in r1/r2
-    "dd_version",
-    "dedup_canonical_corpus",
-    "simhash_values",
-    "text_token_stats",
-    "remote_splits_plan",
-    "multimodal_features",
-    # -- (b) added/changed this round: new recall gate; probed/fullprobe
-    #    share the spill-capable IVF path; string_functions' oracle
-    #    gained the empty-array coalesce; text_repetition's Spark path
-    #    was rewritten per-row/zero-shuffle (displaces the
-    #    bloom_no_false_negatives canary — r2-green, unchanged, and
-    #    locally pinned by a hypothesis never-false-negative law)
-    "embed_ann_recall",
-    "embed_ann_ivf_probed",
-    "embed_ann_ivf_fullprobe",
-    "string_functions",
-    "text_repetition",
-    # -- (c) events entries gated only in r1, pre-micros-migration
-    "events_count_distinct",
-    "events_json_extract",
-    "events_sessionize",
-    "events_sessionize_native",
-    "events_type_pivot",
-    "events_funnel",
-    "events_view_click_attribution",
-    "events_grouping_sets",
-    # -- (d) every remaining r1-only entry
-    "lineitem_count",
-    "lineitem_sum_orderkey",
-    "lineitem_full_scan",
-    "lineitem_point_filter",
+    # -- (a) changed in round 4
+    "remote_agg_pushdown",      # split path: single scan relation
+    "remote_splits_plan",       # newly hash-gated (was no_oracle)
+    "multimodal_features",      # newly hash-gated (was no_oracle)
+    "multimodal_png_features",  # NEW: stdlib-zlib PNG pipeline
+    "skew_salted_join_agg",     # deterministic xxhash64 row salt
+    # -- (b) latest verdict is r2 — refresh all 41
+    "q6_revenue",
+    "orders_global_aggs",
+    "orders_group_agg",
+    "join_region_rollup",
+    "events_hourly_rollup",
+    "orders_rollup",
+    "supplier_nation_join",
+    "customer_orders_left_join",
+    "orders_running_totals",
+    "q3_shipping_priority",
+    "q5_regional_volume",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_disjunctive_join",
+    "dd_search_marker",
+    "bloom_no_false_negatives",
+    "dedup_exact",
+    "dedup_simhash",
+    "ngram_jaccard_sampled",
+    "embed_knn_bruteforce",
+    "embed_cosine_neardup",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "docs_length_quantiles",
+    "pipeline_clean_corpus",
+    "docs_shard_assignment",
+    "cross_source_contamination",
+    "corpus_top_terms",
+    "text_tfidf_topk",
+    "remote_scan_filter_pushdown",
+    "remote_login_scan",
+    "embed_neardup_lsh",
+    "docs_stratified_sample",
+    "pack_sequences",
+    "text_redact_pii",
+    "events_activity_range_join",
+    "multimodal_media_keys",
+    # -- (c) r3-green canaries re-verifying r4-touched mechanisms:
+    #    remote split scan (shares the partitions() path the agg mode
+    #    now rides), projection pushdown, the decimal q1 flagship, and
+    #    the two heaviest dedup pipelines
+    "remote_scan_split_agg",
     "lineitem_projection",
-    "lineitem_range_filter",
-    "lineitem_date_filter_count",
-    "null_laws",
-    "empty_set_laws",
-    "order_by_limit",
-    "distinct_rows",
-    "cte_union_all",
-    "scalar_subquery_filter",
-    "semi_anti_join",
-    "window_topk_per_group",
-    "orders_set_ops",
-    "orders_cube",
-    "cast_matrix",
-    "try_cast_matrix",
-    "remote_agg_pushdown",
-    "part_brand_stats",
-    "nation_presence_full_join",
-    "q4_order_priority",
-    "dd_array_contains_all",
-    "dd_array_contains_all_fn",
-    # -- (e) r2-green family canaries (q1 also re-verifies the decimal
-    #    accumulation-width work this round)
     "q1_pricing_summary",
     "dedup_minhash_lsh",
     "dedup_components",
-    "remote_scan_split_agg",
-    "bucketed_join_rollup",
-    "events_orders_asof_join",
+    "dedup_canonical_corpus",
 ]
 
 
