@@ -160,6 +160,7 @@ def minhash_neardup_pairs(
     b: list[int],
     bands: int,
     threshold_pct: int = 85,
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs at shingle-Jaccard >= threshold within block.
 
@@ -168,6 +169,22 @@ def minhash_neardup_pairs(
       both the signature and the verify paths) -> numpy minhash
       signatures -> explode bands -> self-join on (band, key, block)
       -> distinct candidates -> exact set-Jaccard verify on int arrays.
+
+    ``max_bucket_docs`` is the 100 TB hot-bucket guard: a band bucket
+    holding B docs emits B^2/2 candidate pairs, so one boilerplate
+    cluster (cookie banners, licence headers, templated pages — or a
+    corpus whose BASELINE pairwise Jaccard is high) turns the verify
+    join quadratic regardless of banding. Measured: a 500k-doc corpus
+    drawn from a 31-token vocabulary (baseline J ~ 0.4) spilled >80 GB
+    in the verify SMJ and filled local disk. With a cap, buckets larger
+    than ``max_bucket_docs`` are dropped BEFORE the self-join (one
+    map-side-combinable count + broadcast anti-join), bounding
+    candidates at bands * n * cap / 2. Semantics: a pair is missed only
+    if EVERY band bucket it shares is oversized — for genuine near-dups
+    (J >= 0.85 matches ~10 of 16 bands in expectation) that means the
+    pair sits inside a mega-cluster, exactly the case handled by the
+    dedicated boilerplate path (cluster the oversized buckets' members
+    directly). Default None = exact contract, no pair ever missed.
     """
     # Widen narrow inputs before the per-row shingle/signature compute:
     # a small parquet file (single row group) scans as ONE task, which
@@ -195,6 +212,17 @@ def minhash_neardup_pairs(
     bands_df = staged.select(
         "doc_id", "blk", F.explode("bkeys").alias("bkey")
     )
+    if max_bucket_docs is not None:
+        oversized = (
+            bands_df.groupBy("blk", "bkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_docs)
+            .select("blk", "bkey")
+        )
+        # oversized-bucket list is tiny by construction -> broadcast
+        bands_df = bands_df.join(
+            F.broadcast(oversized), ["blk", "bkey"], "left_anti"
+        )
     x, y = bands_df.alias("x"), bands_df.alias("y")
     cand = (
         x.join(

@@ -77,6 +77,49 @@ def test_minhash_blocking_disabled(spark):
     assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
 
 
+def test_minhash_hot_bucket_cap(spark):
+    """max_bucket_docs drops oversized band buckets before the self-join
+    (the boilerplate guard). An identical-text mega-cluster floods every
+    bucket it touches; with a cap below the cluster size its pairs
+    vanish (they were only reachable through oversized buckets), while a
+    pair OUTSIDE the cluster — whose buckets stay small — is unaffected.
+    A cap above every bucket size must change nothing."""
+    rng = random.Random(21)
+    boiler = " ".join(f"word{rng.randrange(1000)}" for _ in range(60))
+    other = " ".join(f"term{rng.randrange(1000)}" for _ in range(60))
+    other_near = other[:-8]
+    rows = [(i, "en", boiler) for i in range(1, 9)]  # 8-doc mega-cluster
+    rows += [(100, "en", other), (101, "en", other_near)]
+    df = spark.createDataFrame(rows, schema=SCHEMA)
+    a = [rng.randrange(1, 2**31 - 1) for _ in range(128)]
+    b = [rng.randrange(0, 2**31 - 1) for _ in range(128)]
+    kw = dict(a=a, b=b, bands=32, threshold_pct=85)
+
+    uncapped = {
+        (p.doc_a, p.doc_b)
+        for p in minhash_neardup_pairs(df, **kw).collect()
+    }
+    assert (100, 101) in uncapped
+    assert sum(1 for x, y in uncapped if x < 100) == 8 * 7 // 2
+
+    capped = {
+        (p.doc_a, p.doc_b)
+        for p in minhash_neardup_pairs(
+            df, max_bucket_docs=4, **kw
+        ).collect()
+    }
+    assert capped == {(100, 101)}  # cluster dropped, small pair kept
+    assert capped <= uncapped
+
+    high_cap = {
+        (p.doc_a, p.doc_b)
+        for p in minhash_neardup_pairs(
+            df, max_bucket_docs=1000, **kw
+        ).collect()
+    }
+    assert high_cap == uncapped
+
+
 def test_simhash_pigeonhole_equals_bruteforce(spark, tables):
     """The chunk-blocked SimHash pair set must equal the brute-force pair
     set — recall is exactly 100% by pigeonhole (4 chunks, hamming<=3)."""

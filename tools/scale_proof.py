@@ -3,9 +3,10 @@
     python tools/scale_proof.py [--small N] [--big N]
 
 Generates two synthetic documents/embeddings sets that mimic the driver
-testdata's structure (same 31-token vocabulary, 10-100-token docs,
-lang/source mix, planted exact+near duplicate clusters at the observed
-~0.5% density; unit-norm 64-d embeddings, 10 labels) at two sizes
+testdata's structure (10-100-token docs over a Zipf vocabulary — see
+VOCAB_SIZE for why a LARGE vocab is load-bearing — lang/source mix,
+planted exact+near duplicate clusters at the observed ~0.5% density;
+unit-norm 64-d embeddings, 10 labels) at two sizes
 (default 5k and 50k docs — the sf0.1 and sf1 equivalents), runs each
 pipeline at both sizes on the same local session, and prints the
 per-pipeline scaling exponent  e = log(t_big/t_small) / log(N_big/
@@ -30,24 +31,36 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-VOCAB = [
-    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
-    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
-    "order", "part", "query", "row", "scan", "slow", "small", "sort",
-    "spark", "stream", "table", "the", "value", "vector", "window",
-]
 LANGS = ["en", "de", "es", "fr", "zh"]
 LANG_P = [0.4, 0.15, 0.15, 0.15, 0.15]
+
+# Zipf-distributed synthetic vocabulary. Round 3 used the driver
+# testdata's 31-token vocabulary; at 500k docs that made the corpus
+# pathologically SELF-SIMILAR — baseline pairwise shingle-Jaccard ~0.4,
+# so essentially every pair became an LSH band-bucket candidate and the
+# verify join went quadratic (>80 GB SMJ spill, local disk full). That
+# measures the data's degeneracy, not the pipeline's scaling: the
+# proof's control variable is per-doc duplicate density (planted, held
+# constant), which requires the BASELINE Jaccard of unrelated docs to
+# stay low, as it is in any real corpus. A 20k-token Zipf(1.1) vocab
+# gives realistic token sharing with low baseline shingle overlap.
+VOCAB_SIZE = 20_000
 
 
 def gen_documents(n: int, out: str, seed: int = 42) -> None:
     rng = np.random.default_rng(seed)
-    texts: list[str] = []
+    vocab = np.array([f"tok{i}" for i in range(VOCAB_SIZE)])
+    p = 1.0 / np.arange(1, VOCAB_SIZE + 1) ** 1.1
+    p /= p.sum()
     langs = list(rng.choice(LANGS, size=n, p=LANG_P))
     sources = [f"src{int(i)}" for i in rng.integers(0, 20, size=n)]
-    for _ in range(n):
-        ln = int(rng.integers(10, 101))
-        texts.append(" ".join(rng.choice(VOCAB, size=ln)))
+    lens = rng.integers(10, 101, size=n)
+    draws = rng.choice(VOCAB_SIZE, size=int(lens.sum()), p=p)
+    texts: list[str] = []
+    off = 0
+    for ln in lens:
+        texts.append(" ".join(vocab[draws[off : off + int(ln)]]))
+        off += int(ln)
     # plant duplicate structure at the driver-testdata density:
     # ~0.2% exact-dup pairs, ~0.4% near-dup pairs (1-2 token edits)
     n_exact, n_near = max(1, n // 500), max(1, n // 250)
@@ -60,7 +73,7 @@ def gen_documents(n: int, out: str, seed: int = 42) -> None:
         toks = texts[a].split()
         for _ in range(int(rng.integers(1, 3))):
             toks[int(rng.integers(0, len(toks)))] = str(
-                rng.choice(VOCAB)
+                vocab[int(rng.integers(0, VOCAB_SIZE))]
             )
         texts[b] = " ".join(toks)
         langs[b] = langs[a]
@@ -158,11 +171,17 @@ def build_relational_big(src_dir: str, out_dir: str, copies: int = 10) -> None:
         if os.path.exists(out):
             continue
         print(f"# replicating {fname} x{copies}", file=sys.stderr)
-        parts = [shifted(tbl, shifts, i) for i in range(copies)]
-        pq.write_table(
-            pa.concat_tables(parts), out,
-            row_group_size=max(len(tbl), 1),
-        )
+        # stream one shifted copy at a time (a 100x replication held
+        # fully in memory via concat_tables would be tens of GB)
+        writer = pq.ParquetWriter(out, tbl.schema)
+        try:
+            for i in range(copies):
+                writer.write_table(
+                    shifted(tbl, shifts, i),
+                    row_group_size=max(len(tbl), 1),
+                )
+        finally:
+            writer.close()
     for t in ["region", "nation", "supplier", "part",
               "documents", "embeddings"]:
         src = os.path.join(src_dir, f"{t}.parquet")
@@ -193,32 +212,51 @@ def run_at(spark, sf_dir: str, names: list[str] | None = None
             ).save()
             if not is_warm:
                 out[name] = round(time.perf_counter() - t0, 3)
+        # localCheckpoint RDD blocks (the iterative pipelines) are only
+        # released by ContextCleaner after JVM GC of their references;
+        # without this nudge a multi-size session ACCUMULATES tens of GB
+        # of blockmgr spill across runs and can fill local disk at the
+        # big size (observed at 500k docs) — same hygiene as bench.py
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        print(f"# {name} @ {sf_dir}: {out[name]}s", file=sys.stderr)
     return out
 
 
-def main_relational() -> int:
-    """10x key-shifted relational scale-proof over the heaviest
-    join/window/aggregation entries."""
+def main_relational(c_small: int = 1, c_big: int = 10) -> int:
+    """Key-shifted relational scale-proof over the heaviest
+    join/window/aggregation entries, comparing a c_small-x vs c_big-x
+    replication of the base sf dir (c=1 means the base itself).
+    --rel-small 10 --rel-big 100 measures the sf1 -> sf10 decade,
+    where fixed per-query overhead stops masking the data terms."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    big_dir = os.path.join(root, ".scale", "rel10")
-    build_relational_big(src, big_dir, copies=10)
+
+    def rel_dir(copies: int) -> str:
+        if copies <= 1:
+            return src
+        d = os.path.join(root, ".scale", f"rel{copies}")
+        build_relational_big(src, d, copies=copies)
+        return d
+
+    small_dir, big_dir = rel_dir(c_small), rel_dir(c_big)
 
     from dazzleduck_sql_duckdb_spark.session import get_spark
 
     spark = get_spark(app_name="scale_proof_rel")
-    t_small = run_at(spark, src, RELATIONAL)
+    t_small = run_at(spark, small_dir, RELATIONAL)
     t_big = run_at(spark, big_dir, RELATIONAL)
-    print("\n| query | t(sf0.1) s | t(10x) s | exponent |")
+    ratio = c_big / c_small
+    print(f"\n| query | t({c_small}x) s | t({c_big}x) s | exponent |")
     print("|---|---|---|---|")
     for name in RELATIONAL:
         a, b = t_small[name], t_big[name]
-        e = math.log(b / a) / math.log(10.0) if a > 0 else float("nan")
+        e = math.log(b / a) / math.log(ratio) if a > 0 else float("nan")
         print(f"| {name} | {a:.2f} | {b:.2f} | {e:.2f} |")
     print(
-        "\n(10x key-shifted replication of lineitem/orders/customer;"
-        " exponent 1.0 = linear. Sub-linear = fixed per-query overhead"
-        " still dominates at sf0.1.)"
+        f"\n({ratio:.0f}x key-shifted replication of lineitem/orders/"
+        "customer/events; exponent 1.0 = linear. Sub-linear = fixed"
+        " per-query overhead still dominates at the small size.)"
     )
     return 0
 
@@ -228,7 +266,15 @@ def main() -> int:
     big = 50_000
     args = sys.argv[1:]
     if "--relational" in args:
-        return main_relational()
+        cs = (
+            int(args[args.index("--rel-small") + 1])
+            if "--rel-small" in args else 1
+        )
+        cb = (
+            int(args[args.index("--rel-big") + 1])
+            if "--rel-big" in args else 10
+        )
+        return main_relational(cs, cb)
     if "--small" in args:
         small = int(args[args.index("--small") + 1])
     if "--big" in args:
@@ -238,7 +284,7 @@ def main() -> int:
     base = os.path.join(root, ".scale")
     dirs = {}
     for label, n in [("small", small), ("big", big)]:
-        d = os.path.join(base, label)
+        d = os.path.join(base, f"docs{n}")  # size-keyed: no stale reuse
         os.makedirs(d, exist_ok=True)
         docs, embs = os.path.join(d, "documents.parquet"), os.path.join(
             d, "embeddings.parquet"
