@@ -74,6 +74,43 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _partition_local_topk(
+    scored: DataFrame, query_id_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Map-side top-k: inside EACH partition of the scored-candidates
+    stream, keep only the k best rows per query (same (sim desc, id
+    asc) order as the final window), with a bounded carry compacted
+    batch-by-batch. No shuffle is introduced — mapInPandas runs on the
+    input's existing partitioning — so the global top-k window that
+    follows sorts at most n_partitions * n_queries * k rows instead of
+    the full candidate stream. Without this, a 625M-row candidate set
+    (250k vectors x 2500 queries, full probe) funneled straight into
+    one row_number window — a single straggler task sorting for >15
+    minutes; the window is exact either way, this just prunes what it
+    has to sort. The classic tree-aggregated top-k."""
+    schema = scored.schema
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            combined = (
+                pdf if carry is None
+                else pd.concat([carry, pdf], ignore_index=True)
+            )
+            carry = (
+                combined.sort_values(
+                    ["sim", id_col], ascending=[False, True],
+                    kind="mergesort",
+                )
+                .groupby(query_id_col, sort=False)
+                .head(k)
+            )
+        if carry is not None and len(carry):
+            yield carry
+
+    return scored.mapInPandas(run, schema=schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -104,16 +141,17 @@ def cosine_topk(
     )
     joined = e.join(F.broadcast(q), cond)
     fold_dot = make_fold_dot_udf()
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        fold_dot(F.col("__qe"), F.col(vec_col)).alias("sim"),
+    )
+    local = _partition_local_topk(scored, query_id_col, id_col, k)
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("sim"), F.col(id_col)
     )
     return (
-        joined.select(
-            query_id_col,
-            id_col,
-            fold_dot(F.col("__qe"), F.col(vec_col)).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(w))
+        local.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
     )
@@ -305,13 +343,17 @@ def ann_ivf_topk(
     if spill > 1:
         # the same (query, candidate) pair surfaces once per shared
         # spilled cell with an IDENTICAL sim — dedup AFTER scoring, so
-        # only (id, id, double) rows reach the exchange, never vectors
+        # only (id, id, double) rows reach the exchange, never vectors.
+        # (Duplicates would also survive map-side pruning: identical
+        # rows rank adjacently, so the local-top-k cutoff stays exact
+        # after this dedup.)
         scored = scored.groupBy(query_id_col, id_col).agg(
             F.max("sim").alias("sim")
         )
+    local = _partition_local_topk(scored, query_id_col, id_col, k)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        local.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
     )
