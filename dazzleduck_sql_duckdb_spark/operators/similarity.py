@@ -74,41 +74,140 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-def _partition_local_topk(
-    scored: DataFrame, query_id_col: str, id_col: str, k: int
-) -> DataFrame:
-    """Map-side top-k: inside EACH partition of the scored-candidates
-    stream, keep only the k best rows per query (same (sim desc, id
-    asc) order as the final window), with a bounded carry compacted
-    batch-by-batch. No shuffle is introduced — mapInPandas runs on the
-    input's existing partitioning — so the global top-k window that
-    follows sorts at most n_partitions * n_queries * k rows instead of
-    the full candidate stream. Without this, a 625M-row candidate set
-    (250k vectors x 2500 queries, full probe) funneled straight into
-    one row_number window — a single straggler task sorting for >15
-    minutes; the window is exact either way, this just prunes what it
-    has to sort. The classic tree-aggregated top-k."""
-    schema = scored.schema
+# The evaluation-sample guard: both top-k operators ship the query set
+# into the scoring kernel's closure (the same bounded-driver-state
+# pattern as IVF centroids). A query set past this size is not an
+# evaluation sample and should be chunked by the caller.
+MAX_CLOSURE_QUERIES = 200_000
+
+
+def _fold_scores(V: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(b x dim) corpus block x (nq x dim) queries -> (b x nq) dots with
+    the SEQUENTIAL fold's float semantics: for every pair, acc_0 = 0.0,
+    acc_{j+1} = acc_j + v_j * q_j in IEEE double, left to right — the
+    exact operation order of the SQL twin's list fold, so results are
+    bit-identical to it and the DuckDB oracle hashes hold. Accumulating
+    one dimension at a time over the whole (b x nq) block keeps that
+    order while doing b*nq FMAs per step in vectorized numpy — the
+    blocked-matmul cost profile without matmul's pairwise-summation
+    float drift."""
+    S = np.zeros((V.shape[0], Q.shape[0]), dtype=np.float64)
+    for j in range(V.shape[1]):
+        S += np.outer(V[:, j], Q[:, j])
+    return S
+
+
+def _make_topk_scorer(
+    qids: np.ndarray,
+    Q: np.ndarray,
+    k: int,
+    *,
+    id_col: str,
+    query_id_col: str,
+    exclude_self: bool,
+    cell_to_q: dict | None = None,
+):
+    """mapInPandas kernel: score a corpus partition against the closure
+    query matrix and emit the partition-local exact top-k per query.
+
+    Per batch: block-fold scores, per-query k-th-value cut via
+    np.partition (ties at the boundary are kept and resolved exactly in
+    the pandas compaction, which sorts by (sim desc, id asc) — the
+    final window's total order), then the bounded carry is compacted.
+    With `cell_to_q`, each corpus row is scored only against the
+    queries probing its cell (the IVF candidate structure) — the rows
+    arrive pre-exploded by cell, so a spilled vector scores once per
+    indexed cell and duplicates are dropped in the compaction. Output
+    is at most n_queries * k rows (+ boundary ties pre-compaction) per
+    partition: the global top-k window sorts thousands of rows, not
+    the candidate stream (625M candidates at 250k x 2500 full probe
+    previously funneled into one straggler sort task)."""
+
+    def _cut(S: np.ndarray, ids: np.ndarray, qid_sel: np.ndarray):
+        b = S.shape[0]
+        if b > k:
+            kth = np.partition(S, b - k, axis=0)[b - k, :]
+            mask = S >= kth
+        else:
+            mask = np.ones_like(S, dtype=bool)
+        mask &= np.isfinite(S)
+        rows, cols = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                query_id_col: qid_sel[cols],
+                id_col: ids[rows],
+                "sim": S[rows, cols],
+            }
+        )
 
     def run(batches):
+        if Q.shape[0] == 0:
+            return  # no queries -> no candidates
         carry = None
         for pdf in batches:
-            combined = (
-                pdf if carry is None
-                else pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
             )
-            carry = (
-                combined.sort_values(
-                    ["sim", id_col], ascending=[False, True],
-                    kind="mergesort",
-                )
-                .groupby(query_id_col, sort=False)
-                .head(k)
+            parts = []
+            if cell_to_q is None:
+                S = _fold_scores(V, Q)
+                if exclude_self:
+                    S[ids[:, None] == qids[None, :]] = -np.inf
+                parts.append(_cut(S, ids, qids))
+            else:
+                cells = pdf["cell"].to_numpy()
+                for cell in np.unique(cells):
+                    qsel = cell_to_q.get(int(cell))
+                    if qsel is None:
+                        continue
+                    vidx = np.nonzero(cells == cell)[0]
+                    S = _fold_scores(V[vidx], Q[qsel])
+                    if exclude_self:
+                        S[
+                            ids[vidx][:, None] == qids[qsel][None, :]
+                        ] = -np.inf
+                    parts.append(_cut(S, ids[vidx], qids[qsel]))
+            if not parts:
+                continue
+            combined = pd.concat(
+                [c for c in ([carry] + parts) if c is not None],
+                ignore_index=True,
             )
+            combined = combined.sort_values(
+                ["sim", id_col], ascending=[False, True], kind="mergesort"
+            )
+            # a spilled vector scores identically via each shared cell
+            combined = combined.drop_duplicates(
+                [query_id_col, id_col], keep="first"
+            )
+            carry = combined.groupby(query_id_col, sort=False).head(k)
         if carry is not None and len(carry):
             yield carry
 
-    return scored.mapInPandas(run, schema=schema)
+    return run
+
+
+def _collect_query_matrix(
+    queries: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    rows = queries.select(id_col, vec_col).collect()
+    if len(rows) > MAX_CLOSURE_QUERIES:
+        raise ValueError(
+            f"top-k query set has {len(rows)} rows; this operator ships "
+            f"the queries into the scoring kernel (evaluation-sample "
+            f"contract, <= {MAX_CLOSURE_QUERIES}) — chunk the query set"
+        )
+    if not rows:
+        return np.empty(0, dtype=np.int64), np.empty((0, 1))
+    qids = np.asarray([r[0] for r in rows])
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return qids, Q
+
+
+_TOPK_SCHEMA_FMT = "{qid} long, {id} long, sim double"
 
 
 def cosine_topk(
@@ -121,32 +220,34 @@ def cosine_topk(
     query_id_col: str = "qid",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries x corpus, deterministic
-    double-fold dot product, per-query window top-k.
+    """Exact cosine top-k: the query matrix rides in the scoring
+    kernel's closure (bounded evaluation sample, like IVF centroids);
+    each corpus partition block-scores its vectors against it with the
+    deterministic sequential-fold float semantics and emits its local
+    exact top-k — so per partition only n_queries * k rows exist, and
+    the corpus is never shuffled nor materialized as per-pair rows.
+    The only exchange is the final per-query top-k window (tiny).
+    Matches the SQL twin in plans/queries.py (embed_knn_bruteforce)
+    bit-for-bit.
 
-    Scale shape: corpus is never shuffled; the only exchange is the
-    final per-query top-k (tiny). Matches the SQL twin in
-    plans/queries.py (embed_knn_bruteforce).
-    """
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qe")
+    `exclude_self` drops id == qid pairs (queries drawn from the corpus
+    under one id namespace); with exclude_self=False ids colliding
+    across namespaces are NOT dropped."""
+    qids, Q = _collect_query_matrix(queries, id_col, vec_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[id_col].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("sim", T.DoubleType()),
+        ]
     )
-    e = corpus.select(F.col(id_col), F.col(vec_col))
-    # exclude_self drops id == qid pairs (queries drawn from the corpus
-    # under one id namespace); with exclude_self=False every corpus row
-    # is a candidate — ids colliding across namespaces must NOT be
-    # dropped, so the join condition is unconditionally true there
-    cond = (
-        F.col(id_col) != F.col(query_id_col) if exclude_self else F.lit(True)
+    scorer = _make_topk_scorer(
+        qids, Q, k,
+        id_col=id_col, query_id_col=query_id_col,
+        exclude_self=exclude_self,
     )
-    joined = e.join(F.broadcast(q), cond)
-    fold_dot = make_fold_dot_udf()
-    scored = joined.select(
-        query_id_col,
-        id_col,
-        fold_dot(F.col("__qe"), F.col(vec_col)).alias("sim"),
-    )
-    local = _partition_local_topk(scored, query_id_col, id_col, k)
+    src = corpus.select(F.col(id_col), F.col(vec_col).alias("__vec"))
+    local = src.mapInPandas(scorer, schema=out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("sim"), F.col(id_col)
     )
@@ -301,56 +402,56 @@ def ann_ivf_topk(
             corpus, n_centroids, vec_col=vec_col, id_col=id_col,
             iterations=train_iterations, seed=seed,
         )
-    probe = make_probe_udf(centroids, n_probe)
 
     if spill > 1:
         massign = make_multi_assign_udf(centroids, spill)
         assigned = corpus.select(
-            F.col(id_col), F.col(vec_col),
+            F.col(id_col), F.col(vec_col).alias("__vec"),
             F.explode(massign(F.col(vec_col))).alias("cell"),
         )
     else:
         assign = make_assign_udf(centroids)
         assigned = corpus.select(
-            F.col(id_col), F.col(vec_col),
+            F.col(id_col), F.col(vec_col).alias("__vec"),
             assign(F.col(vec_col)).alias("cell"),
         )
-    probed = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qe"),
-        F.explode(probe(F.col(vec_col))).alias("cell"),
+    # The query side is the evaluation sample (cosine_topk makes the
+    # same bounded contract): probe its cells DRIVER-SIDE against the
+    # centroids already held there, and ship (query matrix, cell ->
+    # probing-queries index) into the scoring kernel's closure. Each
+    # corpus partition then scores its vectors only against the queries
+    # probing their cell — the IVF candidate structure — without ever
+    # materializing per-(query, candidate) rows or shuffling the corpus
+    # on the n_centroids-cardinality cell key (a shuffled join there is
+    # intrinsically skewed: one hot cell = one straggler task).
+    qids, Q = _collect_query_matrix(queries, id_col, vec_col)
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    n_probe_eff = min(n_probe, C.shape[0])
+    cell_to_q: dict[int, np.ndarray] = {}
+    if Q.shape[0]:
+        probes = np.argsort(-(_normalize(Q) @ C.T), axis=1)[:, :n_probe_eff]
+        for qi in range(probes.shape[0]):
+            for cell in probes[qi]:
+                cell_to_q.setdefault(int(cell), []).append(qi)
+        cell_to_q = {
+            c: np.asarray(ix, dtype=np.int64)
+            for c, ix in cell_to_q.items()
+        }
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[id_col].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("sim", T.DoubleType()),
+        ]
     )
-    # BROADCAST the probed query side: the corpus then never shuffles.
-    # `cell` has only n_centroids distinct values, so a shuffled
-    # hash-join on it is intrinsically skewed (AQE coalescing made one
-    # task carry a hot cell's whole candidate stream at 250k vectors);
-    # with the small side broadcast, every corpus partition streams its
-    # own vectors against the probe table and work stays balanced by
-    # the scan partitioning. Queries are the evaluation sample in this
-    # operator's contract (cosine_topk makes the same assumption) —
-    # a giant query set should be chunked by the caller.
-    cand = assigned.join(
-        F.broadcast(probed),
-        on=[assigned.cell == probed.cell,
-            F.col(id_col) != F.col(query_id_col)],
+    scorer = _make_topk_scorer(
+        qids, Q, k,
+        id_col=id_col, query_id_col=query_id_col,
+        exclude_self=True, cell_to_q=cell_to_q,
     )
-    fold_dot = make_fold_dot_udf()
-    scored = cand.select(
-        query_id_col,
-        F.col(id_col),
-        fold_dot(F.col("__qe"), F.col(vec_col)).alias("sim"),
-    )
-    if spill > 1:
-        # the same (query, candidate) pair surfaces once per shared
-        # spilled cell with an IDENTICAL sim — dedup AFTER scoring, so
-        # only (id, id, double) rows reach the exchange, never vectors.
-        # (Duplicates would also survive map-side pruning: identical
-        # rows rank adjacently, so the local-top-k cutoff stays exact
-        # after this dedup.)
-        scored = scored.groupBy(query_id_col, id_col).agg(
-            F.max("sim").alias("sim")
-        )
-    local = _partition_local_topk(scored, query_id_col, id_col, k)
+    # a spilled vector's copies stay in the same input partition (the
+    # explode is narrow), so the kernel's (query, id) dedup is complete
+    local = assigned.mapInPandas(scorer, schema=out_schema)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (
         local.withColumn("rn", F.row_number().over(w))
