@@ -108,13 +108,61 @@ def gen_embeddings(n: int, out: str, dim: int = 64, seed: int = 7) -> None:
     pq.write_table(tbl, out)
 
 
-PIPELINES = [
+# The dedup trio runs at the AT-SCALE banding, bands=16 (r=8 at K=128),
+# not the catalog's bands=32 (r=4): rows-per-band is LSH's scale knob,
+# exactly as n_centroids ~ sqrt(N) is IVF's. r=4 is the right setting
+# for the sf<=0.1 oracle gate (per-pair miss probability 5e-11 at
+# J=0.85) but its false-candidate rate makes the candidate set
+# quadratic in corpus size on any corpus with nonzero baseline
+# similarity — measured on THIS generator's data: 6.0M candidate pairs
+# at 50k docs, 596M at 500k (the 100x quadratic signature; >80 GB of
+# verify-join spill, ENOSPC), vs 229k at 500k with r=8, which still
+# recalls J>=0.85 pairs at 99.4%+ per pair. Same banding at both sizes
+# keeps the exponent like-for-like.
+DEDUP_BANDS = 16
+DEDUP_PIPELINES = [
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_canonical_corpus",
+]
+PIPELINES = [
     "embed_ann_ivf_fullprobe",
     "embed_ann_ivf_probed",
 ]
+
+
+def _proof_dedup(name: str):
+    """Operator-level twin of the catalog dedup entries with the
+    banding as a parameter (the catalog pins bands=32 for its oracle)."""
+
+    def build(spark, sf_dir: str):
+        from dazzleduck_sql_duckdb_spark.operators.components import (
+            connected_components,
+        )
+        from dazzleduck_sql_duckdb_spark.operators.dedup import (
+            minhash_neardup_pairs,
+        )
+        from dazzleduck_sql_duckdb_spark.plans import queries as Q
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        pairs = minhash_neardup_pairs(
+            docs,
+            shingle_n=Q.SHINGLE_N,
+            a=Q.MINHASH_A,
+            b=Q.MINHASH_B,
+            bands=DEDUP_BANDS,
+            threshold_pct=Q.JACCARD_PCT,
+        )
+        if name == "dedup_minhash_lsh":
+            return pairs
+        comp = connected_components(pairs, "doc_a", "doc_b")
+        if name == "dedup_components":
+            return comp
+        docs.createOrReplaceTempView("documents")
+        comp.createOrReplaceTempView("__proof_comp")
+        return spark.sql(Q._CANON_TAIL.format(comp="__proof_comp"))
+
+    return build
 
 # --relational mode: the heaviest multi-join / window / aggregation
 # entries, run at sf0.1 and at a 10x key-shifted replication of it
@@ -190,13 +238,15 @@ def build_relational_big(src_dir: str, out_dir: str, copies: int = 10) -> None:
             os.symlink(src, dst)
 
 
-def run_at(spark, sf_dir: str, names: list[str] | None = None
-           ) -> dict[str, float]:
-    import __spark_entry__ as E
+def run_at(spark, sf_dir: str, names: list[str] | None = None,
+           runners: dict | None = None) -> dict[str, float]:
+    if runners is None:
+        import __spark_entry__ as E
 
-    queries = E.queries()
+        queries = E.queries()
+        runners = {n: queries[n] for n in (names or PIPELINES)}
     out: dict[str, float] = {}
-    for name in names or PIPELINES:
+    for name, fn in runners.items():
         # warm run first: the first pandas-UDF pipeline of a session
         # pays ~10s of Python-worker fork + numpy import across 32
         # workers, which would otherwise be charged entirely to the
@@ -207,7 +257,7 @@ def run_at(spark, sf_dir: str, names: list[str] | None = None
             # cache so the timed run recomputes (workers stay warm)
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode(
+            fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             if not is_warm:
@@ -298,9 +348,14 @@ def main() -> int:
 
     from dazzleduck_sql_duckdb_spark.session import get_spark
 
+    import __spark_entry__ as E
+
     spark = get_spark(app_name="scale_proof")
-    t_small = run_at(spark, dirs["small"])
-    t_big = run_at(spark, dirs["big"])
+    queries = E.queries()
+    runners = {n: _proof_dedup(n) for n in DEDUP_PIPELINES}
+    runners.update({n: queries[n] for n in PIPELINES})
+    t_small = run_at(spark, dirs["small"], runners=runners)
+    t_big = run_at(spark, dirs["big"], runners=runners)
 
     ratio_n = big / small
     # the ANN catalog entries take every 100th vector as a query, so
@@ -314,11 +369,13 @@ def main() -> int:
     }
     print(f"\n| pipeline | t({small}) s | t({big}) s | exponent |")
     print("|---|---|---|---|")
-    for name in PIPELINES:
+    for name in [*DEDUP_PIPELINES, *PIPELINES]:
         a, b = t_small[name], t_big[name]
         if name.startswith("embed_ann"):
             a, b = a / n_queries["small"], b / n_queries["big"]
             label = f"{name} (per query)"
+        elif name in DEDUP_PIPELINES:
+            label = f"{name} (b={DEDUP_BANDS})"
         else:
             label = name
         e = math.log(b / a) / math.log(ratio_n) if a > 0 else float("nan")
@@ -328,7 +385,9 @@ def main() -> int:
         " 2.0 = all-pairs. Sub-linear values mean fixed overhead still"
         " dominates at the small size. ANN rows are per-query: the"
         " catalog entries grow the query set with the corpus, so raw"
-        " wall-time there conflates two linear axes.)"
+        " wall-time there conflates two linear axes. Dedup rows run at"
+        f" bands={DEDUP_BANDS} (r=8), the at-scale banding — see the"
+        " DEDUP_BANDS note.)"
     )
     return 0
 
