@@ -50,61 +50,59 @@ def test_prepare_pins_utc_session_timezone(spark):
 
 
 def test_gate_window_covers_every_family():
-    """The driver gates the FIRST 50 catalog entries. Round-3 window
-    contract: every entry the driver has never seen post-r2 (never
-    gated, gated only pre-micros-migration, or added/changed this
-    round) must be inside the window; an entry silently falling past it
-    keeps a stale — or nonexistent — hard verdict."""
+    """The driver gates the FIRST 50 catalog entries. Round-4 window
+    contract: every entry CHANGED this round, plus every entry whose
+    latest driver verdict is r2 (the 41 entries outside the r3 window),
+    must be inside the window; everything excluded carries an r3-green
+    verdict. An entry silently falling out of both sets would keep a
+    stale hard verdict."""
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
     window = Q._GATE_WINDOW
     assert len(window) == 50
     assert len(set(window)) == 50
     assert list(Q.CATALOG)[:50] == window
-    never_gated = {
-        "dd_version", "dedup_canonical_corpus", "simhash_values",
-        "text_token_stats", "remote_splits_plan", "multimodal_features",
-    }
     changed_this_round = {
-        "embed_ann_recall", "embed_ann_ivf_probed",
-        "embed_ann_ivf_fullprobe", "string_functions",
-        "text_repetition",
+        "remote_agg_pushdown",      # split path -> single scan relation
+        "remote_splits_plan",       # newly hash-gated
+        "multimodal_features",      # newly hash-gated
+        "multimodal_png_features",  # new entry
+        "skew_salted_join_agg",     # deterministic row salt
     }
-    stale_events_r1 = {
-        "events_count_distinct", "events_json_extract",
-        "events_sessionize", "events_sessionize_native",
-        "events_type_pivot", "events_funnel",
-        "events_view_click_attribution", "events_grouping_sets",
-    }
-    r1_only_rest = {
-        "lineitem_count", "lineitem_sum_orderkey", "lineitem_full_scan",
-        "lineitem_point_filter", "lineitem_projection",
-        "lineitem_range_filter", "lineitem_date_filter_count",
-        "null_laws", "empty_set_laws", "order_by_limit", "distinct_rows",
-        "cte_union_all", "scalar_subquery_filter", "semi_anti_join",
-        "window_topk_per_group", "orders_set_ops", "orders_cube",
-        "cast_matrix", "try_cast_matrix", "remote_agg_pushdown",
-        "part_brand_stats", "nation_presence_full_join",
-        "q4_order_priority", "dd_array_contains_all",
-        "dd_array_contains_all_fn",
+    # the 41 entries whose latest verdict predates round 3 (everything
+    # the r3 window did not re-gate), minus the three already counted
+    # as changed this round
+    r2_latest = {
+        "q6_revenue", "orders_global_aggs", "orders_group_agg",
+        "join_region_rollup", "events_hourly_rollup", "orders_rollup",
+        "supplier_nation_join", "customer_orders_left_join",
+        "orders_running_totals", "q3_shipping_priority",
+        "q5_regional_volume", "q10_returned_items", "q14_promo_effect",
+        "q18_large_volume", "q19_disjunctive_join", "dd_search_marker",
+        "bloom_no_false_negatives", "dedup_exact", "dedup_simhash",
+        "ngram_jaccard_sampled", "embed_knn_bruteforce",
+        "embed_cosine_neardup", "text_langid", "text_quality",
+        "text_fingerprint", "docs_length_quantiles",
+        "pipeline_clean_corpus", "docs_shard_assignment",
+        "cross_source_contamination", "corpus_top_terms",
+        "text_tfidf_topk", "remote_scan_filter_pushdown",
+        "remote_login_scan", "embed_neardup_lsh",
+        "docs_stratified_sample", "pack_sequences", "text_redact_pii",
+        "events_activity_range_join", "multimodal_media_keys",
     }
     in_window = set(window)
     for group_name, names in [
-        ("never_gated", never_gated),
         ("changed_this_round", changed_this_round),
-        ("stale_events_r1", stale_events_r1),
-        ("r1_only_rest", r1_only_rest),
+        ("r2_latest", r2_latest),
     ]:
         missing = names - in_window
         assert not missing, f"{group_name} entries outside window: {missing}"
-    # the remaining slots are r2-green family canaries
-    canaries = in_window - never_gated - changed_this_round \
-        - stale_events_r1 - r1_only_rest
-    # bloom_no_false_negatives was displaced by text_repetition's
-    # rewrite: r2-green, unchanged since, and locally pinned by the
-    # hypothesis never-false-negative law
+    # the remaining slots re-verify the r4-touched mechanisms: the
+    # split-scan partitions() path the agg mode now rides, projection
+    # pushdown, the decimal flagship, and the heaviest dedup pipelines
+    canaries = in_window - changed_this_round - r2_latest
     assert canaries == {
+        "remote_scan_split_agg", "lineitem_projection",
         "q1_pricing_summary", "dedup_minhash_lsh", "dedup_components",
-        "remote_scan_split_agg",
-        "bucketed_join_rollup", "events_orders_asof_join",
+        "dedup_canonical_corpus",
     }
