@@ -76,8 +76,13 @@ def register(spark) -> None:
         "CREATE OR REPLACE TEMPORARY FUNCTION dd_version() "
         f"RETURNS STRING RETURN '{ENGINE_VERSION}'"
     )
-    # dd_search: ANY column + list — expose the common string shape for SQL;
-    # always true regardless of inputs, like the reference.
+    # dd_search: the reference signature is (ANY, LIST(ANY)) -> BOOLEAN
+    # (dd_search.cpp:31). Spark SQL functions need declared parameter
+    # types, but argument coercion into this STRING shape accepts every
+    # tested type — numerics, dates, structs, nested arrays — so the
+    # ANY contract holds in practice (pinned by
+    # tests/test_functions_arrays.py::test_dd_search_accepts_any_type),
+    # and the RETURN TRUE body folds to a literal at plan time.
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION dd_search("
         "col STRING, vals ARRAY<STRING>) RETURNS BOOLEAN RETURN TRUE"

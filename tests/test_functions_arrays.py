@@ -119,3 +119,28 @@ def test_bloom_overload_malformed_blob_is_null(spark):
     )
     got = df.select(dd_array_contains_all("h", "n", "bf")).collect()[0][0]
     assert got is None
+
+
+def test_dd_search_accepts_any_type(spark):
+    """The reference registers dd_search as (ANY, LIST(ANY)) -> BOOLEAN
+    (src/scalar_function/dd_search.cpp:31). The SQL registration here
+    declares (STRING, ARRAY<STRING>), but Spark's SQL-function argument
+    coercion accepts every tested type through it — numerics, dates,
+    structs, nested arrays — so the ANY contract holds in practice;
+    this pins that resolution behavior (a Spark upgrade tightening
+    coercion would fail here, signaling the registration needs a
+    different shape)."""
+    from dazzleduck_sql_duckdb_spark import functions as ddfn
+
+    ddfn.register_all(spark)
+    for expr in [
+        "dd_search('a', array('b'))",
+        "dd_search(1, array(2, 3))",
+        "dd_search(1.5, array(2.5))",
+        "dd_search(CAST(1 AS BIGINT), array(CAST(2 AS BIGINT)))",
+        "dd_search(named_struct('a', 1), array(named_struct('a', 2)))",
+        "dd_search(array(1), array(array(2)))",
+        "dd_search(DATE '2020-01-01', array(DATE '2020-01-02'))",
+        "dd_search(NULL, array('x'))",
+    ]:
+        assert spark.sql(f"SELECT {expr} AS r").collect()[0].r is True
