@@ -94,6 +94,20 @@ def run_spark_bench(sf_dir: str, spark=None) -> dict[str, float]:
         "noop"
     ).mode("overwrite").save()
 
+    # catalog-wide untimed warm pass: every timed query's FIRST execution
+    # pays its Janino whole-stage-codegen compile (~0.3-1.5s measured at
+    # sf0.1, landing on whichever query runs first after a cache miss) —
+    # a constant that long-lived cluster executors amortize away. Run
+    # each benched query once untimed so the timed loop measures
+    # steady-state plan execution, the same state the DuckDB side's
+    # median-of-3 reports. Needs spark.sql.codegen.cache.maxEntries
+    # sized to the catalog (session.py) or the warm pass self-evicts.
+    for name in names:
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

@@ -42,6 +42,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # static conf: the compiled-codegen class cache defaults to 100
+        # entries; a 36-query catalog with several codegen units each
+        # thrashes it, so every re-run of a query pays Janino compile
+        # again (~0.3-1s/query measured at sf0.1). Long-lived executors
+        # on a real cluster keep this cache hot; size it so the local
+        # bench does too.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
