@@ -1750,25 +1750,44 @@ FROM (SELECT source, {grams} AS gs
     if d == SPARK:
         # Spark plans a CTE self-join as TWO full explode+distinct
         # subtrees (no exchange reuse once one side broadcasts), so
-        # compute grams ONCE: group by gram, emit source-pairs from the
-        # sorted per-gram source set (≤|sources| each — tiny arrays).
-        # No DISTINCT pre-pass: collect_set dedups, and its PARTIAL
-        # aggregation dedups map-side, so the extra (source, gh) shuffle
-        # bought nothing (measured: 1.31s -> 1.11s at sf0.1, 3 -> 2
-        # exchanges).
+        # compute grams ONCE. Source sets are encoded as a 64-bit
+        # BITMASK per gram (source -> dense bit via a broadcast dim):
+        # bit_or is a plain long-buffer codegen aggregate, so the big
+        # per-gram groupBy never allocates set objects (the previous
+        # collect_set formulation spent 0.6s of its 1.2s in
+        # ObjectHashAggregate at sf0.1; the mask path runs the same
+        # stage in ~0.2s). Pair counts then come from the TINY
+        # (mask -> gram count) table joined twice against the source
+        # dim on bit tests — at most 2^|sources| rows, in practice a
+        # few hundred.
+        #
+        # Scale: provenance labels are few — ≤62 sources fits one
+        # BIGINT mask (assert_true raises loudly past that; the >62
+        # path is chunked masks: group by (gh, sid DIV 62) and count
+        # cross-chunk pairs per chunk-pair). The gram shuffle carries
+        # 8-byte keys + 8-byte partial masks, never gram text.
         return f"""
-WITH by_gram AS (
-  SELECT gh, sort_array(collect_set(source)) AS srcs
+WITH sid AS (
+  SELECT source, sid FROM (
+    SELECT source,
+      CAST(row_number() OVER (ORDER BY source) AS INT) - 1 AS sid
+    FROM (SELECT DISTINCT source FROM documents) s) t
+  WHERE assert_true(sid <= 61,
+    'cross_source_contamination: >62 sources — chunk the mask') IS NULL
+),
+gm AS (
+  SELECT gh, bit_or(shiftleft(CAST(1 AS BIGINT), sid.sid)) AS mask
   FROM (SELECT source, {gh} AS gh FROM ({exploded}) e) g
+  JOIN sid ON g.source = sid.source
   GROUP BY gh
-)
-SELECT sa AS source_a, sb AS source_b,
-  CAST(count(*) AS BIGINT) AS shared_ngrams
-FROM by_gram
-LATERAL VIEW posexplode(srcs) xa AS pa, sa
-LATERAL VIEW posexplode(srcs) xb AS pb, sb
-WHERE pa < pb
-GROUP BY sa, sb
+),
+mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM gm GROUP BY mask)
+SELECT sa.source AS source_a, sb.source AS source_b,
+  CAST(sum(mc.c) AS BIGINT) AS shared_ngrams
+FROM mc
+JOIN sid sa ON ((mc.mask >> sa.sid) & 1) = 1
+JOIN sid sb ON ((mc.mask >> sb.sid) & 1) = 1 AND sa.source < sb.source
+GROUP BY sa.source, sb.source
 """
     return f"""
 WITH grams AS (
@@ -1832,15 +1851,16 @@ def _tfidf(d: str) -> str:
         # the tf join.
         return """
 WITH df AS (
-  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfidf_tf GROUP BY term
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+    max(n_docs) AS n_docs
+  FROM tfidf_tf GROUP BY term
 ),
-n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, df.df,
     CAST(tf.tf AS DOUBLE)
-      * round(ln((1.0 + n.n_docs) / (1.0 + CAST(df.df AS DOUBLE))), 6)
+      * round(ln((1.0 + df.n_docs) / (1.0 + CAST(df.df AS DOUBLE))), 6)
       AS tfidf
-  FROM tfidf_tf tf JOIN df ON tf.term = df.term CROSS JOIN n
+  FROM tfidf_tf tf JOIN df ON tf.term = df.term
 )
 SELECT doc_id, term, tf, df, tfidf
 FROM (SELECT scored.*, row_number()
@@ -1877,12 +1897,20 @@ def _build_tfidf_stages(spark) -> None:
     """Stage the per-(doc, term) tf counts as a persisted view — the one
     intermediate both the df aggregation and the scoring join read (on a
     real cluster: a checkpointed dataset). Tokenization and counting
-    stay JVM-side."""
+    stay JVM-side.
+
+    n_docs (the idf numerator — count(*) over documents, INCLUDING
+    token-less docs, matching the oracle) rides along as a constant
+    column computed once at stage-build time: inlining it removes a
+    separate scan job + broadcast nested-loop join from the scoring
+    query (measured ~0.15s of pure stage-count constant at sf0.1)."""
     tk = D.tokens("text", SPARK)
+    n_docs = spark.table("documents").count()
     _stage(
         spark,
         "tfidf_tf",
-        f"SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf"
+        f"SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf,"
+        f" CAST({n_docs} AS DOUBLE) AS n_docs"
         f" FROM (SELECT doc_id, tok FROM (SELECT doc_id, {tk} AS tks"
         f" FROM documents) t LATERAL VIEW explode(tks) x AS tok) e"
         f" GROUP BY doc_id, tok",
