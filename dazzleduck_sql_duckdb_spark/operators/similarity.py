@@ -41,33 +41,6 @@ def _as_matrix(series: pd.Series, dim: int) -> np.ndarray:
     ) if len(series) else np.empty((0, dim))
 
 
-def make_fold_dot_udf():
-    """Arrow-batched dot product with the SEQUENTIAL fold's float
-    semantics: acc_0 = 0.0, acc_{j+1} = acc_j + q_j * v_j in IEEE
-    double, left to right — the exact operation order of both the SQL
-    twin (list fold in plans/dialect.py) and the Catalyst
-    aggregate(zip_with(...)) expression this replaces, so results are
-    bit-identical and the DuckDB oracle hashes still match. The fold is
-    vectorized ACROSS the batch (dim numpy ops per batch instead of an
-    interpreted per-row per-element lambda): measured, the interpreted
-    HOF was the dominant term of the IVF rerank at 10M candidates —
-    one straggler task ground >15 min; this kernel does the same rows
-    in seconds."""
-
-    @F.pandas_udf(T.DoubleType())
-    def fold_dot(q: pd.Series, v: pd.Series) -> pd.Series:
-        if not len(q):
-            return pd.Series([], dtype="float64")
-        Q = np.vstack([np.asarray(x, dtype=np.float64) for x in q])
-        V = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
-        acc = np.zeros(len(Q), dtype=np.float64)
-        for j in range(Q.shape[1]):
-            acc = acc + Q[:, j] * V[:, j]
-        return pd.Series(acc)
-
-    return fold_dot
-
-
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -76,9 +49,13 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 # The evaluation-sample guard: both top-k operators ship the query set
 # into the scoring kernel's closure (the same bounded-driver-state
-# pattern as IVF centroids). A query set past this size is not an
-# evaluation sample and should be chunked by the caller.
+# pattern as IVF centroids). A query set past these bounds is not an
+# evaluation sample and should be chunked by the caller. The BYTE bound
+# is the one that matters at real embedding widths: 200k rows at dim 64
+# is ~100 MB, but at dim 768 it would be ~1.2 GB pickled into every
+# task closure — cap the matrix itself, not just the row count.
 MAX_CLOSURE_QUERIES = 200_000
+MAX_CLOSURE_QUERY_BYTES = 64 * 1024 * 1024
 
 
 def _fold_scores(V: np.ndarray, Q: np.ndarray) -> np.ndarray:
@@ -147,6 +124,14 @@ def _make_topk_scorer(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # a NULL corpus vector has no defined similarity: drop it
+            # (the SQL twin's fold likewise yields NULL sims, which the
+            # top-k ordering never selects)
+            keep = pdf["__vec"].notna()
+            if not keep.all():
+                pdf = pdf[keep]
+                if not len(pdf):
+                    continue
             ids = pdf[id_col].to_numpy()
             V = np.vstack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
@@ -202,12 +187,23 @@ def _collect_query_matrix(
         )
     if not rows:
         return np.empty(0, dtype=np.int64), np.empty((0, 1))
+    bad = [r[0] for r in rows if r[1] is None]
+    if bad:
+        raise ValueError(
+            f"top-k query set has {len(bad)} NULL {vec_col} vectors "
+            f"(e.g. {id_col}={bad[0]!r}); a NULL query has no defined "
+            f"similarity — filter or impute before calling"
+        )
     qids = np.asarray([r[0] for r in rows])
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    if qids.nbytes + Q.nbytes > MAX_CLOSURE_QUERY_BYTES:
+        raise ValueError(
+            f"top-k query matrix is {qids.nbytes + Q.nbytes} bytes "
+            f"({Q.shape[0]} rows x dim {Q.shape[1]}); the closure ships "
+            f"it into every task (evaluation-sample contract, <= "
+            f"{MAX_CLOSURE_QUERY_BYTES} bytes) — chunk the query set"
+        )
     return qids, Q
-
-
-_TOPK_SCHEMA_FMT = "{qid} long, {id} long, sim double"
 
 
 def cosine_topk(

@@ -21,6 +21,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _contains_map(dt: T.DataType) -> bool:
+    """xxhash64 rejects MapType at ANY nesting depth (map hashing is
+    order-undefined), so a struct/array wrapping a map must be excluded
+    from the salt hash just like a top-level map column."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -44,7 +57,7 @@ def salted_join(
     # value (fully replicated).
     hashable = [
         f.name for f in big.schema.fields
-        if not isinstance(f.dataType, T.MapType)  # xxhash64 rejects maps
+        if not _contains_map(f.dataType)  # xxhash64 rejects maps
     ] or [on]
     big_s = big.withColumn(
         "__salt",

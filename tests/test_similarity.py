@@ -168,3 +168,55 @@ def test_ivf_auto_sizes_to_sqrt_n(spark, emb):
     ).collect()
     exact = cosine_topk(emb, queries, k=5).collect()
     assert _topk_sets(got) == _topk_sets(exact)
+
+
+def test_topk_null_query_vector_raises(spark, emb):
+    """A NULL query embedding has no defined similarity: clear error,
+    not a kernel crash."""
+    queries = emb.where("vec_id % 100 = 0").withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    with pytest.raises(ValueError, match="NULL embedding"):
+        cosine_topk(emb, queries, k=3)
+
+
+def test_topk_null_corpus_vector_dropped(spark, emb):
+    """NULL corpus vectors are dropped (the SQL twin's fold yields NULL
+    sims, never selected by top-k) — results over the non-null corpus
+    are unchanged."""
+    corpus = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 3, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    queries = emb.where("vec_id % 100 = 0")
+    got = _topk_sets(cosine_topk(corpus, queries, k=3).collect())
+    want = _topk_sets(
+        cosine_topk(
+            emb.where("vec_id % 7 != 3"), queries, k=3
+        ).collect()
+    )
+    assert got == want
+
+
+def test_topk_query_matrix_byte_cap(spark):
+    """dim-768 queries: the BYTE bound trips long before the row bound —
+    a multi-hundred-MB closure must be refused with a clear error."""
+    from dazzleduck_sql_duckdb_spark.operators import similarity as S
+
+    n_rows = S.MAX_CLOSURE_QUERY_BYTES // (768 * 8) + 2
+    assert n_rows < S.MAX_CLOSURE_QUERIES  # byte cap is the binding one
+    queries = spark.range(0, n_rows).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat(F.lit(0.5), 768).alias("embedding"),
+    )
+    corpus = spark.range(0, 10).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat(F.lit(0.5), 768).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="bytes"):
+        cosine_topk(corpus, queries, k=1)

@@ -68,3 +68,26 @@ def test_salt_actually_spreads_hot_key(spark, skewed):
     j = salted_join(big, small, "k", salt=8)
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_salted_join_with_nested_map_column(spark):
+    """A struct/array wrapping a MapType must be excluded from the salt
+    hash (xxhash64 rejects maps at any nesting depth) — salted_join on
+    such a schema used to fail at plan time."""
+    from dazzleduck_sql_duckdb_spark.operators.skew import salted_join
+
+    big = spark.range(0, 200).select(
+        (F.col("id") % 10).alias("k"),
+        F.struct(
+            F.col("id").alias("n"),
+            F.create_map(F.lit("a"), F.col("id")).alias("m"),
+        ).alias("meta"),
+        F.array(F.create_map(F.lit("b"), F.col("id"))).alias("tags"),
+    )
+    small = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit("x").alias("name")
+    )
+    got = salted_join(big, small, "k", salt=4)
+    want = big.join(small, "k")
+    assert got.count() == want.count() == 200
+    assert sorted(got.columns) == sorted(want.columns)
