@@ -137,3 +137,47 @@ def test_simhash_pigeonhole_equals_bruteforce(spark, tables):
         """
     )
     assert got == {(r.doc_a, r.doc_b, r.hamming) for r in brute.collect()}
+
+
+def test_auto_bands_rule():
+    """r = clamp(ceil(log2 n / 2), 4, 12), b = k // r — the production
+    banding schedule (r grows with log n; capped so the LSH S-curve
+    threshold stays below the 0.85 contract)."""
+    from dazzleduck_sql_duckdb_spark.operators.dedup import auto_bands
+
+    assert auto_bands(200) == 128 // 4  # floor: r=4
+    assert auto_bands(5_000) == 128 // 7  # r=7 -> b=18 (non-dividing)
+    assert auto_bands(50_000) == 128 // 8  # r=8 -> b=16
+    assert auto_bands(500_000) == 128 // 10  # r=10 -> b=12
+    assert auto_bands(50_000_000) == 128 // 12  # cap: r=12 -> b=10
+    assert auto_bands(10**12) == 128 // 12  # still capped
+
+
+def test_minhash_non_dividing_bands(spark):
+    """bands=18 at K=128 (r=7, 126 rows used): exact duplicates match in
+    EVERY band, so they are guaranteed candidates at any banding — and
+    the returned pairs are a subset of a finer banding's (verification
+    is exact, so no false pair can appear at either setting)."""
+    rng = random.Random(11)
+    base = " ".join(f"word{rng.randrange(1000)}" for _ in range(60))
+    far = " ".join(f"term{rng.randrange(1000)}" for _ in range(60))
+    df = spark.createDataFrame(
+        [(1, "en", base), (2, "en", base), (3, "en", far)],
+        schema=SCHEMA,
+    )
+    a = [rng.randrange(1, 2**31 - 1) for _ in range(128)]
+    b = [rng.randrange(0, 2**31 - 1) for _ in range(128)]
+    coarse = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_pairs(
+            df, a=a, b=b, bands=18, threshold_pct=85
+        ).collect()
+    }
+    fine = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_pairs(
+            df, a=a, b=b, bands=32, threshold_pct=85
+        ).collect()
+    }
+    assert (1, 2) in coarse  # exact dup: J=1 matches every band
+    assert coarse <= fine

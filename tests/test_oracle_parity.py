@@ -9,15 +9,32 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
+import pytest  # noqa: E402
+
 from check_parity import run_parity  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
+@pytest.mark.parity
 def test_catalog_matches_duckdb_oracle(spark):
-    n_pass, n_fail, failures = run_parity(spark, SF_DIR, verbose=False)
+    """The full-catalog gate (~6 min of the suite). Per-commit fast
+    path when iterating on specific entries:
+
+        SPARK_GRAFT_PARITY_ONLY=text_tfidf_topk,q1_pricing_summary \
+            python -m pytest -m parity -q
+
+    (equivalently: python tools/check_parity.py <sf_dir> name ...)"""
+    only = {
+        n for n in os.environ.get(
+            "SPARK_GRAFT_PARITY_ONLY", ""
+        ).split(",") if n
+    }
+    n_pass, n_fail, failures = run_parity(
+        spark, SF_DIR, only=only or None, verbose=False
+    )
     assert n_fail == 0, f"parity failures: {failures}"
-    assert n_pass >= 35
+    assert n_pass >= (len(only) // 2 if only else 35)
 
 
 def test_every_query_has_oracle_or_documented_skip(spark):

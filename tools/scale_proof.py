@@ -108,7 +108,8 @@ def gen_embeddings(n: int, out: str, dim: int = 64, seed: int = 7) -> None:
     pq.write_table(tbl, out)
 
 
-# The dedup trio runs at the AT-SCALE banding, bands=16 (r=8 at K=128),
+# The dedup trio runs at each size's PRODUCTION banding
+# (operators/dedup.py auto_bands: r = clamp(ceil(log2 n / 2), 4, 12)),
 # not the catalog's bands=32 (r=4): rows-per-band is LSH's scale knob,
 # exactly as n_centroids ~ sqrt(N) is IVF's. r=4 is the right setting
 # for the sf<=0.1 oracle gate (per-pair miss probability 5e-11 at
@@ -116,10 +117,13 @@ def gen_embeddings(n: int, out: str, dim: int = 64, seed: int = 7) -> None:
 # quadratic in corpus size on any corpus with nonzero baseline
 # similarity — measured on THIS generator's data: 6.0M candidate pairs
 # at 50k docs, 596M at 500k (the 100x quadratic signature; >80 GB of
-# verify-join spill, ENOSPC), vs 229k at 500k with r=8, which still
-# recalls J>=0.85 pairs at 99.4%+ per pair. Same banding at both sizes
-# keeps the exponent like-for-like.
-DEDUP_BANDS = 16
+# verify-join spill, ENOSPC), vs 229k at 500k with r=8. The exponent
+# measured here is the SYSTEM's scaling law — operator plus its
+# documented auto-tuning — the same way the IVF rows scale the index
+# with sqrt(N). Round 4 measured a FIXED r=8 at both sizes: e=1.13-1.34
+# (the residual candidate term grows past linear at fixed r, by
+# construction); with auto_bands this run tests the rule's claim that
+# growing r with log n holds e <= ~1.2.
 DEDUP_PIPELINES = [
     "dedup_minhash_lsh",
     "dedup_components",
@@ -133,24 +137,33 @@ PIPELINES = [
 
 def _proof_dedup(name: str):
     """Operator-level twin of the catalog dedup entries with the
-    banding as a parameter (the catalog pins bands=32 for its oracle)."""
+    banding at each size's production default (the catalog pins
+    bands=32 for its oracle)."""
 
     def build(spark, sf_dir: str):
         from dazzleduck_sql_duckdb_spark.operators.components import (
             connected_components,
         )
         from dazzleduck_sql_duckdb_spark.operators.dedup import (
+            auto_bands,
             minhash_neardup_pairs,
         )
         from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n_docs = docs.count()
+        bands = auto_bands(n_docs, k=Q.MINHASH_K)
+        print(
+            f"# {name}: n={n_docs} -> bands={bands} "
+            f"(r={Q.MINHASH_K // bands})",
+            file=sys.stderr,
+        )
         pairs = minhash_neardup_pairs(
             docs,
             shingle_n=Q.SHINGLE_N,
             a=Q.MINHASH_A,
             b=Q.MINHASH_B,
-            bands=DEDUP_BANDS,
+            bands=bands,
             threshold_pct=Q.JACCARD_PCT,
         )
         if name == "dedup_minhash_lsh":
@@ -375,7 +388,7 @@ def main() -> int:
             a, b = a / n_queries["small"], b / n_queries["big"]
             label = f"{name} (per query)"
         elif name in DEDUP_PIPELINES:
-            label = f"{name} (b={DEDUP_BANDS})"
+            label = f"{name} (auto_bands)"
         else:
             label = name
         e = math.log(b / a) / math.log(ratio_n) if a > 0 else float("nan")
@@ -385,9 +398,10 @@ def main() -> int:
         " 2.0 = all-pairs. Sub-linear values mean fixed overhead still"
         " dominates at the small size. ANN rows are per-query: the"
         " catalog entries grow the query set with the corpus, so raw"
-        " wall-time there conflates two linear axes. Dedup rows run at"
-        f" bands={DEDUP_BANDS} (r=8), the at-scale banding — see the"
-        " DEDUP_BANDS note.)"
+        " wall-time there conflates two linear axes. Dedup rows run"
+        " each size at its auto_bands production banding — the"
+        " exponent is the system's scaling law, see the note above"
+        " DEDUP_PIPELINES.)"
     )
     return 0
 
