@@ -9,14 +9,16 @@ row-by-row.
 The decode kernel is pluggable: ``decoder=`` takes any ``bytes ->
 np.ndarray`` callable. Decoded for REAL, with no external codec
 library: PPM/PGM (netpbm P6/P5), BMP (24-bit BI_RGB), WAV (PCM
-8/16-bit) in pure numpy, and PNG (8-bit gray/RGB/RGBA/palette, all
-five row filters) via stdlib ``zlib`` — see ``decode_media``. The
-remaining codec formats (jpeg/mp4/...) need PIL/ffmpeg, which are NOT
-available in this environment; for those the slot raises a
-clearly-marked NotImplementedError, and ``deterministic_fake_decoder``
-produces a seeded-by-content fake pixel array so the Spark-side
-plumbing — schema, batch shapes, partitioning, metadata propagation —
-stays fully testable. Swapping decoders changes no plan shape.
+8/16-bit) in pure numpy, PNG (8-bit gray/RGB/RGBA/palette, all five
+row filters) via stdlib ``zlib``, and baseline JPEG (SOF0 huffman +
+dequant + IDCT; gray / 4:4:4 / 4:2:2 / 4:2:0, DRI restarts) in pure
+numpy — see ``decode_media`` and ``jpeg.py``. Only video containers
+(mp4/h264...) need ffmpeg, which is NOT available in this
+environment; that slot raises a clearly-marked NotImplementedError,
+and ``deterministic_fake_decoder`` produces a seeded-by-content fake
+pixel array so the Spark-side plumbing — schema, batch shapes,
+partitioning, metadata propagation — stays fully testable. Swapping
+decoders changes no plan shape.
 """
 
 from __future__ import annotations
@@ -56,11 +58,11 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def stub_decoder(payload: bytes) -> np.ndarray:
-    """The compressed-codec slot. Not implemented in this container."""
+    """The video-codec slot. Not implemented in this container."""
     raise NotImplementedError(
-        "media decode requires a codec library (PIL/ffmpeg); plug a real "
-        "`decoder=` into extract_features, use decode_media for the "
-        "pure-numpy formats (ppm/pgm/bmp/wav), or use "
+        "video decode requires ffmpeg; plug a real `decoder=` into "
+        "extract_features, use decode_media for the library-free "
+        "formats (ppm/pgm/bmp/wav/png/jpeg), or use "
         "deterministic_fake_decoder"
     )
 
@@ -328,12 +330,20 @@ def encode_wav(
     )
 
 
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
 REAL_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "ppm": decode_ppm,
     "pgm": decode_ppm,
     "bmp": decode_bmp,
     "wav": decode_wav,
     "png": decode_png,
+    "jpeg": _decode_jpeg,
+    "jpg": _decode_jpeg,
 }
 
 

@@ -2729,6 +2729,90 @@ def _build_png_features(spark, sf_dir: str):
     )
 
 
+@q("multimodal_jpeg_features")
+def _jpeg_features_q(d: str) -> str:
+    """HASH-GATED end-to-end baseline-JPEG pipeline (verdict r4 stretch
+    #7): per doc the Spark side expands the first 64 text bytes
+    (zero-padded) into a 64x64 grayscale image of UNIFORM 8x8 blocks
+    (block (i,j) = byte 8i+j), ENCODES it as a real baseline JPEG
+    (FDCT, all-ones quant, T.81 Huffman, byte stuffing) in one
+    mapInPandas stage, DECODES it with decode_jpeg (marker walk,
+    canonical Huffman, dequant, IDCT) in the feature stage, and pools
+    16 chunk-means. A constant 8x8 block at quant=1 is DC-only and
+    survives the full entropy->IDCT path byte-exactly (operators/
+    jpeg.py docstring derivation), so the decoded pixels are integer
+    arithmetic the oracle mirrors: chunk c covers 4 image rows inside
+    block-row b = c//2, so its mean is sum(bytes[8b:8b+8]) / 8 — and
+    float32(S/8) is exact (S * 2^-3), so round(m*8) recovers S with no
+    rounding slack at all. The Huffman byte stream itself is
+    codec-shaped, so n_bytes/sha stay out of this gate (the PPM twin
+    pins payload bytes); any corruption across encode->huffman->
+    decode->IDCT->pool breaks the hash."""
+    if d == SPARK:
+        # built by _build_jpeg_features; SQL form unused
+        raise NotImplementedError
+    return """
+WITH hexed AS (
+  SELECT doc_id AS media_id,
+         rpad(substr(upper(hex(encode(text))), 1, 128), 128, '0') AS rh
+  FROM documents
+)
+SELECT media_id, 'image' AS kind,
+  array_to_string(list_transform(range(0, 16), j ->
+    CAST(list_sum(list_transform(range(0, 8), i ->
+      (strpos('0123456789ABCDEF',
+              substr(rh, CAST((j // 2) * 8 + i AS INT) * 2 + 1, 1)) - 1)
+      * 16
+      + strpos('0123456789ABCDEF',
+               substr(rh, CAST((j // 2) * 8 + i AS INT) * 2 + 2, 1)) - 1
+    )) AS VARCHAR)), '|') AS feature
+FROM hexed
+"""
+
+
+def _build_jpeg_features(spark, sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.jpeg import decode_jpeg, encode_jpeg
+    from ..operators.multimodal import extract_features
+
+    raw = spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.expr("rpad(encode(text, 'UTF-8'), 64, X'00')").alias("vals"),
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for r in pdf["vals"]:
+                blocks = np.frombuffer(bytes(r), np.uint8).reshape(8, 8)
+                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                payloads.append(encode_jpeg(img, quant=1))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                }
+            )
+
+    media = raw.mapInPandas(
+        encode, schema="media_id BIGINT, kind STRING, payload BINARY"
+    )
+    feats = extract_features(media, decoder=decode_jpeg)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.expr(
+            "concat_ws('|', transform(feature,"
+            " x -> CAST(round(x * 8) AS INT)))"
+        ).alias("feature"),
+    )
+
+
 SPARK_BUILDERS.update(
     {
         "events_orders_asof_join": _build_asof_join,
@@ -2737,6 +2821,7 @@ SPARK_BUILDERS.update(
         "multimodal_media_keys": _build_media_keys,
         "multimodal_features": _build_media_features,
         "multimodal_png_features": _build_png_features,
+        "multimodal_jpeg_features": _build_jpeg_features,
         "remote_scan_split_agg": _build_remote_scan_split_agg,
         "remote_scan_filter_pushdown": _build_remote_scan_filter,
         "remote_splits_plan": _build_remote_splits,

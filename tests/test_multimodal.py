@@ -211,8 +211,11 @@ def test_decode_media_dispatch():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     assert decode_media(encode_ppm(img), "ppm").shape == (2, 2, 3)
     assert decode_media(encode_png(img), "png").shape == (2, 2, 3)
+    from dazzleduck_sql_duckdb_spark.operators.jpeg import encode_jpeg
+
+    assert decode_media(encode_jpeg(img), "jpeg").shape == (2, 2, 3)
     with _pytest.raises(NotImplementedError, match="codec"):
-        decode_media(b"\xff\xd8...", "jpeg")
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "mp4")
 
 
 def test_png_roundtrip_gray_rgb_rgba():
@@ -407,3 +410,108 @@ def test_resize_real_rgb_ppm(spark):
     want = plane.reshape(4, 2, 4, 2).mean(axis=(1, 3)).round().astype(np.uint8)
     got = np.frombuffer(out.pixels, dtype=np.uint8).reshape(4, 4)
     assert (got == want).all()
+
+
+# --------------------------------------------------------- baseline JPEG
+
+
+def test_jpeg_uniform_blocks_byte_exact():
+    """quant=1 + uniform 8x8 blocks: DC-only coefficients survive
+    encode->huffman->decode->IDCT byte-exactly (the property the
+    multimodal_jpeg_features oracle gate relies on)."""
+    import numpy as np
+
+    from dazzleduck_sql_duckdb_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 256, size=(8, 8)).astype(np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, quant=1)), img)
+
+
+def test_jpeg_gray_near_lossless_and_nonmultiple_size():
+    import numpy as np
+
+    from dazzleduck_sql_duckdb_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(21, 37)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quant=1))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_rgb_444_and_420_and_dri():
+    import numpy as np
+
+    from dazzleduck_sql_duckdb_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    xx, yy = np.meshgrid(np.arange(48), np.arange(32))
+    smooth = np.stack(
+        [(xx * 2 + yy) % 256, (xx + yy * 3) % 256, (yy * 2) % 256], axis=2
+    ).astype(np.uint8)
+    d444 = decode_jpeg(encode_jpeg(smooth, quant=1))
+    assert np.abs(d444.astype(int) - smooth.astype(int)).max() <= 2
+    d420 = decode_jpeg(encode_jpeg(smooth, quant=1, subsample=True))
+    assert d420.shape == smooth.shape
+    # chroma is 2x2 block-mean'd; a gradient loses little
+    assert np.abs(d420.astype(int) - smooth.astype(int)).max() <= 4
+    # DRI restart markers every 2 MCUs: decode resets DC predictors
+    ddri = decode_jpeg(encode_jpeg(smooth, quant=1, restart_interval=2))
+    assert np.abs(ddri.astype(int) - smooth.astype(int)).max() <= 2
+    # constant image: 4:2:0 costs nothing -> exact
+    const = np.full((32, 32, 3), 200, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(const, quant=1, subsample=True)), const
+    )
+
+
+def test_jpeg_rejects_non_baseline():
+    import numpy as np
+    import pytest as _pytest
+
+    from dazzleduck_sql_duckdb_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    # flip SOF0 -> SOF2 (progressive) in a real stream: must raise
+    enc = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_registered_as_real_decoder(spark):
+    """decode_media('jpeg') goes through the real codec; the media
+    feature pipeline decodes it end-to-end in mapInPandas."""
+    import numpy as np
+
+    from dazzleduck_sql_duckdb_spark.operators.jpeg import encode_jpeg
+    from dazzleduck_sql_duckdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_media, extract_features,
+    )
+
+    img = np.repeat(
+        np.repeat(np.arange(64, dtype=np.uint8).reshape(8, 8), 8, 0), 8, 1
+    )
+    payload = encode_jpeg(img, quant=1)
+    assert np.array_equal(decode_media(payload, "jpeg"), img)
+    df = spark.createDataFrame(
+        [(31, "image", "jpeg", 64, 64, None, payload)],
+        schema=MEDIA_SCHEMA,
+    )
+    row = extract_features(
+        df, decoder=lambda b: decode_media(b, "jpeg")
+    ).collect()[0]
+    flat = img.astype(np.float64).ravel()
+    want = flat.reshape(16, -1).mean(axis=1).astype(np.float32)
+    assert row.feature == list(want)
