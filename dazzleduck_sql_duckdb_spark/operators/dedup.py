@@ -188,6 +188,7 @@ def minhash_neardup_pairs(
     bands: int,
     threshold_pct: int = 85,
     max_bucket_docs: int | None = None,
+    broadcast_verify_max: int = 5_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs at shingle-Jaccard >= threshold within block.
 
@@ -214,11 +215,16 @@ def minhash_neardup_pairs(
     directly). Default None = exact contract, no pair ever missed.
     """
     # Widen narrow inputs before the per-row shingle/signature compute:
-    # a small parquet file (single row group) scans as ONE task, which
-    # would serialize the whole CPU-heavy stage. At real scale inputs
-    # already have >= defaultParallelism partitions and this is a no-op.
+    # a small parquet file scans as few tasks (one per row group), which
+    # under-fills the cores for the whole CPU-heavy stage AND pins the
+    # persisted signature stage (and everything narrow downstream) at
+    # that width — measured at 500k docs: a 20-row-group scan left 12
+    # of 32 cores idle with a (19+1)-task straggler through every
+    # later stage. Widen whenever the scan is narrower than the
+    # session's parallelism; at real scale inputs already have >>
+    # defaultParallelism partitions and this is a no-op.
     sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism, id_col)
     kernel = make_shingle_sig_udf(a, b, shingle_n, bands=bands)
     # one fused Arrow pass: text -> (shingle set, signature, band keys);
@@ -264,6 +270,23 @@ def minhash_neardup_pairs(
         )
         .distinct()
     )
+    # Verify-join strategy: Spark statically sizes `cand` as big (it
+    # sits behind a self-join + distinct), so it plans BOTH verify
+    # joins as sort-merge — shuffling AND sorting the full shingle
+    # table (the heaviest dataset in the pipeline: n rows of int64
+    # arrays) twice. AQE can't undo it: by the time real sizes are
+    # known the shingle shuffle is already written. But the candidate
+    # set is BOUNDED by construction (banding rule + hot-bucket guard
+    # keep it ~linear with a small constant), so materialize it, and
+    # when it's small — the designed case — broadcast it into both
+    # verify joins: the shingle table then streams through two
+    # broadcast-hash joins with ZERO shuffle. Measured at 500k docs
+    # (r=10, 3.7k candidates): verify 55s -> ~2s. Past
+    # `broadcast_verify_max` pairs (~16 bytes each) the shuffle join
+    # is the right plan and we keep it.
+    cand = cand.persist()
+    if cand.count() <= broadcast_verify_max:
+        cand = F.broadcast(cand)
     pa, pb = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     la, lb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
