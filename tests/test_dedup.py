@@ -181,3 +181,30 @@ def test_minhash_non_dividing_bands(spark):
     }
     assert (1, 2) in coarse  # exact dup: J=1 matches every band
     assert coarse <= fine
+
+
+def test_minhash_verify_shuffle_fallback_matches_broadcast(spark):
+    """broadcast_verify_max=0 forces the shuffle verify join (the
+    >5M-candidates plan); results must equal the broadcast path."""
+    rng = random.Random(13)
+    docs = []
+    for i in range(40):
+        base = " ".join(f"w{rng.randrange(500)}" for _ in range(50))
+        docs.append((2 * i, "en", base))
+        docs.append((2 * i + 1, "en", base))  # exact dup partner
+    df = spark.createDataFrame(docs, schema=SCHEMA)
+    a = [rng.randrange(1, 2**31 - 1) for _ in range(128)]
+    b = [rng.randrange(0, 2**31 - 1) for _ in range(128)]
+    kw = dict(a=a, b=b, bands=16, threshold_pct=85)
+    bc = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_pairs(df, **kw).collect()
+    }
+    sh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_pairs(
+            df, broadcast_verify_max=0, **kw
+        ).collect()
+    }
+    assert bc == sh
+    assert all((2 * i, 2 * i + 1) in bc for i in range(40))
