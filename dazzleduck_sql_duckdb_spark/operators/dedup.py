@@ -151,6 +151,33 @@ def make_shingle_sig_udf(a: list[int], b: list[int], n: int, bands: int = 0):
     return kernel
 
 
+def minhash_pair_recall(rows_per_band: int, bands: int, jaccard: float) -> float:
+    """Per-pair detection probability of banded MinHash-LSH.
+
+    A pair at Jaccard j shares a given band of r rows with probability
+    j^r and is detected if ANY of the b bands matches:
+
+        P(detect) = 1 - (1 - j^r)^b
+
+    This is the explicit recall contract for auto_bands: compute it at
+    the verify threshold before trusting a (r, b) schedule."""
+    return 1.0 - (1.0 - jaccard**rows_per_band) ** bands
+
+
+def bands_for_recall(
+    rows_per_band: int, threshold: float = 0.85, min_recall: float = 0.99
+) -> int:
+    """Minimum band count b such that minhash_pair_recall(r, b,
+    threshold) >= min_recall: b = ceil(ln(1-R) / ln(1-t^r)). The
+    signature width must then be K = r * b (caller supplies K hash
+    seeds). Examples at t=0.85, R=0.99: r=8 -> b=15 (K=120),
+    r=10 -> b=22 (K=220), r=12 -> b=31 (K=372)."""
+    import math
+
+    miss = 1.0 - threshold**rows_per_band
+    return max(1, math.ceil(math.log(1.0 - min_recall) / math.log(miss)))
+
+
 def auto_bands(n_docs: int, k: int = 128) -> int:
     """Production banding rule: rows-per-band r grows with log2(n).
 
@@ -163,13 +190,24 @@ def auto_bands(n_docs: int, k: int = 128) -> int:
 
         r = clamp(ceil(log2(n) / 2), 4, 12),  b = k // r
 
-    The cap r=12 (b=10 at K=128) keeps the S-curve threshold
-    (1/b)^(1/r) = 0.825 below the 0.85 Jaccard contract — r=16 would
-    push it to 0.88, silently missing true near-dups at the threshold.
-    Returns the BANDS count to pass to minhash_neardup_pairs (which
-    derives r = k // bands). Examples: 5k docs -> r=7/b=18,
-    50k -> r=8/b=16, 500k -> r=10/b=12, 50M -> r=12/b=10 (capped;
-    past that, the max_bucket_docs guard bounds residual hot buckets)."""
+    RECALL CONTRACT (per-pair, at the J=0.85 verify threshold, via
+    minhash_pair_recall(r, k//r, 0.85) with K=128):
+
+        r=4/b=32  ~100%      r=7/b=18  99.91%     r=8/b=16  99.39%
+        r=10/b=12 92.81%     r=12/b=10 78.43% (capped tail)
+
+    i.e. at FIXED K=128 the schedule trades at-threshold recall for
+    candidate-count control as n grows; pairs well above threshold are
+    still near-certain (J=0.90: r=10/b=12 -> 99.6%, r=12/b=10 -> 97%).
+    If the pipeline's contract is >=99% recall AT the threshold, grow
+    the signature with r instead of holding K=128: K = r *
+    bands_for_recall(r) (r=10 -> K=220, r=12 -> K=372; signature cost
+    is linear in K and the kernel is vectorized over K), or OR together
+    multiple independent K=128 band sets. Returns the BANDS count to
+    pass to minhash_neardup_pairs (which derives r = k // bands).
+    Examples: 5k docs -> r=7/b=18, 50k -> r=8/b=16, 500k -> r=10/b=12,
+    50M -> r=12/b=10 (capped; past that, the max_bucket_docs guard
+    bounds residual hot buckets)."""
     import math
 
     r = min(12, max(4, math.ceil(math.log2(max(n_docs, 2)) / 2)))
@@ -189,6 +227,7 @@ def minhash_neardup_pairs(
     threshold_pct: int = 85,
     max_bucket_docs: int | None = None,
     broadcast_verify_max: int = 5_000_000,
+    broadcast_verify_docs: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs at shingle-Jaccard >= threshold within block.
 
@@ -213,6 +252,18 @@ def minhash_neardup_pairs(
     pair sits inside a mega-cluster, exactly the case handled by the
     dedicated boilerplate path (cluster the oversized buckets' members
     directly). Default None = exact contract, no pair ever missed.
+
+    ``broadcast_verify_max`` / ``broadcast_verify_docs``: candidate
+    pairs (resp. candidate-member shingle rows, ~8 bytes per shingle)
+    below these counts take the narrowed zero-shuffle verify path —
+    see the plan comment at the verify join.
+
+    EAGER: this function runs Spark jobs at call time (the staged
+    kernel, the band self-join, and the candidate-narrowing are
+    materialized via localCheckpoint so their true sizes drive the
+    verify plan); intermediates are checkpoint blocks the
+    ContextCleaner frees once the returned DataFrame is released — no
+    persist() handles leak into the caller's session.
     """
     # Widen narrow inputs before the per-row shingle/signature compute:
     # a small parquet file scans as few tasks (one per row group), which
@@ -228,8 +279,17 @@ def minhash_neardup_pairs(
         docs = docs.repartition(sc.defaultParallelism, id_col)
     kernel = make_shingle_sig_udf(a, b, shingle_n, bands=bands)
     # one fused Arrow pass: text -> (shingle set, signature, band keys);
-    # persisted because verify reads `sh` and the band self-join reads
-    # `bkeys` twice. The band index is folded into each bkey in the
+    # materialized ONCE (eager localCheckpoint) because verify reads
+    # `sh` and the band self-join reads `bkeys` twice. localCheckpoint,
+    # not persist(): a persist() here leaked blocks for the session
+    # lifetime (the caller never sees the handle to unpersist, and
+    # repeated calls accumulated cached stages until the storage pool
+    # evicted a live one) — checkpoint blocks are released by the
+    # ContextCleaner as soon as the referencing DataFrames are
+    # garbage-collected, and the lineage cut keeps task retries away
+    # from the CPU-heavy kernel. This makes the function EAGER (the
+    # kernel runs at call time; it already did via the candidate-count
+    # job below). The band index is folded into each bkey in the
     # kernel, so the bucket join below is a single-long-key equi-join
     # (8-byte exchange rows, no per-exploded-row string building).
     staged = docs.select(
@@ -239,7 +299,7 @@ def minhash_neardup_pairs(
     ).select(
         "doc_id", "blk",
         F.col("k.sh").alias("sh"), F.col("k.bkeys").alias("bkeys"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     sh = staged.select("doc_id", "blk", "sh")
 
     bands_df = staged.select(
@@ -277,17 +337,36 @@ def minhash_neardup_pairs(
     # arrays) twice. AQE can't undo it: by the time real sizes are
     # known the shingle shuffle is already written. But the candidate
     # set is BOUNDED by construction (banding rule + hot-bucket guard
-    # keep it ~linear with a small constant), so materialize it, and
-    # when it's small — the designed case — broadcast it into both
-    # verify joins: the shingle table then streams through two
-    # broadcast-hash joins with ZERO shuffle. Measured at 500k docs
-    # (r=10, 3.7k candidates): verify 55s -> ~2s. Past
-    # `broadcast_verify_max` pairs (~16 bytes each) the shuffle join
-    # is the right plan and we keep it.
-    cand = cand.persist()
-    if cand.count() <= broadcast_verify_max:
-        cand = F.broadcast(cand)
-    pa, pb = sh.alias("a"), sh.alias("b")
+    # keep it ~linear with a small constant), so materialize it
+    # (eager localCheckpoint — GC-cleaned, see `staged`) and let its
+    # TRUE size pick the plan. In the designed case, FIRST narrow the
+    # shingle table to candidate members with a broadcast semi-join
+    # (the id list is two longs per pair): the full shingle table then
+    # streams through ONE broadcast join and is never shuffled or
+    # sorted. NB a broadcast() hint on `cand` alone is not enough —
+    # the hint does not survive into the second verify join (whose
+    # probe side is cand JOIN sh), which still sort-merged the shingle
+    # table. Measured at 500k docs (r=10, 3.7k candidates): verify
+    # 55s -> ~2s. Past `broadcast_verify_max` pairs (~16 bytes each)
+    # the shuffle join over the full table is the right plan.
+    cand = cand.localCheckpoint(eager=True)
+    n_cand = cand.count()
+    if n_cand <= broadcast_verify_max:
+        ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        # bounded: <= 2 * n_cand member docs' shingle arrays
+        sh_use = sh.join(F.broadcast(ids), "doc_id", "left_semi")
+        sh_use = sh_use.localCheckpoint(eager=True)
+        if sh_use.count() <= broadcast_verify_docs:
+            # zero-shuffle verify: cand streams through two
+            # broadcast-hash joins against the narrowed arrays
+            sh_use = F.broadcast(sh_use)
+        pa, pb = sh_use.alias("a"), sh_use.alias("b")
+    else:
+        pa, pb = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     la, lb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
     uni = la + lb - inter

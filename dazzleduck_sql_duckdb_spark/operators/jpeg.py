@@ -222,6 +222,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError(f"bad marker alignment at {i}")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — skip them before reading the marker code
+        # (our own encoder never pads, but other baseline encoders do)
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI
             break

@@ -1766,6 +1766,12 @@ FROM (SELECT source, {grams} AS gs
         # path is chunked masks: group by (gh, sid DIV 62) and count
         # cross-chunk pairs per chunk-pair). The gram shuffle carries
         # 8-byte keys + 8-byte partial masks, never gram text.
+        #
+        # The unpartitioned row_number() window below runs over SELECT
+        # DISTINCT source — bounded ≤62 rows by the adjacent assert —
+        # so its single-partition WindowExec (and Spark's warning
+        # about it) is a one-reducer pass over a dim table, not a
+        # scale hazard.
         return f"""
 WITH sid AS (
   SELECT source, sid FROM (
@@ -1903,7 +1909,14 @@ def _build_tfidf_stages(spark) -> None:
     token-less docs, matching the oracle) rides along as a constant
     column computed once at stage-build time: inlining it removes a
     separate scan job + broadcast nested-loop join from the scoring
-    query (measured ~0.15s of pure stage-count constant at sf0.1)."""
+    query (measured ~0.15s of pure stage-count constant at sf0.1).
+
+    ATOMICITY INVARIANT: the frozen n_docs is only correct while the
+    `documents` view is unchanged between this stage build and the
+    query's execution. run_query/_prepare guarantee that — every call
+    re-points the views and immediately re-runs SPARK_STAGES before
+    the SQL — but a caller who re-registers `documents` and reuses a
+    previously staged `tfidf_tf` view gets a stale corpus count."""
     tk = D.tokens("text", SPARK)
     n_docs = spark.table("documents").count()
     _stage(

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import types as T
 
 from dazzleduck_sql_duckdb_spark.operators.dedup import (
@@ -151,6 +152,34 @@ def test_auto_bands_rule():
     assert auto_bands(500_000) == 128 // 10  # r=10 -> b=12
     assert auto_bands(50_000_000) == 128 // 12  # cap: r=12 -> b=10
     assert auto_bands(10**12) == 128 // 12  # still capped
+
+
+def test_minhash_recall_contract():
+    """The banding schedule's per-pair recall at the J=0.85 verify
+    threshold is explicit: 1-(1-j^r)^b. The schedule trades
+    at-threshold recall for candidate control as r grows at fixed
+    K=128; bands_for_recall gives the K needed to hold recall."""
+    from dazzleduck_sql_duckdb_spark.operators.dedup import (
+        bands_for_recall, minhash_pair_recall,
+    )
+
+    assert minhash_pair_recall(8, 16, 0.85) == pytest.approx(
+        0.9938, abs=1e-3
+    )
+    assert minhash_pair_recall(10, 12, 0.85) == pytest.approx(
+        0.9280, abs=1e-3
+    )
+    assert minhash_pair_recall(12, 10, 0.85) == pytest.approx(
+        0.7844, abs=1e-3
+    )
+    # exact dups are always found; recall is monotone in j
+    assert minhash_pair_recall(12, 10, 1.0) == 1.0
+    for r in (8, 10, 12):
+        b = bands_for_recall(r, threshold=0.85, min_recall=0.99)
+        assert minhash_pair_recall(r, b, 0.85) >= 0.99
+        assert minhash_pair_recall(r, b - 1, 0.85) < 0.99
+    assert bands_for_recall(10) == 22  # K = 220
+    assert bands_for_recall(12) == 31  # K = 372
 
 
 def test_minhash_non_dividing_bands(spark):

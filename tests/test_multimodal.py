@@ -431,6 +431,26 @@ def test_jpeg_uniform_blocks_byte_exact():
     assert np.array_equal(decode_jpeg(encode_jpeg(img, quant=1)), img)
 
 
+def test_jpeg_accepts_ff_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; our encoder never pads but other baseline encoders do."""
+    import numpy as np
+
+    from dazzleduck_sql_duckdb_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 256, size=(8, 8)).astype(np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    enc = encode_jpeg(img, quant=1)
+    # pad before the first post-SOI marker and before EOI
+    padded = (
+        enc[:2] + b"\xff\xff\xff" + enc[2:-2] + b"\xff" + enc[-2:]
+    )
+    assert np.array_equal(decode_jpeg(padded), img)
+
+
 def test_jpeg_gray_near_lossless_and_nonmultiple_size():
     import numpy as np
 

@@ -124,6 +124,15 @@ def gen_embeddings(n: int, out: str, dim: int = 64, seed: int = 7) -> None:
 # (the residual candidate term grows past linear at fixed r, by
 # construction); with auto_bands this run tests the rule's claim that
 # growing r with log n holds e <= ~1.2.
+#
+# Recall caveat (explicit contract, see auto_bands docstring +
+# minhash_pair_recall): at fixed K=128 the schedule's at-threshold
+# per-pair recall is 99.4% at r=8 but 92.8% at r=10 (500k docs) and
+# 78.4% at the r=12 cap — these timing runs therefore exercise a
+# candidate volume ~7-20% SMALLER at the J=0.85 boundary than a
+# recall-held schedule (K = r * bands_for_recall(r)) would; pairs well
+# above threshold (the dup mass this generator plants at J~1) are
+# detected near-certainly at every r, so the measured exponents stand.
 DEDUP_PIPELINES = [
     "dedup_minhash_lsh",
     "dedup_components",
