@@ -12,9 +12,11 @@ library: PPM/PGM (netpbm P6/P5), BMP (24-bit BI_RGB), WAV (PCM
 8/16-bit) in pure numpy, PNG (8-bit gray/RGB/RGBA/palette, all five
 row filters) via stdlib ``zlib``, and baseline JPEG (SOF0 huffman +
 dequant + IDCT; gray / 4:4:4 / 4:2:2 / 4:2:0, DRI restarts) in pure
-numpy — see ``decode_media`` and ``jpeg.py``. Only video containers
-(mp4/h264...) need ffmpeg, which is NOT available in this
-environment; that slot raises a clearly-marked NotImplementedError,
+numpy — see ``decode_media`` and ``jpeg.py``. MP4 CONTAINER metadata
+(duration, track count, codec fourcc, dimensions) is also real — a
+pure-stdlib ISO BMFF box walk in ``mp4.py`` — but video FRAME decode
+(h264/h265 entropy coding) needs ffmpeg, which is NOT available in
+this environment; that slot raises a clearly-marked NotImplementedError,
 and ``deterministic_fake_decoder`` produces a seeded-by-content fake
 pixel array so the Spark-side plumbing — schema, batch shapes,
 partitioning, metadata propagation — stays fully testable. Swapping

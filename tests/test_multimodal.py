@@ -415,6 +415,95 @@ def test_resize_real_rgb_ppm(spark):
 # --------------------------------------------------------- baseline JPEG
 
 
+# ------------------------------------------------------------- MP4 boxes
+
+
+def test_mp4_skeleton_round_trip_and_size_law():
+    from dazzleduck_sql_duckdb_spark.operators.mp4 import (
+        AUDIO_TRAK_BYTES, VIDEO_SKELETON_BYTES, encode_mp4_skeleton,
+        parse_mp4_metadata,
+    )
+
+    p = encode_mp4_skeleton(123456, 640, 360, codec="hev1", mdat=b"hi")
+    m = parse_mp4_metadata(p)
+    assert m == {
+        "major_brand": "isom",
+        "timescale": 1000,
+        "duration_ms": 123456,
+        "n_tracks": 1,
+        "codec": "hev1",
+        "width": 640,
+        "height": 360,
+    }
+    assert len(p) == VIDEO_SKELETON_BYTES + 2
+    pa = encode_mp4_skeleton(
+        7_200_000, 1920, 1080, codec="av01", with_audio=True, mdat=b"x" * 9
+    )
+    ma = parse_mp4_metadata(pa)
+    assert (ma["n_tracks"], ma["codec"], ma["width"]) == (2, "av01", 1920)
+    assert len(pa) == VIDEO_SKELETON_BYTES + AUDIO_TRAK_BYTES + 9
+    # the audio trak must not shadow the video trak's codec/dims
+    assert ma["duration_ms"] == 7_200_000
+
+
+def test_mp4_parser_largesize_and_v1_and_corrupt():
+    import struct
+
+    from dazzleduck_sql_duckdb_spark.operators.mp4 import (
+        encode_mp4_skeleton, parse_mp4_metadata,
+    )
+
+    p = encode_mp4_skeleton(500, 32, 16, mdat=b"abc")
+    # rewrite the trailing mdat as a size==1 largesize box
+    body = p[-3:]
+    big = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + 3) + body
+    m = parse_mp4_metadata(p[: -(8 + 3)] + big)
+    assert m["duration_ms"] == 500 and m["width"] == 32
+    # version-1 mvhd (64-bit times) parses via the v1 offsets
+    i = p.index(b"mvhd") - 4
+    (size,) = struct.unpack_from(">I", p, i)
+    v1_body = (
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQIQ", 0, 0, 90000, 90000 * 7)
+        + p[i + 8 + 4 + 16 :i + size]
+    )
+    v1 = struct.pack(">I", 8 + len(v1_body)) + b"mvhd" + v1_body
+    patched = p[:i] + v1 + p[i + size :]
+    # fix the enclosing moov/total sizes: moov grew by len(v1) - size
+    grow = len(v1) - size
+    j = p.index(b"moov") - 4
+    (moov_size,) = struct.unpack_from(">I", p, j)
+    patched = (
+        patched[:j]
+        + struct.pack(">I", moov_size + grow)
+        + patched[j + 4 :]
+    )
+    m1 = parse_mp4_metadata(patched)
+    assert m1["timescale"] == 90000 and m1["duration_ms"] == 7000
+    # corrupt: declared size overruns the buffer
+    bad = struct.pack(">I", 9999) + b"free" + b"\x00" * 8
+    with pytest.raises(ValueError):
+        parse_mp4_metadata(p + bad)
+
+
+def test_video_metadata_operator(spark):
+    from dazzleduck_sql_duckdb_spark.operators.mp4 import (
+        encode_mp4_skeleton, video_metadata,
+    )
+
+    rows = [
+        (1, encode_mp4_skeleton(1000, 64, 32, codec="avc1")),
+        (2, encode_mp4_skeleton(2000, 128, 64, codec="mp4v",
+                                with_audio=True, mdat=b"y" * 5)),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, payload BINARY")
+    got = {r.media_id: r for r in video_metadata(df).collect()}
+    assert got[1].codec == "avc1" and got[1].n_tracks == 1
+    assert got[2].codec == "mp4v" and got[2].n_tracks == 2
+    assert got[2].duration_ms == 2000 and got[2].width == 128
+    assert got[2].n_bytes == len(rows[1][1])
+
+
 def test_jpeg_uniform_blocks_byte_exact():
     """quant=1 + uniform 8x8 blocks: DC-only coefficients survive
     encode->huffman->decode->IDCT byte-exactly (the property the
