@@ -893,17 +893,29 @@ def _q18(d: str) -> str:
     both: aggregate lineitem by orderkey once, filter > 220, then join
     the (small) surviving keys to orders and customer. At scale this is
     one full lineitem shuffle instead of two, and the post-filter join
-    input shrinks from |lineitem| to |big orders|."""
+    input shrinks from |lineitem| to |big orders|.
+
+    Sum domain: l_quantity is INTEGRAL by TPC-H construction (1..50;
+    asserted against the test data in tests/test_properties.py), so
+    summing CAST(l_quantity AS BIGINT) is EXACT and order-independent
+    — the same result the decimal-domain sum produces, without its
+    cost: Spark widens a DECIMAL(18,4) sum accumulator to
+    DECIMAL(28,4), which no longer fits a long, so every group update
+    leaves the primitive fast path (measured at sf0.1: 0.80s decimal
+    vs 0.36s long-backed for the identical grouped HAVING sum). The
+    decimal discipline stays where values are genuinely fractional
+    (q1/q3/q5 money sums); exactness here comes from integrality, not
+    from giving up the HUGEINT->DECIMAL contract."""
     od = D.epoch_us("CAST(o_orderdate AS TIMESTAMP)", d)
     return f"""
 WITH okq AS (
-  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS qty
   FROM lineitem GROUP BY l_orderkey
-  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 220
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 220
 )
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
   CAST({od} AS BIGINT) AS order_us,
-  CAST(CAST(round(okq.qty, 4) AS DECIMAL(38,4)) AS DOUBLE) AS total_qty
+  CAST(okq.qty AS DOUBLE) AS total_qty
 FROM okq
 JOIN orders o ON o.o_orderkey = okq.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -1861,40 +1873,34 @@ def _tfidf(d: str) -> str:
     driver's value hash) is identical. tf*idf and the window ranking are
     then exact IEEE ops on identical operands.
 
-    Scale: tf aggregates on (doc_id, term) with partial counts; df is
-    vocabulary-sized (≪ corpus) so the tf⋈df join broadcasts at any
-    realistic vocabulary; the 1-row doc-count side is a broadcast cross
-    join; the per-doc top-5 is one window shuffle on doc_id."""
+    Scale: REPARTITION(doc_id) BEFORE the explode shuffles whole
+    documents once (one row per doc — orders of magnitude less
+    exchange volume than exploded tokens); after it, hash(doc_id)
+    satisfies BOTH the tf aggregation's ClusteredDistribution
+    (doc_id, tok) (subset rule) and the ranking window's clustering,
+    so tf aggregates with NO further exchange and the per-doc top-5
+    runs with NO window exchange — Spark's WindowGroupLimit keeps the
+    rk<=5 heap partition-local (plan-asserted in
+    tests/test_plan_quality.py). df stays a grouped aggregation
+    (map-side partials — skew-safe for hot terms, unlike a count()
+    OVER (PARTITION BY term) window, whose hottest term would land
+    n_docs rows on one reducer) and broadcasts into the tf join; the
+    1-row doc-count side is a broadcast cross join. Spark inlines the
+    tf CTE into both consumers, so tokenize+explode runs twice —
+    measured CHEAPER at bench scale than the previous persisted-view
+    staging (no cache write, no separate count job, no view
+    re-registration: ~0.95s vs ~1.6s at sf0.1); on a 100 TB corpus,
+    re-introduce a checkpointed tf stage (the _stage pattern simhash
+    uses) to tokenize once at the cost of materializing tf."""
     tk = D.tokens("text", d)
     if d == SPARK:
-        # tf is STAGED (persisted temp view `tfidf_tf`, see
-        # _build_tfidf_stages): the df aggregation derives from tf, and
-        # Spark's CTE inlining would otherwise recompute the whole
-        # explode+group subtree for each reference (measured: 2 full
-        # document scans -> 1). df stays a grouped aggregation (map-side
-        # partial counts — skew-safe for hot terms, unlike a
-        # count() OVER (PARTITION BY term) window) and broadcasts into
-        # the tf join.
-        return """
-WITH df AS (
-  SELECT term, CAST(count(*) AS BIGINT) AS df,
-    max(n_docs) AS n_docs
-  FROM tfidf_tf GROUP BY term
-),
-scored AS (
-  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-    CAST(tf.tf AS DOUBLE)
-      * round(ln((1.0 + df.n_docs) / (1.0 + CAST(df.df AS DOUBLE))), 6)
-      AS tfidf
-  FROM tfidf_tf tf JOIN df ON tf.term = df.term
-)
-SELECT doc_id, term, tf, df, tfidf
-FROM (SELECT scored.*, row_number()
-        OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
-      FROM scored) r
-WHERE rk <= 5
-"""
-    exploded = f"SELECT doc_id, unnest({tk}) AS tok FROM documents"
+        exploded = (
+            "SELECT doc_id, tok FROM"
+            f" (SELECT /*+ REPARTITION(doc_id) */ doc_id, {tk} AS tks"
+            " FROM documents) t LATERAL VIEW explode(tks) x AS tok"
+        )
+    else:
+        exploded = f"SELECT doc_id, unnest({tk}) AS tok FROM documents"
     return f"""
 WITH tf AS (
   SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
@@ -1917,37 +1923,6 @@ FROM (SELECT scored.*, row_number()
       FROM scored) r
 WHERE rk <= 5
 """
-
-
-def _build_tfidf_stages(spark) -> None:
-    """Stage the per-(doc, term) tf counts as a persisted view — the one
-    intermediate both the df aggregation and the scoring join read (on a
-    real cluster: a checkpointed dataset). Tokenization and counting
-    stay JVM-side.
-
-    n_docs (the idf numerator — count(*) over documents, INCLUDING
-    token-less docs, matching the oracle) rides along as a constant
-    column computed once at stage-build time: inlining it removes a
-    separate scan job + broadcast nested-loop join from the scoring
-    query (measured ~0.15s of pure stage-count constant at sf0.1).
-
-    ATOMICITY INVARIANT: the frozen n_docs is only correct while the
-    `documents` view is unchanged between this stage build and the
-    query's execution. run_query/_prepare guarantee that — every call
-    re-points the views and immediately re-runs SPARK_STAGES before
-    the SQL — but a caller who re-registers `documents` and reuses a
-    previously staged `tfidf_tf` view gets a stale corpus count."""
-    tk = D.tokens("text", SPARK)
-    n_docs = spark.table("documents").count()
-    _stage(
-        spark,
-        "tfidf_tf",
-        f"SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf,"
-        f" CAST({n_docs} AS DOUBLE) AS n_docs"
-        f" FROM (SELECT doc_id, tok FROM (SELECT doc_id, {tk} AS tks"
-        f" FROM documents) t LATERAL VIEW explode(tks) x AS tok) e"
-        f" GROUP BY doc_id, tok",
-    )
 
 
 # ======================================================= staged Spark plans
@@ -2053,7 +2028,6 @@ def _build_simhash_stages(spark) -> None:
 SPARK_STAGES: dict[str, Callable] = {
     "simhash_values": _build_simhash_stages,
     "dedup_simhash": _build_simhash_stages,
-    "text_tfidf_topk": _build_tfidf_stages,
 }
 
 

@@ -199,6 +199,25 @@ def test_tfidf_stays_jvm_hash_joined(plans):
     assert "partial_count" in p
 
 
+def test_tfidf_window_is_exchange_free_heap(plans):
+    """The per-doc top-5 must be a partition-local WindowGroupLimit
+    with NO exchange between the scoring join and the Window: the
+    REPARTITION(doc_id)-before-explode stage makes hash(doc_id)
+    satisfy both the tf aggregation and the window clustering, so the
+    only exchanges in the whole plan are the one-row-per-doc
+    repartition and the vocabulary-sized df partials."""
+    p = plans("text_tfidf_topk")
+    assert "WindowGroupLimit" in p
+    lines = p.splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window " in ln)
+    join = next(
+        i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln
+    )
+    assert not any(
+        "Exchange hashpartitioning" in ln for ln in lines[win:join]
+    ), "window added an exchange over the scored rows"
+
+
 def test_exact_dedup_shuffles_hash_not_text(plans):
     """The dedup exchange key is the md5 hash; raw text must not be a
     shuffle output column (at 100 TB the difference is the job)."""

@@ -199,3 +199,23 @@ def test_wav_roundtrip_any_pcm(frames, channels, seed):
     out = decode_wav(encode_wav(s, sample_rate=16_000))
     assert out.shape == (frames, channels)
     assert np.abs(out - s).max() < 1 / 32768 + 1e-9
+
+
+def test_lineitem_quantity_is_integral():
+    """q18's long-domain sum (plans/queries.py _q18) is exact ONLY
+    because l_quantity is integral (TPC-H: integers 1..50) — pin that
+    precondition against every generated test scale."""
+    import glob
+
+    import duckdb
+
+    dirs = glob.glob("/root/testdata/sf*/lineitem.parquet")
+    assert dirs
+    for p in dirs:
+        frac, lo, hi = duckdb.sql(
+            "SELECT count(*) FILTER (l_quantity <> round(l_quantity, 0)),"
+            " min(l_quantity), max(l_quantity)"
+            f" FROM '{p}'"
+        ).fetchone()
+        assert frac == 0, f"fractional l_quantity in {p}"
+        assert 1 <= lo and hi <= 50
