@@ -68,6 +68,55 @@ object DdWire {
     conn.getInputStream
   }
 
+  /** GET /v1/plan — split planning over `sql` (the PRUNED+FILTERED
+   *  relation, so a selective pushdown shrinks the split count the
+   *  same way it does on the Python source). Returns (endpoint,
+   *  splitQuery) pairs with the i %% n load-spread over each split's
+   *  advertised replica endpoints; replica FAILOVER stays a Python-
+   *  source capability (documented shim limit). */
+  def fetchPlan(
+      base: String,
+      sql: String,
+      splitSize: Long,
+      token: String): Array[(String, String)] = {
+    val url = base.stripSuffix("/") + "/v1/plan?q=" +
+      URLEncoder.encode(sql, "UTF-8")
+    val conn =
+      new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    conn.setRequestProperty("Accept", "application/json")
+    if (splitSize > 0) {
+      conn.setRequestProperty("x-dd-split-size", splitSize.toString)
+    }
+    if (token != null && token.nonEmpty) {
+      conn.setRequestProperty("Authorization", "Bearer " + token)
+    }
+    if (conn.getResponseCode != 200) {
+      throw new RuntimeException(
+        s"dd_arrow_dsv2: plan HTTP ${conn.getResponseCode} from $url")
+    }
+    val body = conn.getInputStream.readAllBytes()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(body)
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var i = 0
+    root.forEach { entry =>
+      val q = entry.path("descriptor").path("statementHandle")
+        .path("query").asText("")
+      val eps = entry.path("endpoints")
+      val ep =
+        if (eps.isArray && eps.size() > 0) {
+          eps.get(i % eps.size()).asText(base)
+        } else base
+      out += ((ep, q))
+      i += 1
+    }
+    if (out.isEmpty) {
+      throw new RuntimeException("dd_arrow_dsv2: server returned no splits")
+    }
+    out.toArray
+  }
+
   /** Arrow schema of `sql` via a LIMIT-0 probe (the reference's own
    *  schema-discovery pattern). */
   def probeSchema(base: String, sql: String, token: String): StructType = {
@@ -181,7 +230,9 @@ class DdArrowDataSource extends TableProvider
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new DdTable(schema, opts.get("url"), baseQuery(opts),
-      opts.getOrDefault("token", ""))
+      opts.getOrDefault("token", ""),
+      opts.getBoolean("split", false),
+      opts.getLong("split_size", 0L))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -191,14 +242,16 @@ class DdTable(
     tableSchema: StructType,
     url: String,
     base: String,
-    token: String) extends Table with SupportsRead {
+    token: String,
+    split: Boolean,
+    splitSize: Long) extends Table with SupportsRead {
   override def name(): String = s"dd_arrow($base)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       opts: CaseInsensitiveStringMap): ScanBuilder =
-    new DdScanBuilder(tableSchema, url, base, token)
+    new DdScanBuilder(tableSchema, url, base, token, split, splitSize)
 }
 
 // --------------------------------------------------------- scan builder
@@ -207,7 +260,9 @@ class DdScanBuilder(
     fullSchema: StructType,
     url: String,
     base: String,
-    token: String)
+    token: String,
+    split: Boolean,
+    splitSize: Long)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
@@ -339,9 +394,12 @@ class DdScanBuilder(
 
   override def build(): Scan = {
     val schema = aggSchema.getOrElse(required)
+    // complete agg pushdown must stay a single global query — the
+    // per-split-partials variant is the Python dd_read_arrow_agg path
     new DdScan(schema, url, buildSql(), token, pushed,
       aggSelect.isDefined, emptyProjection = required.fields.isEmpty
-        && aggSelect.isEmpty)
+        && aggSelect.isEmpty,
+      split = split && aggSelect.isEmpty, splitSize = splitSize)
   }
 }
 
@@ -354,7 +412,9 @@ class DdScan(
     token: String,
     pushed: Array[Filter],
     aggPushed: Boolean,
-    emptyProjection: Boolean) extends Scan with Batch {
+    emptyProjection: Boolean,
+    split: Boolean = false,
+    splitSize: Long = 0L) extends Scan with Batch {
 
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
@@ -363,7 +423,17 @@ class DdScan(
       s"PushedAggregation: $aggPushed, RemoteSql: $sql"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(DdPartition(DdWire.queryUrl(url, sql, System.nanoTime())))
+    if (split) {
+      // plan over the PRUNED+FILTERED SQL: each split is the server's
+      // rewritten slice of it, fetched in parallel by Spark tasks
+      DdWire.fetchPlan(url, sql, splitSize, token).map {
+        case (ep, q) =>
+          DdPartition(DdWire.queryUrl(ep, q, System.nanoTime()))
+            : InputPartition
+      }
+    } else {
+      Array(DdPartition(DdWire.queryUrl(url, sql, System.nanoTime())))
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DdReaderFactory(token, emptyProjection)

@@ -121,6 +121,22 @@ out["stddev_rows"] = sorted(
 # 5) empty projection (bare count) still counts rows
 out["bare_count"] = r.count()
 
+# 6) split mode: /v1/plan over the PRUNED+FILTERED sql, one Spark
+#    partition per split; results identical to the non-split read
+rs = (
+    spark.read.format("dd_arrow_dsv2")
+    .option("url", srv.url)
+    .option("path", "lineitem")
+    .option("token", "sekret")
+    .option("split", "true")
+    .option("split_size", "65536")
+    .load()
+)
+df = rs.select("l_orderkey")
+out["split_n_partitions"] = df.rdd.getNumPartitions()
+out["split_proj_sum"] = df.groupBy().sum("l_orderkey").collect()[0][0]
+out["split_filter_count"] = rs.filter("l_quantity > 45").count()
+
 spark.stop()
 srv.stop()
 print("SHIM_RESULT " + json.dumps(out))
@@ -203,3 +219,6 @@ def test_dsv2_shim_transparent_pushdowns():
     assert got["bare_count"] == con(
         f"SELECT count(*) FROM '{LINEITEM}'"
     ).fetchone()[0]
+    assert got["split_n_partitions"] > 1
+    assert got["split_proj_sum"] == got["proj_sum"]
+    assert got["split_filter_count"] == got["filter_count"]
