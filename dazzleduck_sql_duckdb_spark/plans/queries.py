@@ -50,6 +50,14 @@ HAMMING_MAX = 3
 _rng = random.Random(20260813)
 MINHASH_A = [_rng.randrange(1, P31) for _ in range(MINHASH_K)]
 MINHASH_B = [_rng.randrange(0, P31) for _ in range(MINHASH_K)]
+# Wider seed pool for the RECALL-HELD schedule (K = r *
+# bands_for_recall(r) grows past 128 as r grows with corpus size; 512
+# covers r=12/b=31=372 with headroom). Seeded AFTER the K=128 lists so
+# their values — and every hash-gated entry built on them — are
+# byte-identical to prior rounds.
+MINHASH_KMAX = 512
+MINHASH_A_WIDE = [_rng.randrange(1, P31) for _ in range(MINHASH_KMAX)]
+MINHASH_B_WIDE = [_rng.randrange(0, P31) for _ in range(MINHASH_KMAX)]
 
 
 def _arr(vals, dialect: str) -> str:
@@ -1121,6 +1129,22 @@ def _minhash_auto(d: str) -> str:
     return _minhash_lsh(d)
 
 
+@q("dedup_minhash_recall_held")
+def _minhash_recall_held(d: str) -> str:
+    """The RECALL-HELD production schedule under the oracle gate: r
+    still grows with log2(n) (auto-banding keeps the false-candidate
+    term ~linear), but instead of holding K=128 and letting at-
+    threshold recall decay (92.8% at r=10, 78.4% at r=12 — the
+    explicit contract in auto_bands), the signature WIDENS with r:
+    b = bands_for_recall(r) so 1-(1-0.85^r)^b >= 99%, K = r*b (up to
+    372 at the r=12 cap; signature cost is linear in K and the numpy
+    kernel is vectorized over K). Same brute-force DuckDB oracle as
+    dedup_minhash_lsh — at gate sizes BOTH schedules must equal it
+    exactly; at 500k+ docs this one keeps >=99% of threshold-grade
+    pairs where the fixed-K schedule trades them for speed."""
+    return _minhash_lsh(d)
+
+
 @q("dedup_components")
 def _dedup_components(d: str) -> str:
     """Near-dup clusters: connected components over the minhash pair
@@ -2073,10 +2097,36 @@ def _build_minhash_auto_df(spark):
     )
 
 
+def _build_minhash_recall_held_df(spark):
+    """Recall-held schedule: r from auto-banding, b = bands_for_recall
+    (r) so per-pair recall at J=0.85 stays >=99%, K = r*b seeds from
+    the wide pool. See _minhash_recall_held docstring."""
+    import math
+
+    from ..operators.dedup import bands_for_recall, minhash_neardup_pairs
+
+    docs = spark.table("documents")
+    n = docs.count()
+    r = min(12, max(4, math.ceil(math.log2(max(n, 2)) / 2)))
+    b = bands_for_recall(r, threshold=JACCARD_PCT / 100, min_recall=0.99)
+    k = r * b
+    assert k <= MINHASH_KMAX, (r, b, k)
+    return minhash_neardup_pairs(
+        docs,
+        shingle_n=SHINGLE_N,
+        a=MINHASH_A_WIDE[:k],
+        b=MINHASH_B_WIDE[:k],
+        bands=b,
+        threshold_pct=JACCARD_PCT,
+        max_bucket_docs=256,
+    )
+
+
 # name -> full DataFrame builder replacing the Spark SQL text
 SPARK_BUILDERS: dict[str, Callable] = {
     "dedup_minhash_lsh": _build_minhash_df,
     "dedup_minhash_auto": _build_minhash_auto_df,
+    "dedup_minhash_recall_held": _build_minhash_recall_held_df,
 }
 
 # ======================================================= remote-source queries
