@@ -254,16 +254,16 @@ def minhash_neardup_pairs(
     directly). Default None = exact contract, no pair ever missed.
 
     ``broadcast_verify_max`` / ``broadcast_verify_docs``: candidate
-    pairs (resp. candidate-member shingle rows, ~8 bytes per shingle)
+    pairs (resp. the 2*pairs bound on candidate-member shingle rows)
     below these counts take the narrowed zero-shuffle verify path —
     see the plan comment at the verify join.
 
-    EAGER: this function runs Spark jobs at call time (the staged
-    kernel, the band self-join, and the candidate-narrowing are
-    materialized via localCheckpoint so their true sizes drive the
-    verify plan); intermediates are checkpoint blocks the
-    ContextCleaner frees once the returned DataFrame is released — no
-    persist() handles leak into the caller's session.
+    EAGER: this function runs ONE Spark job at call time (the
+    candidate count — which, through the lazily-checkpointed kernel
+    stage, also materializes the signatures) so the candidate set's
+    TRUE size drives the verify plan; intermediates are checkpoint
+    blocks the ContextCleaner frees once the returned DataFrame is
+    released — no persist() handles leak into the caller's session.
     """
     # Widen narrow inputs before the per-row shingle/signature compute:
     # a small parquet file scans as few tasks (one per row group), which
@@ -279,19 +279,19 @@ def minhash_neardup_pairs(
         docs = docs.repartition(sc.defaultParallelism, id_col)
     kernel = make_shingle_sig_udf(a, b, shingle_n, bands=bands)
     # one fused Arrow pass: text -> (shingle set, signature, band keys);
-    # materialized ONCE (eager localCheckpoint) because verify reads
-    # `sh` and the band self-join reads `bkeys` twice. localCheckpoint,
-    # not persist(): a persist() here leaked blocks for the session
-    # lifetime (the caller never sees the handle to unpersist, and
-    # repeated calls accumulated cached stages until the storage pool
-    # evicted a live one) — checkpoint blocks are released by the
-    # ContextCleaner as soon as the referencing DataFrames are
-    # garbage-collected, and the lineage cut keeps task retries away
-    # from the CPU-heavy kernel. This makes the function EAGER (the
-    # kernel runs at call time; it already did via the candidate-count
-    # job below). The band index is folded into each bkey in the
-    # kernel, so the bucket join below is a single-long-key equi-join
-    # (8-byte exchange rows, no per-exploded-row string building).
+    # materialized ONCE (LAZY localCheckpoint — blocks land during the
+    # candidate-count job below, adding no extra job barrier) because
+    # verify reads `sh` and the band self-join reads `bkeys` twice.
+    # localCheckpoint, not persist(): a persist() here leaked blocks
+    # for the session lifetime (the caller never sees the handle to
+    # unpersist, and repeated calls accumulated cached stages until
+    # the storage pool evicted a live one) — checkpoint blocks are
+    # released by the ContextCleaner as soon as the referencing
+    # DataFrames are garbage-collected, and the lineage cut keeps task
+    # retries away from the CPU-heavy kernel. The band index is folded
+    # into each bkey in the kernel, so the bucket join below is a
+    # single-long-key equi-join (8-byte exchange rows, no
+    # per-exploded-row string building).
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
@@ -299,7 +299,7 @@ def minhash_neardup_pairs(
     ).select(
         "doc_id", "blk",
         F.col("k.sh").alias("sh"), F.col("k.bkeys").alias("bkeys"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sh = staged.select("doc_id", "blk", "sh")
 
     bands_df = staged.select(
@@ -349,6 +349,9 @@ def minhash_neardup_pairs(
     # table. Measured at 500k docs (r=10, 3.7k candidates): verify
     # 55s -> ~2s. Past `broadcast_verify_max` pairs (~16 bytes each)
     # the shuffle join over the full table is the right plan.
+    # this count is the ONLY eager job before the verify itself: it
+    # materializes cand AND (via the lazy checkpoint) the staged
+    # kernel in one pass
     cand = cand.localCheckpoint(eager=True)
     n_cand = cand.count()
     if n_cand <= broadcast_verify_max:
@@ -357,10 +360,11 @@ def minhash_neardup_pairs(
             .union(cand.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        # bounded: <= 2 * n_cand member docs' shingle arrays
+        # bounded: <= 2 * n_cand member docs' shingle arrays; stays
+        # LAZY (no extra job) — the broadcast decision needs only the
+        # 2*n_cand bound, not a measured count
         sh_use = sh.join(F.broadcast(ids), "doc_id", "left_semi")
-        sh_use = sh_use.localCheckpoint(eager=True)
-        if sh_use.count() <= broadcast_verify_docs:
+        if 2 * n_cand <= broadcast_verify_docs:
             # zero-shuffle verify: cand streams through two
             # broadcast-hash joins against the narrowed arrays
             sh_use = F.broadcast(sh_use)

@@ -3024,70 +3024,90 @@ def oracle_sql_for(name: str) -> str:
 # ------------------------------------------------------------ gate order
 #
 # The driver's correctness gate covers the FIRST 50 catalog entries.
-# Round-4 window goal: re-gate (a) every entry CHANGED this round and
-# (b) every entry whose latest verdict is r2 (the 41 entries outside
-# the r3 window — r3 proved them unchanged-green, but freshness decays)
-# plus (c) canaries for the r4-touched mechanisms. Entries outside this
-# window all carry r3-green verdicts and stay pinned by tests/ +
-# tools/check_parity.py.
+# Round-6 window (derived at round end, after the last engine change —
+# the round-5 verdict's directive #1): re-gate
+#   (a) every entry CHANGED or NEW this round: the reworked
+#       text_tfidf_topk / q18_large_volume formulations; the three
+#       minhash-verify-path consumers (dedup_minhash_lsh,
+#       dedup_components, dedup_canonical_corpus — operators/dedup.py
+#       restructure); the three NEW entries (dedup_minhash_auto,
+#       dedup_minhash_recall_held, multimodal_video_metadata); and
+#       multimodal_jpeg_features (added r5, never driver-gated, plus
+#       the r6 fill-byte marker-walk change);
+#   (b) the unverified-at-gate IVF trio the verdict named —
+#       embed_ann_ivf_fullprobe / embed_ann_ivf_probed /
+#       embed_ann_recall carried r3 verdicts across two rounds of
+#       kernel change;
+#   (c) ALL remaining r3-vintage entries (the 38 the r5 window did not
+#       cover). 9 + 3 + 38 = 50: after this gate, EVERY catalog entry's
+#       latest driver verdict is r5 or r6, and every entry left outside
+#       the window is r5-green with an implementation untouched since.
+#
+# Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
+# the committed CORRECTNESS_r files) + 1 — enforced by
+# tests/test_oracle_parity.py, so the next round CANNOT run its gate
+# against an un-rederived window (the dodge the r4/r5 verdicts both
+# flagged): the moment the driver lands CORRECTNESS_r06, the suite
+# fails until round 7 re-derives this list.
+
+_GATE_WINDOW_ROUND = 6
 
 _GATE_WINDOW = [
-    # -- (a) changed in round 4
-    "remote_agg_pushdown",      # split path: single scan relation
-    "remote_splits_plan",       # newly hash-gated (was no_oracle)
-    "multimodal_features",      # newly hash-gated (was no_oracle)
-    "multimodal_png_features",  # NEW: stdlib-zlib PNG pipeline
-    "skew_salted_join_agg",     # deterministic xxhash64 row salt
-    # -- (b) latest verdict is r2 — refresh all 41
-    "q6_revenue",
-    "orders_global_aggs",
-    "orders_group_agg",
-    "join_region_rollup",
-    "events_hourly_rollup",
-    "orders_rollup",
-    "supplier_nation_join",
-    "customer_orders_left_join",
-    "orders_running_totals",
-    "q3_shipping_priority",
-    "q5_regional_volume",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_volume",
-    "q19_disjunctive_join",
-    "dd_search_marker",
-    "bloom_no_false_negatives",
-    "dedup_exact",
-    "dedup_simhash",
-    "ngram_jaccard_sampled",
-    "embed_knn_bruteforce",
-    "embed_cosine_neardup",
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    "docs_length_quantiles",
-    "pipeline_clean_corpus",
-    "docs_shard_assignment",
-    "cross_source_contamination",
-    "corpus_top_terms",
+    # -- (a) changed or new in round 6
     "text_tfidf_topk",
-    "remote_scan_filter_pushdown",
-    "remote_login_scan",
-    "embed_neardup_lsh",
-    "docs_stratified_sample",
-    "pack_sequences",
-    "text_redact_pii",
-    "events_activity_range_join",
-    "multimodal_media_keys",
-    # -- (c) r3-green canaries re-verifying r4-touched mechanisms:
-    #    remote split scan (shares the partitions() path the agg mode
-    #    now rides), projection pushdown, the decimal q1 flagship, and
-    #    the two heaviest dedup pipelines
-    "remote_scan_split_agg",
-    "lineitem_projection",
-    "q1_pricing_summary",
+    "q18_large_volume",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_canonical_corpus",
+    "dedup_minhash_auto",
+    "dedup_minhash_recall_held",
+    "multimodal_video_metadata",
+    "multimodal_jpeg_features",
+    # -- (b) the r3-stale IVF trio (r4 kernel redesign + r5 NULL/byte
+    #    cap postdate their verdicts)
+    "embed_ann_ivf_fullprobe",
+    "embed_ann_ivf_probed",
+    "embed_ann_recall",
+    # -- (c) every remaining r3-vintage entry (oldest-staleness
+    #    rotation, exhaustive this round)
+    "bucketed_join_rollup",
+    "cast_matrix",
+    "cte_union_all",
+    "dd_array_contains_all",
+    "dd_array_contains_all_fn",
+    "dd_version",
+    "distinct_rows",
+    "empty_set_laws",
+    "events_count_distinct",
+    "events_funnel",
+    "events_grouping_sets",
+    "events_json_extract",
+    "events_orders_asof_join",
+    "events_sessionize",
+    "events_sessionize_native",
+    "events_type_pivot",
+    "events_view_click_attribution",
+    "lineitem_count",
+    "lineitem_date_filter_count",
+    "lineitem_full_scan",
+    "lineitem_point_filter",
+    "lineitem_range_filter",
+    "lineitem_sum_orderkey",
+    "nation_presence_full_join",
+    "null_laws",
+    "order_by_limit",
+    "orders_cube",
+    "orders_set_ops",
+    "part_brand_stats",
+    "q4_order_priority",
+    "scalar_subquery_filter",
+    "semi_anti_join",
+    "simhash_values",
+    "string_functions",
+    "text_repetition",
+    "text_token_stats",
+    "try_cast_matrix",
+    "window_topk_per_group",
 ]
 
 

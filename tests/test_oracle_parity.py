@@ -67,59 +67,81 @@ def test_prepare_pins_utc_session_timezone(spark):
 
 
 def test_gate_window_covers_every_family():
-    """The driver gates the FIRST 50 catalog entries. Round-4 window
-    contract: every entry CHANGED this round, plus every entry whose
-    latest driver verdict is r2 (the 41 entries outside the r3 window),
-    must be inside the window; everything excluded carries an r3-green
-    verdict. An entry silently falling out of both sets would keep a
-    stale hard verdict."""
+    """Round-6 window contract (the driver gates the FIRST 50 catalog
+    entries): every entry CHANGED/NEW this round, the r3-stale IVF
+    trio, and ALL remaining r3-vintage entries must be inside; every
+    entry excluded carries an r5-green verdict over an implementation
+    untouched since round 5."""
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
     window = Q._GATE_WINDOW
     assert len(window) == 50
     assert len(set(window)) == 50
     assert list(Q.CATALOG)[:50] == window
-    changed_this_round = {
-        "remote_agg_pushdown",      # split path -> single scan relation
-        "remote_splits_plan",       # newly hash-gated
-        "multimodal_features",      # newly hash-gated
-        "multimodal_png_features",  # new entry
-        "skew_salted_join_agg",     # deterministic row salt
+    changed_or_new = {
+        "text_tfidf_topk",            # single-statement repartition form
+        "q18_large_volume",           # long-domain HAVING sum
+        "dedup_minhash_lsh",          # verify-path restructure
+        "dedup_components",           # consumes the minhash pairs
+        "dedup_canonical_corpus",     # consumes the minhash pairs
+        "dedup_minhash_auto",         # NEW: production knobs
+        "dedup_minhash_recall_held",  # NEW: K grows with r
+        "multimodal_video_metadata",  # NEW: MP4 box walk
+        "multimodal_jpeg_features",   # never driver-gated + r6 change
     }
-    # the 41 entries whose latest verdict predates round 3 (everything
-    # the r3 window did not re-gate), minus the three already counted
-    # as changed this round
-    r2_latest = {
-        "q6_revenue", "orders_global_aggs", "orders_group_agg",
-        "join_region_rollup", "events_hourly_rollup", "orders_rollup",
-        "supplier_nation_join", "customer_orders_left_join",
-        "orders_running_totals", "q3_shipping_priority",
-        "q5_regional_volume", "q10_returned_items", "q14_promo_effect",
-        "q18_large_volume", "q19_disjunctive_join", "dd_search_marker",
-        "bloom_no_false_negatives", "dedup_exact", "dedup_simhash",
-        "ngram_jaccard_sampled", "embed_knn_bruteforce",
-        "embed_cosine_neardup", "text_langid", "text_quality",
-        "text_fingerprint", "docs_length_quantiles",
-        "pipeline_clean_corpus", "docs_shard_assignment",
-        "cross_source_contamination", "corpus_top_terms",
-        "text_tfidf_topk", "remote_scan_filter_pushdown",
-        "remote_login_scan", "embed_neardup_lsh",
-        "docs_stratified_sample", "pack_sequences", "text_redact_pii",
-        "events_activity_range_join", "multimodal_media_keys",
+    ivf_stale = {
+        "embed_ann_ivf_fullprobe", "embed_ann_ivf_probed",
+        "embed_ann_recall",
+    }
+    r3_vintage_rest = {
+        "bucketed_join_rollup", "cast_matrix", "cte_union_all",
+        "dd_array_contains_all", "dd_array_contains_all_fn",
+        "dd_version", "distinct_rows", "empty_set_laws",
+        "events_count_distinct", "events_funnel",
+        "events_grouping_sets", "events_json_extract",
+        "events_orders_asof_join", "events_sessionize",
+        "events_sessionize_native", "events_type_pivot",
+        "events_view_click_attribution", "lineitem_count",
+        "lineitem_date_filter_count", "lineitem_full_scan",
+        "lineitem_point_filter", "lineitem_range_filter",
+        "lineitem_sum_orderkey", "nation_presence_full_join",
+        "null_laws", "order_by_limit", "orders_cube", "orders_set_ops",
+        "part_brand_stats", "q4_order_priority",
+        "scalar_subquery_filter", "semi_anti_join", "simhash_values",
+        "string_functions", "text_repetition", "text_token_stats",
+        "try_cast_matrix", "window_topk_per_group",
     }
     in_window = set(window)
-    for group_name, names in [
-        ("changed_this_round", changed_this_round),
-        ("r2_latest", r2_latest),
+    for group, names in [
+        ("changed_or_new", changed_or_new),
+        ("ivf_stale", ivf_stale),
+        ("r3_vintage_rest", r3_vintage_rest),
     ]:
         missing = names - in_window
-        assert not missing, f"{group_name} entries outside window: {missing}"
-    # the remaining slots re-verify the r4-touched mechanisms: the
-    # split-scan partitions() path the agg mode now rides, projection
-    # pushdown, the decimal flagship, and the heaviest dedup pipelines
-    canaries = in_window - changed_this_round - r2_latest
-    assert canaries == {
-        "remote_scan_split_agg", "lineitem_projection",
-        "q1_pricing_summary", "dedup_minhash_lsh", "dedup_components",
-        "dedup_canonical_corpus",
-    }
+        assert not missing, f"{group} entries outside window: {missing}"
+    # exhaustive: the three sets ARE the window, no free-floating slots
+    assert in_window == changed_or_new | ivf_stale | r3_vintage_rest
+
+
+def test_gate_window_round_ratchet():
+    """The staleness ratchet the r5 verdict demanded: the window must
+    be re-derived every round. _GATE_WINDOW_ROUND must equal (max
+    round among committed CORRECTNESS_r files) + 1 — the moment the
+    driver lands this round's CORRECTNESS file, the suite fails until
+    the NEXT round consciously re-derives the window (and, per the
+    policy above, puts every entry it changed inside it)."""
+    import glob
+    import re
+
+    from dazzleduck_sql_duckdb_spark.plans import queries as Q
+
+    rounds = [
+        int(re.search(r"CORRECTNESS_r(\d+)", f).group(1))
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    assert rounds, "driver correctness files missing"
+    assert Q._GATE_WINDOW_ROUND == max(rounds) + 1, (
+        f"gate window derived for round {Q._GATE_WINDOW_ROUND} but the"
+        f" latest driver verdict is round {max(rounds)} — re-derive"
+        " _GATE_WINDOW for the new round (plans/queries.py gate order)"
+    )
