@@ -258,12 +258,17 @@ def minhash_neardup_pairs(
     below these counts take the narrowed zero-shuffle verify path —
     see the plan comment at the verify join.
 
-    EAGER: this function runs ONE Spark job at call time (the
-    candidate count — which, through the lazily-checkpointed kernel
-    stage, also materializes the signatures) so the candidate set's
-    TRUE size drives the verify plan; intermediates are checkpoint
-    blocks the ContextCleaner frees once the returned DataFrame is
-    released — no persist() handles leak into the caller's session.
+    FULLY EAGER: the whole pipeline (kernel, band self-join, verify)
+    runs at call time and the returned DataFrame is the MATERIALIZED
+    verified-pairs result (an eager localCheckpoint whose blocks the
+    ContextCleaner frees once the caller releases the DataFrame).
+    Intermediates are persist()ed columnar caches for the multiple
+    reads WITHIN this call — signatures feed both the band join and
+    the verify — and are explicitly unpersisted before returning, so
+    no cache handles leak into the caller's session. Iterative
+    consumers (connected components' label propagation) re-read cheap
+    materialized pairs instead of re-executing the verify join per
+    iteration.
     """
     # Widen narrow inputs before the per-row shingle/signature compute:
     # a small parquet file scans as few tasks (one per row group), which
@@ -279,16 +284,14 @@ def minhash_neardup_pairs(
         docs = docs.repartition(sc.defaultParallelism, id_col)
     kernel = make_shingle_sig_udf(a, b, shingle_n, bands=bands)
     # one fused Arrow pass: text -> (shingle set, signature, band keys);
-    # materialized ONCE (LAZY localCheckpoint — blocks land during the
-    # candidate-count job below, adding no extra job barrier) because
-    # verify reads `sh` and the band self-join reads `bkeys` twice.
-    # localCheckpoint, not persist(): a persist() here leaked blocks
-    # for the session lifetime (the caller never sees the handle to
-    # unpersist, and repeated calls accumulated cached stages until
-    # the storage pool evicted a live one) — checkpoint blocks are
-    # released by the ContextCleaner as soon as the referencing
-    # DataFrames are garbage-collected, and the lineage cut keeps task
-    # retries away from the CPU-heavy kernel. The band index is folded
+    # persist()ed — columnar cache, the fast format for the multiple
+    # scans this call performs (band self-join reads bkeys twice,
+    # verify reads sh twice; a serialized-row localCheckpoint here
+    # measured ~1.7x slower end-to-end, every re-read paying row
+    # deserialization of the big int64 arrays). The handle is LOCAL:
+    # the finally block below unpersists it before returning, so
+    # nothing leaks into the caller's session (the failure mode that
+    # motivated the checkpoint experiment). The band index is folded
     # into each bkey in the kernel, so the bucket join below is a
     # single-long-key equi-join (8-byte exchange rows, no
     # per-exploded-row string building).
@@ -299,7 +302,27 @@ def minhash_neardup_pairs(
     ).select(
         "doc_id", "blk",
         F.col("k.sh").alias("sh"), F.col("k.bkeys").alias("bkeys"),
-    ).localCheckpoint(eager=False)
+    ).persist()
+    try:
+        return _minhash_verify(
+            staged, bands=bands, threshold_pct=threshold_pct,
+            max_bucket_docs=max_bucket_docs,
+            broadcast_verify_max=broadcast_verify_max,
+            broadcast_verify_docs=broadcast_verify_docs,
+        )
+    finally:
+        staged.unpersist()
+
+
+def _minhash_verify(
+    staged: DataFrame,
+    *,
+    bands: int,
+    threshold_pct: int,
+    max_bucket_docs: int | None,
+    broadcast_verify_max: int,
+    broadcast_verify_docs: int,
+) -> DataFrame:
     sh = staged.select("doc_id", "blk", "sh")
 
     bands_df = staged.select(
@@ -338,8 +361,8 @@ def minhash_neardup_pairs(
     # known the shingle shuffle is already written. But the candidate
     # set is BOUNDED by construction (banding rule + hot-bucket guard
     # keep it ~linear with a small constant), so materialize it
-    # (eager localCheckpoint — GC-cleaned, see `staged`) and let its
-    # TRUE size pick the plan. In the designed case, FIRST narrow the
+    # (a persist scoped to this call, unpersisted in the finally
+    # below) and let its TRUE size pick the plan. In the designed case, FIRST narrow the
     # shingle table to candidate members with a broadcast semi-join
     # (the id list is two longs per pair): the full shingle table then
     # streams through ONE broadcast join and is never shuffled or
@@ -349,41 +372,89 @@ def minhash_neardup_pairs(
     # table. Measured at 500k docs (r=10, 3.7k candidates): verify
     # 55s -> ~2s. Past `broadcast_verify_max` pairs (~16 bytes each)
     # the shuffle join over the full table is the right plan.
-    # this count is the ONLY eager job before the verify itself: it
-    # materializes cand AND (via the lazy checkpoint) the staged
-    # kernel in one pass
-    cand = cand.localCheckpoint(eager=True)
-    n_cand = cand.count()
-    if n_cand <= broadcast_verify_max:
-        ids = (
-            cand.select(F.col("doc_a").alias("doc_id"))
-            .union(cand.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
+    # this count is the first eager job: it materializes cand AND
+    # (through the cache) the staged kernel in one pass
+    cand = cand.persist()
+    handles = [cand]
+    try:
+        n_cand = cand.count()
+        narrowed = False
+        if n_cand <= broadcast_verify_max:
+            # n_docs is a count over the already-cached kernel stage —
+            # cheap, and the only extra job the designed case pays
+            n_docs = staged.count()
+            ids = (
+                cand.select(F.col("doc_a").alias("doc_id"))
+                .union(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            if (2 * n_cand <= broadcast_verify_docs
+                    and 4 * n_cand <= n_docs):
+                # the designed at-scale case, decided from the 2*n_cand
+                # membership BOUND alone (no extra job): candidates are
+                # SPARSE (members << corpus — banding rule + hot-bucket
+                # guard keep it so), so the narrowed arrays are small
+                # enough to ship and the whole verify is two
+                # broadcast-hash joins with ZERO shuffle of the
+                # shingle table.
+                narrowed = True
+            elif 2 * n_cand >= n_docs:
+                # dense candidate graph (pairs ~ corpus): most docs are
+                # members, narrowing cannot shrink the shingle table
+                # meaningfully — skip straight to the direct verify
+                # without paying a member count
+                narrowed = False
+            else:
+                # the bound is inconclusive (sparse pairs but past the
+                # broadcast cap) — measure the true member count (a
+                # distinct over the bounded candidate set)
+                ids = ids.persist()
+                handles.append(ids)
+                n_members = ids.count()
+                narrowed = (n_members <= broadcast_verify_docs
+                            and 2 * n_members <= n_docs)
+        if narrowed:
+            sh_use = F.broadcast(
+                sh.join(F.broadcast(ids), "doc_id", "left_semi")
+            )
+            pa, pb = sh_use.alias("a"), sh_use.alias("b")
+        else:
+            # members ~ corpus (small/dense corpus) or candidates past
+            # the broadcast cap: narrowing buys nothing — verify
+            # directly against the cached shingle table, broadcasting
+            # the 16-byte/row candidate pairs when they fit (shipping
+            # the shingle arrays through the driver would cost more
+            # than it saves at this density).
+            if n_cand <= broadcast_verify_max:
+                cand = F.broadcast(cand)
+            pa, pb = sh.alias("a"), sh.alias("b")
+        inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+        la, lb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
+        uni = la + lb - inter
+        verified = (
+            cand.join(pa, F.col("doc_a") == F.col("a.doc_id"))
+            .join(pb, F.col("doc_b") == F.col("b.doc_id"))
+            .where(
+                (100 * inter >= threshold_pct * uni)
+                & (100 * F.least(la, lb)
+                   >= threshold_pct * F.greatest(la, lb))
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                (inter.cast("double") / uni.cast("double")).alias("jaccard"),
+            )
         )
-        # bounded: <= 2 * n_cand member docs' shingle arrays; stays
-        # LAZY (no extra job) — the broadcast decision needs only the
-        # 2*n_cand bound, not a measured count
-        sh_use = sh.join(F.broadcast(ids), "doc_id", "left_semi")
-        if 2 * n_cand <= broadcast_verify_docs:
-            # zero-shuffle verify: cand streams through two
-            # broadcast-hash joins against the narrowed arrays
-            sh_use = F.broadcast(sh_use)
-        pa, pb = sh_use.alias("a"), sh_use.alias("b")
-    else:
-        pa, pb = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    la, lb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
-    uni = la + lb - inter
-    return (
-        cand.join(pa, F.col("doc_a") == F.col("a.doc_id"))
-        .join(pb, F.col("doc_b") == F.col("b.doc_id"))
-        .where(
-            (100 * inter >= threshold_pct * uni)
-            & (100 * F.least(la, lb) >= threshold_pct * F.greatest(la, lb))
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter.cast("double") / uni.cast("double")).alias("jaccard"),
-        )
-    )
+        # materialize the FINAL pairs (bounded: the verified subset of
+        # the candidate set, ~24 bytes/row) so (a) the unpersists in
+        # the enclosing finally blocks leave nothing lazy over the
+        # caches, and (b) iterative consumers (connected components'
+        # label propagation) and multi-pass consumers (canonical
+        # corpus) re-read cheap checkpoint blocks instead of re-running
+        # the verify join per pass. localCheckpoint, not persist: the
+        # blocks are freed by the ContextCleaner when the caller drops
+        # the DataFrame — no session-lifetime cache leak.
+        return verified.localCheckpoint(eager=True)
+    finally:
+        for h in handles:
+            h.unpersist()
