@@ -269,7 +269,12 @@ def train_centroids(
     """Coarse quantizer: deterministic corpus sample as seeds, then
     `iterations` distributed Lloyd steps (assignment is a numpy UDF pass;
     the mean-update is a posexplode + groupBy — one bounded shuffle of
-    n_rows*dim scalars, never the vectors to the driver)."""
+    n_rows*dim scalars, never the vectors to the driver).
+
+    NULL vectors have no defined cell: they are excluded from both the
+    seed sample and the Lloyd passes (previously a NULL draw crashed
+    the seed vstack — the scoring kernels already dropped NULLs)."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     sample = (
         corpus.select(vec_col)
         .orderBy(F.pmod(F.xxhash64(F.col(id_col)) + seed, F.lit(2**31 - 1)))
@@ -451,6 +456,373 @@ def ann_ivf_topk(
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (
         local.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+
+def train_pq_codebooks(
+    residuals: np.ndarray,
+    m_subspaces: int,
+    n_codes: int,
+    *,
+    iterations: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Product-quantizer codebooks: split the residual space into
+    `m_subspaces` contiguous sub-vectors and Lloyd-quantize each to
+    `n_codes` centroids independently — the classical PQ construction
+    (Jegou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011). Returns (m, n_codes, dim // m).
+
+    Runs DRIVER-SIDE numpy over a bounded training sample (the FAISS
+    discipline: codebooks are trained on a sample, never the corpus)
+    and is fully deterministic: seeded initial codes, fixed iteration
+    count, ties broken by argmin's first-index rule. Empty clusters
+    keep their previous centroid, so the codebook shape is stable."""
+    n, dim = residuals.shape
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    sub = dim // m_subspaces
+    n_codes = max(1, min(n_codes, n))
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_subspaces, n_codes, sub), dtype=np.float64)
+    for s in range(m_subspaces):
+        X = residuals[:, s * sub : (s + 1) * sub]
+        cents = X[rng.choice(n, size=n_codes, replace=False)].copy()
+        for _ in range(iterations):
+            # (n, n_codes) squared distances via the expansion trick
+            d2 = (
+                (X * X).sum(axis=1, keepdims=True)
+                - 2.0 * (X @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            code = d2.argmin(axis=1)
+            for c in range(n_codes):
+                mask = code == c
+                if mask.any():
+                    cents[c] = X[mask].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def _pq_encode_block(
+    M: np.ndarray, books: np.ndarray, cells: np.ndarray, C: np.ndarray
+) -> np.ndarray:
+    """Residual-PQ codes for a (b, dim) block already assigned to
+    `cells`: r = v_hat - C[cell], code_s = argmin_j ||r_s - B[s][j]||.
+    Returns (b, m) int32."""
+    R = M - C[cells]
+    m, n_codes, sub = books.shape
+    codes = np.empty((len(M), m), dtype=np.int32)
+    for s in range(m):
+        Rs = R[:, s * sub : (s + 1) * sub]
+        B = books[s]
+        d2 = (
+            (Rs * Rs).sum(axis=1, keepdims=True)
+            - 2.0 * (Rs @ B.T)
+            + (B * B).sum(axis=1)[None, :]
+        )
+        codes[:, s] = d2.argmin(axis=1).astype(np.int32)
+    return codes
+
+
+def make_pq_encode_udf(
+    centroids: np.ndarray, books: np.ndarray, spill: int = 1
+):
+    """vector -> array of (cell, codes) structs, one per assigned cell
+    (spill-fold boundary replication, residual re-encoded PER CELL —
+    a spilled vector's residual differs in each cell). NULL vectors
+    encode to NULL, which a downstream explode() drops."""
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    dim = C.shape[1]
+    spill = max(1, min(spill, C.shape[0]))
+    out_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_type)
+    def encode(vecs: pd.Series) -> pd.Series:
+        out: list = []
+        keep = vecs.notna()
+        if not keep.any():
+            return pd.Series([None] * len(vecs), dtype="object")
+        M = _normalize(_as_matrix(vecs[keep], dim))
+        sims = M @ C.T
+        near = np.argsort(-sims, axis=1)[:, :spill].astype(np.int32)
+        rows: list = []
+        for j in range(spill):
+            rows.append(_pq_encode_block(M, books, near[:, j], C))
+        it = iter(range(len(M)))
+        for is_ok in keep:
+            if not is_ok:
+                out.append(None)
+                continue
+            i = next(it)
+            out.append(
+                [
+                    {"cell": int(near[i, j]), "codes": rows[j][i].tolist()}
+                    for j in range(spill)
+                ]
+            )
+        return pd.Series(out, dtype="object")
+
+    return encode
+
+
+def ann_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_centroids: int | None = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    centroids: np.ndarray | None = None,
+    train_iterations: int = 2,
+    pq_train_sample: int = 16_384,
+    seed: int = 42,
+    spill: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ ANN: the compressed-vector scale path (Jegou et al. 2011;
+    the IVFADC structure FAISS ships as its at-scale default).
+
+    Why this exists next to ann_ivf_topk: at 100 TB the dominant ANN
+    cost is not compute but SCAN BANDWIDTH — reading the full float
+    vectors of every probed cell. Here the scoring scan reads only
+    (id, cell, codes): m_subspaces bytes-ish per vector instead of
+    4*dim (64-dim float -> 8-byte codes = 32x less I/O), and the full
+    vectors are touched exactly once, streaming through ONE broadcast
+    hash join against the bounded rerank candidate set — the same
+    narrowed-verify discipline as MinHash dedup (operators/dedup.py).
+
+    Pipeline (all stages deterministic — seeded samples, fixed Lloyd
+    iterations, first-index argmin ties):
+      1. coarse centroids: `train_centroids` (driver holds
+         n_centroids * dim floats);
+      2. PQ codebooks: residual sample driver-side ->
+         `train_pq_codebooks` (driver holds n_codes * dim floats);
+      3. encode: ONE pandas-UDF pass -> (id, cell, codes), exploded
+         per spill copy; the float vectors do NOT enter this table;
+      4. ADC scan: mapInPandas over the encoded table; per query a
+         (m x n_codes) lookup table turns asymmetric-distance scoring
+         into m gathers + adds per candidate; partition-local
+         top-(k*refine) per query, so the exchange carries at most
+         n_queries * k * refine rows per partition;
+      5. rerank: global ADC top-(k*refine) per query -> broadcast the
+         (qid, id) candidate pairs into one hash join against the
+         corpus -> exact sequential-fold cosine -> final top-k.
+
+    `refine` is the accuracy knob: ADC error is bounded by quantization
+    distortion, and reranking k*refine exact candidates recovers what
+    the codes blurred. n_probe == n_centroids AND refine covering the
+    cells makes the result exactly the brute-force top-k (pinned in
+    tests); the catalog gates the production config by recall floor
+    (embed_ann_ivfpq_recall)."""
+    if centroids is None:
+        if n_centroids is None:
+            n = corpus.count()
+            n_centroids = max(4, min(65_536, int(round(n ** 0.5))))
+        centroids = train_centroids(
+            corpus, n_centroids, vec_col=vec_col, id_col=id_col,
+            iterations=train_iterations, seed=seed,
+        )
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+
+    # PQ training sample: deterministic xxhash64-ordered draw (the
+    # train_centroids discipline), residualized driver-side against
+    # the coarse centroids.
+    sample_rows = (
+        corpus.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)) + seed + 1,
+                        F.lit(2**31 - 1)))
+        .limit(pq_train_sample)
+        .collect()
+    )
+    S = _normalize(
+        np.vstack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    )
+    res = S - C[(S @ C.T).argmax(axis=1)]
+    books = train_pq_codebooks(
+        res, m_subspaces, n_codes, seed=seed + 2
+    )
+
+    encode = make_pq_encode_udf(C, books, spill=spill)
+    encoded = corpus.select(
+        F.col(id_col), F.explode(encode(F.col(vec_col))).alias("e")
+    ).select(
+        id_col, F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes")
+    )
+
+    qids, Q = _collect_query_matrix(queries, id_col, vec_col)
+    Qn = _normalize(Q) if Q.shape[0] else Q
+    n_probe_eff = min(n_probe, C.shape[0])
+    cell_to_q: dict[int, np.ndarray] = {}
+    if Qn.shape[0]:
+        probes = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe_eff]
+        for qi in range(probes.shape[0]):
+            for cell in probes[qi]:
+                cell_to_q.setdefault(int(cell), []).append(qi)
+        cell_to_q = {
+            c: np.asarray(ix, dtype=np.int64) for c, ix in cell_to_q.items()
+        }
+    kr = k * max(1, refine)
+    m, nc, sub = books.shape
+    qtype = queries.schema[id_col].dataType
+    itype = corpus.schema[id_col].dataType
+    adc_schema = T.StructType(
+        [
+            T.StructField(query_id_col, qtype),
+            T.StructField(id_col, itype),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def adc_scorer(batches):
+        if Qn.shape[0] == 0:
+            return
+        # per-query LUTs and per-(query, cell) base terms, built once
+        # per task from closure state: LUT[q, s, j] = <q_s, B[s][j]>,
+        # base[q, c] = <q, C[c]> — ADC(q, v in c) = base + sum_s gather
+        LUT = np.empty((Qn.shape[0], m, nc), dtype=np.float64)
+        for s in range(m):
+            LUT[:, s, :] = Qn[:, s * sub : (s + 1) * sub] @ books[s].T
+        base = Qn @ C.T
+        carry = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            codes_all = np.vstack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            parts = []
+            for cell in np.unique(cells):
+                qsel = cell_to_q.get(int(cell))
+                if qsel is None:
+                    continue
+                vidx = np.nonzero(cells == cell)[0]
+                codes = codes_all[vidx]
+                Sc = np.broadcast_to(
+                    base[qsel, int(cell)][None, :],
+                    (len(vidx), len(qsel)),
+                ).copy()
+                for s in range(m):
+                    # gather: (nqsel, b) -> accumulate transposed
+                    Sc += LUT[qsel][:, s, :][:, codes[:, s]].T
+                if exclude_self:
+                    Sc[ids[vidx][:, None] == qids[qsel][None, :]] = -np.inf
+                b = Sc.shape[0]
+                if b > kr:
+                    kth = np.partition(Sc, b - kr, axis=0)[b - kr, :]
+                    mask = Sc >= kth
+                else:
+                    mask = np.ones_like(Sc, dtype=bool)
+                mask &= np.isfinite(Sc)
+                rows, cols = np.nonzero(mask)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qids[qsel][cols],
+                            id_col: ids[vidx][rows],
+                            "adc": Sc[rows, cols],
+                        }
+                    )
+                )
+            if not parts:
+                continue
+            combined = pd.concat(
+                [c for c in ([carry] + parts) if c is not None],
+                ignore_index=True,
+            )
+            combined = combined.sort_values(
+                ["adc", id_col], ascending=[False, True], kind="mergesort"
+            )
+            # spilled copies of a vector score differently per cell
+            # (different residual base) — keep the best
+            combined = combined.drop_duplicates(
+                [query_id_col, id_col], keep="first"
+            )
+            carry = combined.groupby(query_id_col, sort=False).head(kr)
+        if carry is not None and len(carry):
+            yield carry
+
+    local = encoded.mapInPandas(adc_scorer, schema=adc_schema)
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc"), F.col(id_col)
+    )
+    cand = (
+        local.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= kr)
+        .select(query_id_col, id_col)
+    )
+
+    # Exact rerank: the candidate set is BOUNDED (<= n_queries * k *
+    # refine pairs) — broadcast it into ONE hash join against the
+    # corpus, so the full vectors are scanned once and never shuffled.
+    qindex = {int(q): i for i, q in enumerate(qids)}
+    rr_schema = T.StructType(
+        [
+            T.StructField(query_id_col, qtype),
+            T.StructField(id_col, itype),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = pdf["__vec"].notna()
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            # RAW vectors + dimension-major fold: the exact scoring of
+            # cosine_topk / the brute-force SQL twin, so fullprobe +
+            # covering refine degrades to bit-identical exact top-k
+            V = _as_matrix(pdf["__vec"], Q.shape[1])
+            qi = np.asarray(
+                [qindex[int(q)] for q in pdf[query_id_col]], dtype=np.int64
+            )
+            Qsel = Q[qi]
+            # row-wise sequential fold (dimension-major accumulation):
+            # the same IEEE order as _fold_scores / the SQL twin
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for j in range(V.shape[1]):
+                acc += V[:, j] * Qsel[:, j]
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
+                    "sim": acc,
+                }
+            )
+
+    joined = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__vec")
+    ).join(F.broadcast(cand), id_col)
+    reranked = joined.select(query_id_col, id_col, "__vec").mapInPandas(
+        rerank, schema=rr_schema
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        reranked.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
     )

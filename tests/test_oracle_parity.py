@@ -88,20 +88,27 @@ def test_gate_window_covers_every_family():
         "dedup_minhash_recall_held",  # NEW: K grows with r
         "multimodal_video_metadata",  # NEW: MP4 box walk
         "multimodal_jpeg_features",   # never driver-gated + r6 change
+        "embed_ann_ivfpq",            # NEW: compressed ANN scale path
+        "embed_ann_ivfpq_recall",     # NEW: its recall-floor gate
     }
     ivf_stale = {
         "embed_ann_ivf_fullprobe", "embed_ann_ivf_probed",
         "embed_ann_recall",
     }
+    # dd_version and lineitem_count are rotated OUT (round-6 decision,
+    # documented at _GATE_WINDOW): a constant literal SELECT and a bare
+    # count(*), both r3-green over implementations untouched since
+    # rounds 1-2 — the two lowest-staleness-risk entries — displaced
+    # by the new IVF-PQ pair.
     r3_vintage_rest = {
         "bucketed_join_rollup", "cast_matrix", "cte_union_all",
         "dd_array_contains_all", "dd_array_contains_all_fn",
-        "dd_version", "distinct_rows", "empty_set_laws",
+        "distinct_rows", "empty_set_laws",
         "events_count_distinct", "events_funnel",
         "events_grouping_sets", "events_json_extract",
         "events_orders_asof_join", "events_sessionize",
         "events_sessionize_native", "events_type_pivot",
-        "events_view_click_attribution", "lineitem_count",
+        "events_view_click_attribution",
         "lineitem_date_filter_count", "lineitem_full_scan",
         "lineitem_point_filter", "lineitem_range_filter",
         "lineitem_sum_orderkey", "nation_presence_full_join",

@@ -220,3 +220,138 @@ def test_topk_query_matrix_byte_cap(spark):
     )
     with pytest.raises(ValueError, match="bytes"):
         cosine_topk(corpus, queries, k=1)
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+
+def test_ivfpq_fullprobe_covering_refine_equals_exact(spark, emb):
+    """The degradation law: probing EVERY cell with a refine window
+    covering the cells makes IVF-PQ exactly the brute-force top-k —
+    the ADC stage then only reorders scanning, and the exact rerank
+    (raw vectors, dimension-major fold) decides everything. Verifies
+    the whole encode -> ADC -> rerank pipeline end-to-end."""
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        ann_ivfpq_topk,
+    )
+
+    queries = emb.where("vec_id % 100 = 0")
+    exact = cosine_topk(emb, queries, k=5).collect()
+    pq = ann_ivfpq_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=8,
+        m_subspaces=8, n_codes=16, refine=1000,
+    ).collect()
+    assert _topk_sets(pq) == _topk_sets(exact)
+
+
+def test_ivfpq_production_config_recall(spark, emb):
+    """The catalog's production knobs (m=32, n_codes=64, refine=8,
+    n_probe=4 of 8, spill=2) must clear the gate floor."""
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        ann_ivfpq_topk,
+    )
+    from dazzleduck_sql_duckdb_spark.plans.queries import (
+        IVFPQ_RECALL_FLOOR,
+    )
+
+    queries = emb.where("vec_id % 100 = 0")
+    exact = {
+        (r.qid, r.vec_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.qid, r.vec_id)
+        for r in ann_ivfpq_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=4,
+            m_subspaces=32, n_codes=64, refine=8, spill=2,
+        ).collect()
+    }
+    assert len(exact) > 0
+    assert len(got & exact) / len(exact) >= IVFPQ_RECALL_FLOOR
+
+
+def test_ivfpq_deterministic(spark, emb):
+    """Seeded samples + fixed Lloyd iterations + first-index argmin:
+    two runs over the same data return identical rows (the property
+    the driver's value-hash gate depends on)."""
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        ann_ivfpq_topk,
+    )
+
+    queries = emb.where("vec_id % 100 = 0")
+
+    def run():
+        return sorted(
+            (r.qid, r.vec_id, round(r.sim, 12))
+            for r in ann_ivfpq_topk(
+                emb, queries, k=5, n_centroids=8, n_probe=4,
+                m_subspaces=16, n_codes=16, refine=4, spill=2,
+            ).collect()
+        )
+
+    assert run() == run()
+
+
+def test_pq_codebooks_shape_and_codes_in_range(spark):
+    """train_pq_codebooks returns (m, n_codes, dim/m); the encode UDF
+    emits exactly `spill` (cell, codes) structs per non-null vector
+    with every code in [0, n_codes); NULL vectors encode to NULL (so
+    a downstream explode drops them)."""
+    import numpy as np
+
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        make_pq_encode_udf,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(3)
+    res = rng.standard_normal((200, 16))
+    books = train_pq_codebooks(res, 4, 8, seed=1)
+    assert books.shape == (4, 8, 4)
+    books2 = train_pq_codebooks(res, 4, 8, seed=1)
+    assert np.array_equal(books, books2)
+
+    C = rng.standard_normal((4, 16))
+    encode = make_pq_encode_udf(C, books, spill=2)
+    rows = [(i, _unit(rng.standard_normal(16))) for i in range(20)]
+    rows.append((99, None))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).select("vec_id", encode(F.col("embedding")).alias("e"))
+    got = {r.vec_id: r.e for r in df.collect()}
+    assert got[99] is None
+    for vid, e in got.items():
+        if vid == 99:
+            continue
+        assert len(e) == 2
+        cells = {s.cell for s in e}
+        assert len(cells) == 2  # spill targets distinct cells
+        for s in e:
+            assert 0 <= s.cell < 4
+            assert len(s.codes) == 4
+            assert all(0 <= c < 8 for c in s.codes)
+
+
+def test_ivfpq_null_corpus_vector_dropped(spark, emb):
+    """NULL corpus vectors vanish at the encode stage (NULL -> explode
+    drops the row); results match running over the non-null corpus."""
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        ann_ivfpq_topk,
+    )
+
+    corpus = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 3, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    queries = emb.where("vec_id % 100 = 0")
+    kw = dict(
+        k=3, n_centroids=8, n_probe=8, m_subspaces=8, n_codes=16,
+        refine=1000,
+    )
+    got = _topk_sets(ann_ivfpq_topk(corpus, queries, **kw).collect())
+    want = _topk_sets(
+        ann_ivfpq_topk(emb.where("vec_id % 7 != 3"), queries, **kw).collect()
+    )
+    assert got == want
