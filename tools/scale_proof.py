@@ -141,6 +141,7 @@ DEDUP_PIPELINES = [
 PIPELINES = [
     "embed_ann_ivf_fullprobe",
     "embed_ann_ivf_probed",
+    "embed_ann_ivfpq",
 ]
 
 
