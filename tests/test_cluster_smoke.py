@@ -37,6 +37,7 @@ CLUSTER_ENTRIES = [
     "dedup_minhash_lsh",
     "embed_knn_bruteforce",
     "embed_ann_ivf_fullprobe",
+    "embed_ann_ivfpq",  # PQ codebooks + ADC LUTs in task closures
     "multimodal_jpeg_features",
     "q1_pricing_summary",
 ]
