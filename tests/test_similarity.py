@@ -355,3 +355,48 @@ def test_ivfpq_null_corpus_vector_dropped(spark, emb):
         ann_ivfpq_topk(emb.where("vec_id % 7 != 3"), queries, **kw).collect()
     )
     assert got == want
+
+
+def test_pq_encode_argmin_and_adc_identity():
+    """Two numpy-level laws, no Spark: (a) _pq_encode_block picks, per
+    subspace, the codebook entry minimizing residual distance (brute
+    force comparison); (b) the ADC decomposition — base(q, cell) +
+    sum_s LUT[s][code_s] — equals dot(q, C[cell] + decode(codes)) up
+    to float re-association, which is what makes the LUT scan a
+    faithful stand-in for scoring reconstructed vectors."""
+    import numpy as np
+
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        _normalize,
+        _pq_encode_block,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, m, nc = 24, 6, 8
+    C = _normalize(rng.standard_normal((5, dim)))
+    M = _normalize(rng.standard_normal((40, dim)))
+    cells = (M @ C.T).argmax(axis=1)
+    books = train_pq_codebooks(M - C[cells], m, nc, seed=2)
+    codes = _pq_encode_block(M, books, cells, C)
+    sub = dim // m
+    R = M - C[cells]
+    for i in range(len(M)):
+        for s in range(m):
+            d = ((books[s] - R[i, s * sub : (s + 1) * sub]) ** 2).sum(
+                axis=1
+            )
+            assert d[codes[i, s]] == d.min()
+
+    q = _normalize(rng.standard_normal((1, dim)))[0]
+    LUT = np.stack(
+        [q[s * sub : (s + 1) * sub] @ books[s].T for s in range(m)]
+    )
+    for i in range(len(M)):
+        adc = q @ C[cells[i]] + sum(
+            LUT[s, codes[i, s]] for s in range(m)
+        )
+        recon = C[cells[i]] + np.concatenate(
+            [books[s][codes[i, s]] for s in range(m)]
+        )
+        assert np.isclose(adc, q @ recon, rtol=0, atol=1e-12)
