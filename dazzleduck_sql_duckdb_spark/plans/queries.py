@@ -3109,8 +3109,10 @@ def oracle_sql_for(name: str) -> str:
 # ------------------------------------------------------------ gate order
 #
 # The driver's correctness gate covers the FIRST 50 catalog entries.
-# Round-6 window (derived at round end, after the last engine change —
-# the round-5 verdict's directive #1): re-gate
+# Round-6 window (derived at round end and re-affirmed as the round's
+# LAST commit, after the final engine change — the round-5 verdict's
+# directive #1; every operator file touched this round has its entries
+# inside): re-gate
 #   (a) every entry CHANGED or NEW this round: the reworked
 #       text_tfidf_topk / q18_large_volume formulations; the three
 #       minhash-verify-path consumers (dedup_minhash_lsh,
