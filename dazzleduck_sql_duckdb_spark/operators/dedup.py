@@ -193,8 +193,8 @@ def auto_bands(n_docs: int, k: int = 128) -> int:
     RECALL CONTRACT (per-pair, at the J=0.85 verify threshold, via
     minhash_pair_recall(r, k//r, 0.85) with K=128):
 
-        r=4/b=32  ~100%      r=7/b=18  99.91%     r=8/b=16  99.39%
-        r=10/b=12 92.81%     r=12/b=10 78.43% (capped tail)
+        r=4/b=32  ~100%      r=7/b=18  99.90%     r=8/b=16  99.38%
+        r=10/b=12 92.80%     r=12/b=10 78.44% (capped tail)
 
     i.e. at FIXED K=128 the schedule trades at-threshold recall for
     candidate-count control as n grows; pairs well above threshold are
