@@ -3109,102 +3109,95 @@ def oracle_sql_for(name: str) -> str:
 # ------------------------------------------------------------ gate order
 #
 # The driver's correctness gate covers the FIRST 50 catalog entries.
-# Round-6 window (derived at round end and re-affirmed as the round's
-# LAST commit, after the final engine change — the round-5 verdict's
-# directive #1; every operator file touched this round has its entries
-# inside). End-of-round validation on the final code: all 50 window
-# entries replicated against the driver's sf0.01 gate (48 hash-green +
-# the 2 rows-only ANN entries), full catalog green at sf0.001, pytest
-# 281 passed / 2 documented skips. Re-gate
-#   (a) every entry CHANGED or NEW this round: the reworked
-#       text_tfidf_topk / q18_large_volume formulations; the three
-#       minhash-verify-path consumers (dedup_minhash_lsh,
-#       dedup_components, dedup_canonical_corpus — operators/dedup.py
-#       restructure); the five NEW entries (dedup_minhash_auto,
-#       dedup_minhash_recall_held, multimodal_video_metadata,
-#       embed_ann_ivfpq, embed_ann_ivfpq_recall); and
-#       multimodal_jpeg_features (added r5, never driver-gated, plus
-#       the r6 fill-byte marker-walk change);
-#   (b) the unverified-at-gate IVF trio the verdict named —
-#       embed_ann_ivf_fullprobe / embed_ann_ivf_probed /
-#       embed_ann_recall carried r3 verdicts across two rounds of
-#       kernel change;
-#   (c) the remaining r3-vintage entries. 11 + 3 + 36 = 50: two
-#       r3-vintage entries are rotated OUT to make room for the new
-#       IVF-PQ pair — dd_version (a constant literal SELECT, no
-#       moving parts) and lineitem_count (a bare count(*) whose code
-#       path every other aggregate entry exercises); both are
-#       r3-green over implementations untouched since round 1-2, the
-#       lowest-staleness-risk entries in the catalog. After this
-#       gate, every OTHER catalog entry's latest driver verdict is r5
-#       or r6, and every entry left outside the window is green over
-#       an implementation untouched since its verdict.
+# Round-7 window, re-derived per the r6 verdict's directive #1 as the
+# round's FIRST commit (freshness computed over CORRECTNESS_r01..r06:
+# 50 entries r6-green, 45 r5-green, 2 r3-green). Policy:
+#   (a) every entry round 7 CHANGES or ADDS — the five
+#       minhash-verify-path consumers (operators/dedup.py gains
+#       size-aware eager staging + a reliable-checkpoint mode for the
+#       advisor's executor-loss finding), the two IVF-PQ entries
+#       (generic query-id handling in the rerank stage), and
+#       cross_source_contamination (exchange-free source-id
+#       assignment). NEW entries planned this round
+#       (remote_scan_dsv2, embed_ann_ivfpq_fullprobe) are swapped in
+#       by the commit that lands them;
+#   (b) the two r3-vintage entries rotated OUT last round —
+#       lineitem_count and dd_version — rotated back IN (the r6
+#       verdict's window policy names them explicitly);
+#   (c) r5-vintage fill, oldest-first: 40 of the 44 remaining
+#       r5-green entries. The 4 left outside at derivation time —
+#       dd_search_marker (constant marker expression),
+#       orders_global_aggs (agg matrix whose code path q1 and
+#       orders_group_agg exercise), q6_revenue (filter+sum over paths
+#       lineitem_range_filter/q1 cover), customer_orders_left_join
+#       (outer-join path nation_presence_full_join r6-gated) — are
+#       the lowest-staleness-risk r5 entries, each green over an
+#       implementation untouched since its verdict; two more of the
+#       same character are displaced when the round's NEW entries
+#       land. 8 + 2 + 40 = 50.
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
 # tests/test_oracle_parity.py, so the next round CANNOT run its gate
-# against an un-rederived window (the dodge the r4/r5 verdicts both
-# flagged): the moment the driver lands CORRECTNESS_r06, the suite
-# fails until round 7 re-derives this list.
+# against an un-rederived window: the moment the driver lands
+# CORRECTNESS_r07, the suite fails until round 8 re-derives this list.
 
-_GATE_WINDOW_ROUND = 6
+_GATE_WINDOW_ROUND = 7
 
 _GATE_WINDOW = [
-    # -- (a) changed or new in round 6
-    "text_tfidf_topk",
-    "q18_large_volume",
+    # -- (a) changed in round 7 (new entries swapped in when they land)
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_canonical_corpus",
     "dedup_minhash_auto",
     "dedup_minhash_recall_held",
-    "multimodal_video_metadata",
-    "multimodal_jpeg_features",
     "embed_ann_ivfpq",
     "embed_ann_ivfpq_recall",
-    # -- (b) the r3-stale IVF trio (r4 kernel redesign + r5 NULL/byte
-    #    cap postdate their verdicts)
-    "embed_ann_ivf_fullprobe",
-    "embed_ann_ivf_probed",
-    "embed_ann_recall",
-    # -- (c) every remaining r3-vintage entry (oldest-staleness
-    #    rotation, exhaustive this round)
-    "bucketed_join_rollup",
-    "cast_matrix",
-    "cte_union_all",
-    "dd_array_contains_all",
-    "dd_array_contains_all_fn",
-    "distinct_rows",
-    "empty_set_laws",
-    "events_count_distinct",
-    "events_funnel",
-    "events_grouping_sets",
-    "events_json_extract",
-    "events_orders_asof_join",
-    "events_sessionize",
-    "events_sessionize_native",
-    "events_type_pivot",
-    "events_view_click_attribution",
-    "lineitem_date_filter_count",
-    "lineitem_full_scan",
-    "lineitem_point_filter",
-    "lineitem_range_filter",
-    "lineitem_sum_orderkey",
-    "nation_presence_full_join",
-    "null_laws",
-    "order_by_limit",
-    "orders_cube",
-    "orders_set_ops",
-    "part_brand_stats",
-    "q4_order_priority",
-    "scalar_subquery_filter",
-    "semi_anti_join",
-    "simhash_values",
-    "string_functions",
-    "text_repetition",
-    "text_token_stats",
-    "try_cast_matrix",
-    "window_topk_per_group",
+    "cross_source_contamination",
+    # -- (b) the r3-vintage pair rotated back in
+    "lineitem_count",
+    "dd_version",
+    # -- (c) r5-vintage fill (oldest-staleness rotation)
+    "bloom_no_false_negatives",
+    "corpus_top_terms",
+    "dedup_exact",
+    "dedup_simhash",
+    "docs_length_quantiles",
+    "docs_shard_assignment",
+    "docs_stratified_sample",
+    "embed_cosine_neardup",
+    "embed_knn_bruteforce",
+    "embed_neardup_lsh",
+    "events_activity_range_join",
+    "events_hourly_rollup",
+    "join_region_rollup",
+    "lineitem_projection",
+    "multimodal_features",
+    "multimodal_media_keys",
+    "multimodal_png_features",
+    "ngram_jaccard_sampled",
+    "orders_group_agg",
+    "orders_rollup",
+    "orders_running_totals",
+    "pack_sequences",
+    "pipeline_clean_corpus",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q19_disjunctive_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_volume",
+    "remote_agg_pushdown",
+    "remote_login_scan",
+    "remote_scan_filter_pushdown",
+    "remote_scan_split_agg",
+    "remote_splits_plan",
+    "skew_salted_join_agg",
+    "supplier_nation_join",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_redact_pii",
 ]
 
 

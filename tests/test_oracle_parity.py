@@ -67,11 +67,11 @@ def test_prepare_pins_utc_session_timezone(spark):
 
 
 def test_gate_window_covers_every_family():
-    """Round-6 window contract (the driver gates the FIRST 50 catalog
-    entries): every entry CHANGED/NEW this round, the r3-stale IVF
-    trio, and ALL remaining r3-vintage entries must be inside; every
-    entry excluded carries an r5-green verdict over an implementation
-    untouched since round 5."""
+    """Round-7 window contract (the driver gates the FIRST 50 catalog
+    entries): every entry round 7 changes/adds, the r3-vintage pair
+    rotated back in, and an oldest-first r5 fill; every entry excluded
+    carries an r5/r6-green verdict over an implementation untouched
+    since its verdict (freshness table in the _GATE_WINDOW comment)."""
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
     window = Q._GATE_WINDOW
@@ -79,55 +79,47 @@ def test_gate_window_covers_every_family():
     assert len(set(window)) == 50
     assert list(Q.CATALOG)[:50] == window
     changed_or_new = {
-        "text_tfidf_topk",            # single-statement repartition form
-        "q18_large_volume",           # long-domain HAVING sum
-        "dedup_minhash_lsh",          # verify-path restructure
+        "dedup_minhash_lsh",          # size-aware eager staging
         "dedup_components",           # consumes the minhash pairs
         "dedup_canonical_corpus",     # consumes the minhash pairs
-        "dedup_minhash_auto",         # NEW: production knobs
-        "dedup_minhash_recall_held",  # NEW: K grows with r
-        "multimodal_video_metadata",  # NEW: MP4 box walk
-        "multimodal_jpeg_features",   # never driver-gated + r6 change
-        "embed_ann_ivfpq",            # NEW: compressed ANN scale path
-        "embed_ann_ivfpq_recall",     # NEW: its recall-floor gate
+        "dedup_minhash_auto",         # consumes the minhash pairs
+        "dedup_minhash_recall_held",  # consumes the minhash pairs
+        "embed_ann_ivfpq",            # generic-id rerank fix
+        "embed_ann_ivfpq_recall",     # generic-id rerank fix
+        "cross_source_contamination", # exchange-free sid assignment
     }
-    ivf_stale = {
-        "embed_ann_ivf_fullprobe", "embed_ann_ivf_probed",
-        "embed_ann_recall",
-    }
-    # dd_version and lineitem_count are rotated OUT (round-6 decision,
-    # documented at _GATE_WINDOW): a constant literal SELECT and a bare
-    # count(*), both r3-green over implementations untouched since
-    # rounds 1-2 — the two lowest-staleness-risk entries — displaced
-    # by the new IVF-PQ pair.
-    r3_vintage_rest = {
-        "bucketed_join_rollup", "cast_matrix", "cte_union_all",
-        "dd_array_contains_all", "dd_array_contains_all_fn",
-        "distinct_rows", "empty_set_laws",
-        "events_count_distinct", "events_funnel",
-        "events_grouping_sets", "events_json_extract",
-        "events_orders_asof_join", "events_sessionize",
-        "events_sessionize_native", "events_type_pivot",
-        "events_view_click_attribution",
-        "lineitem_date_filter_count", "lineitem_full_scan",
-        "lineitem_point_filter", "lineitem_range_filter",
-        "lineitem_sum_orderkey", "nation_presence_full_join",
-        "null_laws", "order_by_limit", "orders_cube", "orders_set_ops",
-        "part_brand_stats", "q4_order_priority",
-        "scalar_subquery_filter", "semi_anti_join", "simhash_values",
-        "string_functions", "text_repetition", "text_token_stats",
-        "try_cast_matrix", "window_topk_per_group",
+    r3_rotated_in = {"lineitem_count", "dd_version"}
+    r5_fill = {
+        "bloom_no_false_negatives", "corpus_top_terms", "dedup_exact",
+        "dedup_simhash", "docs_length_quantiles",
+        "docs_shard_assignment", "docs_stratified_sample",
+        "embed_cosine_neardup", "embed_knn_bruteforce",
+        "embed_neardup_lsh", "events_activity_range_join",
+        "events_hourly_rollup", "join_region_rollup",
+        "lineitem_projection", "multimodal_features",
+        "multimodal_media_keys", "multimodal_png_features",
+        "ngram_jaccard_sampled", "orders_group_agg", "orders_rollup",
+        "orders_running_totals", "pack_sequences",
+        "pipeline_clean_corpus", "q10_returned_items",
+        "q14_promo_effect", "q19_disjunctive_join",
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_regional_volume", "remote_agg_pushdown",
+        "remote_login_scan", "remote_scan_filter_pushdown",
+        "remote_scan_split_agg", "remote_splits_plan",
+        "skew_salted_join_agg", "supplier_nation_join",
+        "text_fingerprint", "text_langid", "text_quality",
+        "text_redact_pii",
     }
     in_window = set(window)
     for group, names in [
         ("changed_or_new", changed_or_new),
-        ("ivf_stale", ivf_stale),
-        ("r3_vintage_rest", r3_vintage_rest),
+        ("r3_rotated_in", r3_rotated_in),
+        ("r5_fill", r5_fill),
     ]:
         missing = names - in_window
         assert not missing, f"{group} entries outside window: {missing}"
     # exhaustive: the three sets ARE the window, no free-floating slots
-    assert in_window == changed_or_new | ivf_stale | r3_vintage_rest
+    assert in_window == changed_or_new | r3_rotated_in | r5_fill
 
 
 def test_gate_window_round_ratchet():
