@@ -2305,6 +2305,96 @@ def _build_remote_scan_filter(spark, sf_dir: str):
     return spark.sql(_REMOTE_FILTER.format(src="__remote_orders"))
 
 
+@q("remote_scan_dsv2")
+def _remote_scan_dsv2(d: str) -> str:
+    """The DSv2 shim (scala/DdArrowShim.scala) under the driver's hash
+    gate: a PLAIN .filter().groupBy().agg() over format("dd_arrow_dsv2")
+    must prune/filter/aggregate server-side (transparent pushdown — the
+    reference's optimizer-level rewrites,
+    src/scanner/read_arrow_dd.cpp:246-296 and
+    src/optimizer/aggregation_pushdown.cpp:247-418) and still match the
+    direct-parquet oracle. Two labeled paths: 'complete_agg' is the
+    server-computed final aggregate (count/sum/avg COMPLETE pushdown,
+    plan-asserted in the builder), 'split' runs the same aggregation in
+    Spark above a /v1/plan split scan of the pruned+filtered relation."""
+    if d == SPARK:
+        raise NotImplementedError("builder-backed; SQL form unused")
+    base = (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(o_custkey) AS BIGINT) AS sum_ckey,"
+        " round(avg(o_custkey), 6) AS avg_ckey"
+        " FROM orders"
+        " WHERE o_totalprice > 50000 AND o_orderstatus = 'F'"
+        " GROUP BY o_orderpriority"
+    )
+    return (
+        f"SELECT 'complete_agg' AS path, * FROM ({base}) a"
+        f" UNION ALL SELECT 'split' AS path, * FROM ({base}) s"
+    )
+
+
+_DSV2_JAR_ADDED: set[int] = set()
+
+
+def _build_remote_scan_dsv2(spark, sf_dir: str):
+    import os
+
+    from pyspark.sql import functions as F
+
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jars",
+        "dd_arrow_shim.jar",
+    )
+    if id(spark) not in _DSV2_JAR_ADDED:
+        # runtime load into the (vanilla) session: ADD JAR distributes
+        # the jar to executors and installs it on the session
+        # classloader, so format("dd_arrow_dsv2") resolves without
+        # spark.jars at session creation
+        spark.sql(f"ADD JAR {jar}")
+        _DSV2_JAR_ADDED.add(id(spark))
+    srv = _server_for(sf_dir)
+
+    def scan(**extra):
+        rd = (
+            spark.read.format("dd_arrow_dsv2")
+            .option("url", srv.url)
+            .option("path", "orders")
+        )
+        for k, v in extra.items():
+            rd = rd.option(k, v)
+        return rd.load()
+
+    def agg(df):
+        return (
+            df.filter(
+                (F.col("o_totalprice") > 50000)
+                & (F.col("o_orderstatus") == "F")
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("o_custkey").cast("long").alias("sum_ckey"),
+                F.round(F.avg("o_custkey"), 6).alias("avg_ckey"),
+            )
+        )
+
+    plain = agg(scan())
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    # the contracts this entry exists to prove: the server computes the
+    # FINAL aggregate (avg included — no partial agg above the scan)
+    # over the pushed WHERE
+    assert "PushedAggregation: true" in plan, plan
+    assert "avg(" in plan and "RemoteSql" in plan, plan
+    assert "HashAggregate" not in plan, plan
+    split = agg(scan(split="true", split_size=str(64 * 4000)))
+    plan2 = split._jdf.queryExecution().executedPlan().toString()
+    assert "RemoteSql" in plan2 and "o_totalprice" in plan2, plan2
+    return plain.select(
+        F.lit("complete_agg").alias("path"), "*"
+    ).unionByName(split.select(F.lit("split").alias("path"), "*"))
+
+
 @q("bucketed_join_rollup")
 def _bucketed_join_rollup(d: str) -> str:
     """S5 sink surface under the hash gate: orders and customer are
@@ -3058,6 +3148,7 @@ SPARK_BUILDERS.update(
         "multimodal_video_metadata": _build_video_metadata,
         "remote_scan_split_agg": _build_remote_scan_split_agg,
         "remote_scan_filter_pushdown": _build_remote_scan_filter,
+        "remote_scan_dsv2": _build_remote_scan_dsv2,
         "remote_splits_plan": _build_remote_splits,
         "remote_login_scan": _build_remote_login_scan,
         "bucketed_join_rollup": _build_bucketed_join_rollup,
@@ -3118,23 +3209,24 @@ def oracle_sql_for(name: str) -> str:
 #       advisor's executor-loss finding), the two IVF-PQ entries
 #       (generic query-id handling in the rerank stage), and
 #       cross_source_contamination (exchange-free source-id
-#       assignment). NEW entries planned this round
-#       (remote_scan_dsv2, embed_ann_ivfpq_fullprobe) are swapped in
-#       by the commit that lands them;
+#       assignment), plus the NEW remote_scan_dsv2 (the Scala shim's
+#       transparent pushdowns under the hash gate) and
+#       embed_ann_ivfpq_fullprobe (swapped in when it lands);
 #   (b) the two r3-vintage entries rotated OUT last round —
 #       lineitem_count and dd_version — rotated back IN (the r6
 #       verdict's window policy names them explicitly);
-#   (c) r5-vintage fill, oldest-first: 40 of the 44 remaining
-#       r5-green entries. The 4 left outside at derivation time —
+#   (c) r5-vintage fill, oldest-first: 39 of the 44 remaining
+#       r5-green entries. The 5 left outside —
 #       dd_search_marker (constant marker expression),
 #       orders_global_aggs (agg matrix whose code path q1 and
 #       orders_group_agg exercise), q6_revenue (filter+sum over paths
 #       lineitem_range_filter/q1 cover), customer_orders_left_join
-#       (outer-join path nation_presence_full_join r6-gated) — are
-#       the lowest-staleness-risk r5 entries, each green over an
-#       implementation untouched since its verdict; two more of the
-#       same character are displaced when the round's NEW entries
-#       land. 8 + 2 + 40 = 50.
+#       (outer-join path nation_presence_full_join r6-gated),
+#       supplier_nation_join (join path join_region_rollup covers,
+#       displaced by remote_scan_dsv2) — are the lowest-staleness-risk
+#       r5 entries, each green over an implementation untouched since
+#       its verdict; one more is displaced when
+#       embed_ann_ivfpq_fullprobe lands. 9 + 2 + 39 = 50.
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
@@ -3145,7 +3237,8 @@ def oracle_sql_for(name: str) -> str:
 _GATE_WINDOW_ROUND = 7
 
 _GATE_WINDOW = [
-    # -- (a) changed in round 7 (new entries swapped in when they land)
+    # -- (a) changed or NEW in round 7
+    "remote_scan_dsv2",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_canonical_corpus",
@@ -3193,7 +3286,6 @@ _GATE_WINDOW = [
     "remote_scan_split_agg",
     "remote_splits_plan",
     "skew_salted_join_agg",
-    "supplier_nation_join",
     "text_fingerprint",
     "text_langid",
     "text_quality",

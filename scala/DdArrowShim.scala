@@ -34,7 +34,7 @@ import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector.ipc.ArrowStreamReader
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression, FieldReference, NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -334,7 +334,27 @@ class DdScanBuilder(
         fl <- fieldOf(s.column)
         out <- sparkSumType(fl.dataType)
       } yield (s"CAST(sum($r) AS ${ddType(out)})", out)
+    case a: Avg =>
+      // Spark offers Avg for COMPLETE pushdown only; if we decline it
+      // re-plans as decomposed sum+count partials. Spark's Average
+      // resultType is DOUBLE for every non-decimal numeric input —
+      // decimals keep their widened-decimal result and stay on the
+      // decomposed path (the A5 type-reconciliation discipline).
+      for {
+        r <- col(a.column)
+        fl <- fieldOf(a.column)
+        if avgIsDouble(fl.dataType)
+      } yield {
+        val d = if (a.isDistinct) "DISTINCT " else ""
+        (s"CAST(avg($d$r) AS DOUBLE)", DoubleType)
+      }
     case _ => None
+  }
+
+  private def avgIsDouble(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType => true
+    case _ => false
   }
 
   private def ddType(t: DataType): String = t match {

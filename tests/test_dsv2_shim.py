@@ -93,16 +93,20 @@ df = r.groupBy("l_returnflag").agg(
 )
 p = plan(df)
 out["agg_pushed"] = "PushedAggregation: true" in p
+out["agg_cols"] = df.columns
 out["agg_rows"] = sorted([list(x) for x in df.collect()])
 
 # filter + aggregate compose
 df = r.filter("l_quantity > 45").groupBy("l_returnflag").count()
 out["agg_filtered_rows"] = sorted([list(x) for x in df.collect()])
 
-# 4a) avg: Spark decomposes it into pushed sum+count (complete
-#     pushdown stays active) — values must still match the oracle
+# 4a) avg: COMPLETE pushdown via the Avg case — the server computes
+#     the final average; no partial aggregate runs above the scan
 df = r.groupBy("l_returnflag").agg({{"l_quantity": "avg"}})
-out["avg_pushed"] = "PushedAggregation: true" in plan(df)
+p = plan(df)
+out["avg_pushed"] = "PushedAggregation: true" in p
+out["avg_remote_complete"] = "avg(" in p and "RemoteSql" in p
+out["avg_no_partial_agg"] = "HashAggregate" not in p
 out["avg_rows"] = sorted(
     [[x[0], round(x[1], 9)] for x in df.collect()]
 )
@@ -143,6 +147,27 @@ print("SHIM_RESULT " + json.dumps(out))
 """
 
 
+def test_jar_matches_scala_source():
+    """The committed jar must correspond to scala/DdArrowShim.scala:
+    tools/build_shim.sh records the source sha256 it compiled; a source
+    edit without a rebuild fails here (advisor finding: binary/source
+    drift was previously unchecked)."""
+    import hashlib
+
+    src = os.path.join(REPO, "scala", "DdArrowShim.scala")
+    sidecar = JAR + ".src.sha256"
+    assert os.path.exists(JAR), "run tools/build_shim.sh"
+    assert os.path.exists(sidecar), "rebuild: tools/build_shim.sh"
+    with open(src, "rb") as f:
+        want = hashlib.sha256(f.read()).hexdigest()
+    with open(sidecar) as f:
+        got = f.read().strip()
+    assert got == want, (
+        "dd_arrow_shim.jar was built from a different DdArrowShim.scala"
+        " — rebuild with tools/build_shim.sh"
+    )
+
+
 @pytest.mark.slow
 def test_dsv2_shim_transparent_pushdowns():
     assert os.path.exists(JAR), "run tools/build_shim.sh"
@@ -178,31 +203,30 @@ def test_dsv2_shim_transparent_pushdowns():
         " WHERE l_quantity > 45 AND l_partkey + l_suppkey > 50"
     ).fetchone()[0]
     assert got["agg_pushed"] is True
-    assert got["agg_rows"] == sorted(
-        [list(x) for x in con(
-            f"SELECT l_returnflag, CAST(count(*) AS BIGINT),"
-            f" sum(l_quantity), max(l_extendedprice)"
-            f" FROM '{LINEITEM}' GROUP BY 1"
-        ).fetchall()]
-    ) or got["agg_rows"]  # column order differs per agg-dict ordering
-    # value-level check, order-insensitive on columns:
-    oracle = {
-        row[0]: {row[1], row[2], row[3]}
-        for row in con(
-            f"SELECT l_returnflag, CAST(count(*) AS BIGINT),"
-            f" sum(l_quantity), max(l_extendedprice)"
-            f" FROM '{LINEITEM}' GROUP BY 1"
-        ).fetchall()
+    # column-name-explicit value check (agg-dict ordering varies):
+    # map each Spark output column to the matching oracle aggregate
+    oracle_by_col = {
+        "l_returnflag": "l_returnflag",
+        "sum(l_quantity)": "sum(l_quantity)",
+        "max(l_extendedprice)": "max(l_extendedprice)",
+        "count(1)": "CAST(count(*) AS BIGINT)",
     }
-    for row in got["agg_rows"]:
-        assert set(row[1:]) == oracle[row[0]]
+    sel = ", ".join(oracle_by_col[c] for c in got["agg_cols"])
+    oracle_rows = sorted(
+        [list(x) for x in con(
+            f"SELECT {sel} FROM '{LINEITEM}' GROUP BY l_returnflag"
+        ).fetchall()]
+    )
+    assert got["agg_rows"] == oracle_rows
     assert got["agg_filtered_rows"] == sorted(
         [list(x) for x in con(
             f"SELECT l_returnflag, count(*) FROM '{LINEITEM}'"
             " WHERE l_quantity > 45 GROUP BY 1"
         ).fetchall()]
     )
-    assert got["avg_pushed"] is True  # decomposed into pushed sum+count
+    assert got["avg_pushed"] is True
+    assert got["avg_remote_complete"] is True  # server computes the avg
+    assert got["avg_no_partial_agg"] is True   # nothing re-aggregates
     assert got["avg_rows"] == sorted(
         [[x[0], round(x[1], 9)] for x in con(
             f"SELECT l_returnflag, avg(l_quantity) FROM '{LINEITEM}'"

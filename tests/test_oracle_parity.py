@@ -79,6 +79,7 @@ def test_gate_window_covers_every_family():
     assert len(set(window)) == 50
     assert list(Q.CATALOG)[:50] == window
     changed_or_new = {
+        "remote_scan_dsv2",           # NEW: shim under the hash gate
         "dedup_minhash_lsh",          # size-aware eager staging
         "dedup_components",           # consumes the minhash pairs
         "dedup_canonical_corpus",     # consumes the minhash pairs
@@ -106,7 +107,7 @@ def test_gate_window_covers_every_family():
         "q5_regional_volume", "remote_agg_pushdown",
         "remote_login_scan", "remote_scan_filter_pushdown",
         "remote_scan_split_agg", "remote_splits_plan",
-        "skew_salted_join_agg", "supplier_nation_join",
+        "skew_salted_join_agg",
         "text_fingerprint", "text_langid", "text_quality",
         "text_redact_pii",
     }

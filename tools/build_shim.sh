@@ -17,5 +17,9 @@ printf 'org.apache.spark.sql.dazzleduck.DdArrowDataSource\n' \
 mkdir -p "$REPO/dazzleduck_sql_duckdb_spark/jars"
 jar --create --file "$REPO/dazzleduck_sql_duckdb_spark/jars/dd_arrow_shim.jar" \
   -C "$OUT" . 2>/dev/null || (cd "$OUT" && zip -qr "$REPO/dazzleduck_sql_duckdb_spark/jars/dd_arrow_shim.jar" .)
+# record the source hash the jar was built from; test_dsv2_shim fails
+# on drift between scala/DdArrowShim.scala and the committed binary
+sha256sum "$REPO/scala/DdArrowShim.scala" | cut -d' ' -f1 \
+  > "$REPO/dazzleduck_sql_duckdb_spark/jars/dd_arrow_shim.jar.src.sha256"
 rm -rf "$OUT"
 echo "built: $REPO/dazzleduck_sql_duckdb_spark/jars/dd_arrow_shim.jar"
