@@ -228,6 +228,7 @@ def minhash_neardup_pairs(
     max_bucket_docs: int | None = None,
     broadcast_verify_max: int = 5_000_000,
     broadcast_verify_docs: int = 100_000,
+    materialize: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs at shingle-Jaccard >= threshold within block.
 
@@ -258,18 +259,35 @@ def minhash_neardup_pairs(
     below these counts take the narrowed zero-shuffle verify path —
     see the plan comment at the verify join.
 
-    FULLY EAGER: the whole pipeline (kernel, band self-join, verify)
-    runs at call time and the returned DataFrame is the MATERIALIZED
-    verified-pairs result (an eager localCheckpoint whose blocks the
-    ContextCleaner frees once the caller releases the DataFrame).
+    ``materialize`` — how the verified-pairs result is pinned:
+
+    - ``"auto"`` (default): EAGER — the whole pipeline (kernel, band
+      self-join, verify) runs at call time and the returned DataFrame
+      is the MATERIALIZED result, so iterative consumers (connected
+      components' label propagation) re-read cheap ~24-byte pair rows
+      instead of re-running the verify join per pass. Uses a RELIABLE
+      ``checkpoint()`` when the SparkContext has a checkpoint dir
+      configured, else ``localCheckpoint()``. FAILURE MODE of the
+      localCheckpoint fallback: its blocks are executor-local and
+      unreplicated and the lineage is truncated, so on a real cluster
+      losing any executor after this call permanently loses pair
+      blocks with NO recompute path — production deployments must
+      ``sc.setCheckpointDir(...)`` (or pass ``"reliable"``).
+    - ``"reliable"``: force ``checkpoint(eager=True)`` (requires a
+      checkpoint dir; survives executor loss).
+    - ``"local"``: force the eager ``localCheckpoint`` (single-node /
+      ephemeral sessions where the trade is understood).
+    - ``"none"``: fully LAZY — no persists, no plan-picking counts, no
+      checkpoint; the caller owns caching and every action re-executes
+      the pipeline. The declarative opt-out.
+
     Intermediates are persist()ed columnar caches for the multiple
     reads WITHIN this call — signatures feed both the band join and
     the verify — and are explicitly unpersisted before returning, so
-    no cache handles leak into the caller's session. Iterative
-    consumers (connected components' label propagation) re-read cheap
-    materialized pairs instead of re-executing the verify join per
-    iteration.
+    no cache handles leak into the caller's session.
     """
+    if materialize not in ("auto", "reliable", "local", "none"):
+        raise ValueError(f"materialize: {materialize!r}")
     # Widen narrow inputs before the per-row shingle/signature compute:
     # a small parquet file scans as few tasks (one per row group), which
     # under-fills the cores for the whole CPU-heavy stage AND pins the
@@ -302,16 +320,44 @@ def minhash_neardup_pairs(
     ).select(
         "doc_id", "blk",
         F.col("k.sh").alias("sh"), F.col("k.bkeys").alias("bkeys"),
-    ).persist()
+    )
+    if materialize == "none":
+        return _minhash_verify(
+            staged, bands=bands, threshold_pct=threshold_pct,
+            max_bucket_docs=max_bucket_docs,
+            broadcast_verify_max=broadcast_verify_max,
+            broadcast_verify_docs=broadcast_verify_docs,
+            materialize="none",
+        )
+    staged = staged.persist()
     try:
         return _minhash_verify(
             staged, bands=bands, threshold_pct=threshold_pct,
             max_bucket_docs=max_bucket_docs,
             broadcast_verify_max=broadcast_verify_max,
             broadcast_verify_docs=broadcast_verify_docs,
+            materialize=materialize,
         )
     finally:
         staged.unpersist()
+
+
+def _materialize_pairs(verified: DataFrame, materialize: str) -> DataFrame:
+    """Pin the bounded verified-pairs result (~24 bytes/row) so (a) the
+    caller's unpersists leave nothing lazy over the call-scoped caches
+    and (b) iterative/multi-pass consumers re-read cheap blocks instead
+    of re-running the verify join. "reliable" = checkpoint() to the
+    context's checkpoint dir — replicated, survives executor loss, the
+    100 TB default whenever a dir is configured. The localCheckpoint
+    fallback is executor-local and lineage-truncated: executor loss
+    after the call loses blocks unrecoverably (see the
+    minhash_neardup_pairs docstring)."""
+    sc = verified.sparkSession.sparkContext
+    if materialize == "reliable" or (
+        materialize == "auto" and sc.getCheckpointDir() is not None
+    ):
+        return verified.checkpoint(eager=True)
+    return verified.localCheckpoint(eager=True)
 
 
 def _minhash_verify(
@@ -322,6 +368,7 @@ def _minhash_verify(
     max_bucket_docs: int | None,
     broadcast_verify_max: int,
     broadcast_verify_docs: int,
+    materialize: str = "auto",
 ) -> DataFrame:
     sh = staged.select("doc_id", "blk", "sh")
 
@@ -372,6 +419,38 @@ def _minhash_verify(
     # table. Measured at 500k docs (r=10, 3.7k candidates): verify
     # 55s -> ~2s. Past `broadcast_verify_max` pairs (~16 bytes each)
     # the shuffle join over the full table is the right plan.
+    def _verify_join(cand_df, pa, pb):
+        inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+        la, lb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
+        uni = la + lb - inter
+        return (
+            cand_df.join(pa, F.col("doc_a") == F.col("a.doc_id"))
+            .join(pb, F.col("doc_b") == F.col("b.doc_id"))
+            .where(
+                (100 * inter >= threshold_pct * uni)
+                & (100 * F.least(la, lb)
+                   >= threshold_pct * F.greatest(la, lb))
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                (inter.cast("double") / uni.cast("double"))
+                .alias("jaccard"),
+            )
+        )
+
+    if materialize == "none":
+        # declarative opt-out: no persists, no plan-picking counts, no
+        # hints — Catalyst/AQE own the strategy, the caller owns reuse
+        return _verify_join(cand, sh.alias("a"), sh.alias("b"))
+    # NOTE a "skip the plan-picking counts below a row threshold" fast
+    # path was built and MEASURED SLOWER at sf0.1/5k docs (A/B medians:
+    # 3.5-3.8s vs 2.5-2.9s for the counted path): the counts double as
+    # free statistics collection — cand.count() populates the cand and
+    # kernel caches in a dedicated wide job, so the checkpoint job's
+    # broadcast subplans and AQE plan over KNOWN sizes; skipping them
+    # left the caches cold at planning time and cost more in extra
+    # stage overhead than the two jobs it saved (BENCH_NOTES r7).
     # this count is the first eager job: it materializes cand AND
     # (through the cache) the staged kernel in one pass
     cand = cand.persist()
@@ -428,33 +507,8 @@ def _minhash_verify(
             if n_cand <= broadcast_verify_max:
                 cand = F.broadcast(cand)
             pa, pb = sh.alias("a"), sh.alias("b")
-        inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-        la, lb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
-        uni = la + lb - inter
-        verified = (
-            cand.join(pa, F.col("doc_a") == F.col("a.doc_id"))
-            .join(pb, F.col("doc_b") == F.col("b.doc_id"))
-            .where(
-                (100 * inter >= threshold_pct * uni)
-                & (100 * F.least(la, lb)
-                   >= threshold_pct * F.greatest(la, lb))
-            )
-            .select(
-                "doc_a",
-                "doc_b",
-                (inter.cast("double") / uni.cast("double")).alias("jaccard"),
-            )
-        )
-        # materialize the FINAL pairs (bounded: the verified subset of
-        # the candidate set, ~24 bytes/row) so (a) the unpersists in
-        # the enclosing finally blocks leave nothing lazy over the
-        # caches, and (b) iterative consumers (connected components'
-        # label propagation) and multi-pass consumers (canonical
-        # corpus) re-read cheap checkpoint blocks instead of re-running
-        # the verify join per pass. localCheckpoint, not persist: the
-        # blocks are freed by the ContextCleaner when the caller drops
-        # the DataFrame — no session-lifetime cache leak.
-        return verified.localCheckpoint(eager=True)
+        verified = _verify_join(cand, pa, pb)
+        return _materialize_pairs(verified, materialize)
     finally:
         for h in handles:
             h.unpersist()

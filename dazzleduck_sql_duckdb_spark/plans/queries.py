@@ -2168,12 +2168,13 @@ def _build_minhash_auto_df(spark):
     from ..operators.dedup import auto_bands, minhash_neardup_pairs
 
     docs = spark.table("documents")
+    n = docs.count()
     return minhash_neardup_pairs(
         docs,
         shingle_n=SHINGLE_N,
         a=MINHASH_A,
         b=MINHASH_B,
-        bands=auto_bands(docs.count(), k=MINHASH_K),
+        bands=auto_bands(n, k=MINHASH_K),
         threshold_pct=JACCARD_PCT,
         max_bucket_docs=256,
     )

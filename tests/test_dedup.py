@@ -237,3 +237,57 @@ def test_minhash_verify_shuffle_fallback_matches_broadcast(spark):
     }
     assert bc == sh
     assert all((2 * i, 2 * i + 1) in bc for i in range(40))
+
+
+def test_minhash_materialize_modes(spark, tmp_path):
+    """Every materialize mode returns the same pair set; "reliable"
+    writes replicated checkpoint files into the configured dir (the
+    executor-loss-safe scale path — localCheckpoint blocks are
+    executor-local and lineage-truncated, so losing an executor after
+    the call would lose pairs unrecoverably); "auto" picks reliable
+    exactly when a checkpoint dir is configured; "none" stays lazy
+    (analyzed plan has no checkpointed scan)."""
+    import os
+
+    rng = random.Random(33)
+    base = " ".join(f"word{rng.randrange(1000)}" for _ in range(60))
+    near = base[:-8]
+    df = spark.createDataFrame(
+        [(1, "en", base), (2, "en", near), (3, "en", "unrelated words")],
+        schema=SCHEMA,
+    )
+    a = [rng.randrange(1, 2**31 - 1) for _ in range(128)]
+    b = [rng.randrange(0, 2**31 - 1) for _ in range(128)]
+    kw = dict(a=a, b=b, bands=32, threshold_pct=85)
+
+    def pairs(**extra):
+        return {
+            (p.doc_a, p.doc_b)
+            for p in minhash_neardup_pairs(df, **kw, **extra).collect()
+        }
+
+    want = pairs()  # auto, no checkpoint dir -> localCheckpoint
+    assert want == {(1, 2)}
+    assert pairs(materialize="local") == want
+    assert pairs(materialize="none") == want
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        assert pairs(materialize="reliable") == want
+        n_reliable = sum(len(fs) for _, _, fs in os.walk(ckpt))
+        assert n_reliable > 0  # checkpoint files actually written
+        assert pairs() == want  # auto now picks reliable too
+        assert sum(len(fs) for _, _, fs in os.walk(ckpt)) > n_reliable
+    finally:
+        # pyspark has no unsetCheckpointDir; clear via the JVM so later
+        # tests in this session keep the no-dir default
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+    assert sc.getCheckpointDir() is None
+
+    with pytest.raises(ValueError):
+        minhash_neardup_pairs(df, **kw, materialize="bogus")
