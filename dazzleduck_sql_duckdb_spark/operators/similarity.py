@@ -776,7 +776,10 @@ def ann_ivfpq_topk(
     # Exact rerank: the candidate set is BOUNDED (<= n_queries * k *
     # refine pairs) — broadcast it into ONE hash join against the
     # corpus, so the full vectors are scanned once and never shuffled.
-    qindex = {int(q): i for i, q in enumerate(qids)}
+    # key by the RAW id value: query ids are any orderable type here
+    # (cosine_topk / ann_ivf_topk accept string ids; an int() cast
+    # raised on them in the rerank stage — advisor finding r6)
+    qindex = {q: i for i, q in enumerate(qids)}
     rr_schema = T.StructType(
         [
             T.StructField(query_id_col, qtype),
@@ -798,7 +801,7 @@ def ann_ivfpq_topk(
             # covering refine degrades to bit-identical exact top-k
             V = _as_matrix(pdf["__vec"], Q.shape[1])
             qi = np.asarray(
-                [qindex[int(q)] for q in pdf[query_id_col]], dtype=np.int64
+                [qindex[q] for q in pdf[query_id_col]], dtype=np.int64
             )
             Qsel = Q[qi]
             # row-wise sequential fold (dimension-major accumulation):

@@ -1498,6 +1498,32 @@ def _ann_ivfpq(d: str) -> str:
     return _knn(d)
 
 
+@q("embed_ann_ivfpq_fullprobe")
+def _ann_ivfpq_fullprobe(d: str) -> str:
+    """IVF-PQ with n_probe == n_centroids and a refine window covering
+    the corpus (k*refine >= n_vectors at every gate SF): the ADC stage
+    then only reorders scanning and the exact rerank (raw vectors,
+    dimension-major fold) decides everything, so the result is EXACTLY
+    the brute-force top-k — the degradation law that anchors the
+    uncompressed path (embed_ann_ivf_fullprobe), here hash-gating the
+    full PQ encode -> ADC -> rerank pipeline against the brute-force
+    oracle. The law is also pinned in tests/test_similarity.py
+    (test_ivfpq_fullprobe_covering_refine_equals_exact)."""
+    return _knn(d)  # identical result contract -> identical oracle
+
+
+def _build_ann_ivfpq_fullprobe(spark):
+    from ..operators.similarity import ann_ivfpq_topk
+
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id % 100 = 0")
+    return ann_ivfpq_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=8,
+        m_subspaces=32, n_codes=64, refine=1000,
+        query_id_col="qid",
+    )
+
+
 # the IVF-PQ production config must recover at least this fraction of
 # the exact top-k over all queries. Measured for (n_centroids=8,
 # n_probe=4, spill=2, m=32, n_codes=64, refine=8): 1.0 / 1.0 / 0.93 at
@@ -3164,6 +3190,7 @@ SPARK_BUILDERS.update(
         "embed_ann_recall": _build_ann_recall,
         "embed_ann_ivfpq": _build_ann_ivfpq,
         "embed_ann_ivfpq_recall": _build_ann_ivfpq_recall,
+        "embed_ann_ivfpq_fullprobe": _build_ann_ivfpq_fullprobe,
     }
 )
 
@@ -3210,24 +3237,25 @@ def oracle_sql_for(name: str) -> str:
 #       advisor's executor-loss finding), the two IVF-PQ entries
 #       (generic query-id handling in the rerank stage), and
 #       cross_source_contamination (exchange-free source-id
-#       assignment), plus the NEW remote_scan_dsv2 (the Scala shim's
-#       transparent pushdowns under the hash gate) and
-#       embed_ann_ivfpq_fullprobe (swapped in when it lands);
+#       assignment), plus the two NEW entries: remote_scan_dsv2 (the
+#       Scala shim's transparent pushdowns under the hash gate) and
+#       embed_ann_ivfpq_fullprobe (the PQ path's exactness anchor);
 #   (b) the two r3-vintage entries rotated OUT last round —
 #       lineitem_count and dd_version — rotated back IN (the r6
 #       verdict's window policy names them explicitly);
-#   (c) r5-vintage fill, oldest-first: 39 of the 44 remaining
-#       r5-green entries. The 5 left outside —
+#   (c) r5-vintage fill, oldest-first: 38 of the 44 remaining
+#       r5-green entries. The 6 left outside —
 #       dd_search_marker (constant marker expression),
 #       orders_global_aggs (agg matrix whose code path q1 and
 #       orders_group_agg exercise), q6_revenue (filter+sum over paths
 #       lineitem_range_filter/q1 cover), customer_orders_left_join
 #       (outer-join path nation_presence_full_join r6-gated),
 #       supplier_nation_join (join path join_region_rollup covers,
-#       displaced by remote_scan_dsv2) — are the lowest-staleness-risk
+#       displaced by remote_scan_dsv2), lineitem_projection
+#       (projection path lineitem_full_scan r6-gated, displaced by
+#       embed_ann_ivfpq_fullprobe) — are the lowest-staleness-risk
 #       r5 entries, each green over an implementation untouched since
-#       its verdict; one more is displaced when
-#       embed_ann_ivfpq_fullprobe lands. 9 + 2 + 39 = 50.
+#       its verdict. 10 + 2 + 38 = 50.
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
@@ -3247,6 +3275,7 @@ _GATE_WINDOW = [
     "dedup_minhash_recall_held",
     "embed_ann_ivfpq",
     "embed_ann_ivfpq_recall",
+    "embed_ann_ivfpq_fullprobe",
     "cross_source_contamination",
     # -- (b) the r3-vintage pair rotated back in
     "lineitem_count",
@@ -3265,7 +3294,6 @@ _GATE_WINDOW = [
     "events_activity_range_join",
     "events_hourly_rollup",
     "join_region_rollup",
-    "lineitem_projection",
     "multimodal_features",
     "multimodal_media_keys",
     "multimodal_png_features",

@@ -87,6 +87,7 @@ def test_gate_window_covers_every_family():
         "dedup_minhash_recall_held",  # consumes the minhash pairs
         "embed_ann_ivfpq",            # generic-id rerank fix
         "embed_ann_ivfpq_recall",     # generic-id rerank fix
+        "embed_ann_ivfpq_fullprobe",  # NEW: PQ exactness anchor
         "cross_source_contamination", # exchange-free sid assignment
     }
     r3_rotated_in = {"lineitem_count", "dd_version"}
@@ -97,7 +98,7 @@ def test_gate_window_covers_every_family():
         "embed_cosine_neardup", "embed_knn_bruteforce",
         "embed_neardup_lsh", "events_activity_range_join",
         "events_hourly_rollup", "join_region_rollup",
-        "lineitem_projection", "multimodal_features",
+        "multimodal_features",
         "multimodal_media_keys", "multimodal_png_features",
         "ngram_jaccard_sampled", "orders_group_agg", "orders_rollup",
         "orders_running_totals", "pack_sequences",

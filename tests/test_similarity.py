@@ -400,3 +400,26 @@ def test_pq_encode_argmin_and_adc_identity():
             [books[s][codes[i, s]] for s in range(m)]
         )
         assert np.isclose(adc, q @ recon, rtol=0, atol=1e-12)
+
+
+def test_ivfpq_string_query_ids(spark, emb):
+    """Query ids of ANY type survive the rerank stage: cosine_topk and
+    ann_ivf_topk were always id-type-generic, but ann_ivfpq_topk's
+    rerank keyed its query index by int(q) and raised on string ids
+    (advisor finding r6). String-id results must equal the int-id run
+    under the identity qid -> 'q<qid>'."""
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        ann_ivfpq_topk,
+    )
+
+    q_int = emb.where("vec_id % 200 = 0")
+    q_str = q_int.withColumn(
+        "vec_id", F.concat(F.lit("q"), F.col("vec_id"))
+    )
+    kw = dict(
+        k=3, n_centroids=8, n_probe=8, m_subspaces=8, n_codes=16,
+        refine=16, exclude_self=False,
+    )
+    want = _topk_sets(ann_ivfpq_topk(emb, q_int, **kw).collect())
+    got = _topk_sets(ann_ivfpq_topk(emb, q_str, **kw).collect())
+    assert got == {f"q{k}": v for k, v in want.items()}
