@@ -68,17 +68,33 @@ object DdWire {
     conn.getInputStream
   }
 
+  /** Best-effort GET /v1/cancel (cancel_monitor.cpp semantics:
+   *  failures are swallowed — the connection drop is the backstop
+   *  lease-based cancel channel). */
+  def cancelQuiet(base: String, qid: Long, token: String): Unit = try {
+    val conn = new URL(base.stripSuffix("/") + "/v1/cancel?id=" + qid)
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    conn.setConnectTimeout(2000)
+    conn.setReadTimeout(2000)
+    if (token != null && token.nonEmpty) {
+      conn.setRequestProperty("Authorization", "Bearer " + token)
+    }
+    conn.getResponseCode
+    conn.disconnect()
+  } catch { case _: Exception => () }
+
   /** GET /v1/plan — split planning over `sql` (the PRUNED+FILTERED
    *  relation, so a selective pushdown shrinks the split count the
-   *  same way it does on the Python source). Returns (endpoint,
-   *  splitQuery) pairs with the i %% n load-spread over each split's
-   *  advertised replica endpoints; replica FAILOVER stays a Python-
-   *  source capability (documented shim limit). */
+   *  same way it does on the Python source). Returns (endpoints,
+   *  splitQuery) pairs carrying EVERY advertised replica endpoint
+   *  (split_info.hpp:20-37); the reader load-spreads starts i %% n
+   *  and rotates through the rest on failure. */
   def fetchPlan(
       base: String,
       sql: String,
       splitSize: Long,
-      token: String): Array[(String, String)] = {
+      token: String): Array[(Array[String], String)] = {
     val url = base.stripSuffix("/") + "/v1/plan?q=" +
       URLEncoder.encode(sql, "UTF-8")
     val conn =
@@ -98,18 +114,16 @@ object DdWire {
     val body = conn.getInputStream.readAllBytes()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(body)
-    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    var i = 0
+    val out = scala.collection.mutable.ArrayBuffer[(Array[String], String)]()
     root.forEach { entry =>
       val q = entry.path("descriptor").path("statementHandle")
         .path("query").asText("")
       val eps = entry.path("endpoints")
-      val ep =
+      val arr =
         if (eps.isArray && eps.size() > 0) {
-          eps.get(i % eps.size()).asText(base)
-        } else base
-      out += ((ep, q))
-      i += 1
+          (0 until eps.size()).map(j => eps.get(j).asText(base)).toArray
+        } else Array(base)
+      out += ((arr, q))
     }
     if (out.isEmpty) {
       throw new RuntimeException("dd_arrow_dsv2: server returned no splits")
@@ -446,20 +460,19 @@ class DdScan(
     if (split) {
       // plan over the PRUNED+FILTERED SQL: each split is the server's
       // rewritten slice of it, fetched in parallel by Spark tasks
-      DdWire.fetchPlan(url, sql, splitSize, token).map {
-        case (ep, q) =>
-          DdPartition(DdWire.queryUrl(ep, q, System.nanoTime()))
-            : InputPartition
+      DdWire.fetchPlan(url, sql, splitSize, token).zipWithIndex.map {
+        case ((eps, q), i) => DdPartition(eps, q, i): InputPartition
       }
     } else {
-      Array(DdPartition(DdWire.queryUrl(url, sql, System.nanoTime())))
+      Array(DdPartition(Array(url), sql, 0))
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DdReaderFactory(token, emptyProjection)
 }
 
-case class DdPartition(fullUrl: String) extends InputPartition
+case class DdPartition(endpoints: Array[String], query: String, value: Int)
+  extends InputPartition
 
 class DdReaderFactory(token: String, emptyProjection: Boolean)
     extends PartitionReaderFactory {
@@ -470,22 +483,64 @@ class DdReaderFactory(token: String, emptyProjection: Boolean)
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] =
     new DdColumnarReader(
-      p.asInstanceOf[DdPartition].fullUrl, token, emptyProjection)
+      p.asInstanceOf[DdPartition], token, emptyProjection)
 }
 
 /** Streams the Arrow IPC response one batch at a time — bounded
- *  memory regardless of result size (the S4 contract). */
-class DdColumnarReader(fullUrl: String, token: String,
+ *  memory regardless of result size (the S4 contract).
+ *
+ *  Replica failover + load spreading (read_arrow_dd.cpp /
+ *  split_info.hpp semantics, matching the Python source): split i
+ *  STARTS at replica i %% n and rotates on open failure; each attempt
+ *  uses a FRESH query id (re-issuing one id could double-execute
+ *  server-side) and best-effort-cancels the abandoned id on the
+ *  endpoint that saw it.
+ *
+ *  Cancel-on-teardown: a task killed or errored mid-stream closes the
+ *  connection (the lease channel) AND fires GET /v1/cancel (the event
+ *  channel) — the two-channel contract of cancel_monitor.cpp. */
+class DdColumnarReader(p: DdPartition, token: String,
     emptyProjection: Boolean)
   extends PartitionReader[ColumnarBatch] {
 
   private val alloc = new RootAllocator(Long.MaxValue)
-  private val in = DdWire.open(fullUrl, token)
+  private var endpoint: String = _
+  private var queryId: Long = _
+  private val in: InputStream = {
+    val eps = if (p.endpoints.nonEmpty) p.endpoints else Array("")
+    val start = math.floorMod(p.value, eps.length)
+    var opened: InputStream = null
+    var last: Exception = null
+    var i = 0
+    while (opened == null && i < eps.length) {
+      endpoint = eps((start + i) % eps.length)
+      queryId = System.nanoTime()
+      try {
+        opened = DdWire.open(
+          DdWire.queryUrl(endpoint, p.query, queryId), token)
+      } catch {
+        case e: Exception =>
+          last = e
+          // the failed attempt's server may have started executing
+          DdWire.cancelQuiet(endpoint, queryId, token)
+          i += 1
+      }
+    }
+    if (opened == null) {
+      throw new RuntimeException(
+        s"dd_arrow_dsv2: all ${eps.length} replica(s) failed", last)
+    }
+    opened
+  }
   private val reader = new ArrowStreamReader(in, alloc)
   private var batch: ColumnarBatch = _
+  private var exhausted = false
 
   override def next(): Boolean = {
-    if (!reader.loadNextBatch()) return false
+    if (!reader.loadNextBatch()) {
+      exhausted = true
+      return false
+    }
     val root = reader.getVectorSchemaRoot
     val vectors: Array[ColumnVector] =
       if (emptyProjection) Array.empty
@@ -501,5 +556,10 @@ class DdColumnarReader(fullUrl: String, token: String,
     reader.close()
     in.close()
     alloc.close()
+    if (!exhausted) {
+      // torn down mid-stream (kill/limit/error): connection drop is
+      // the lease cancel; fire the explicit channel too
+      DdWire.cancelQuiet(endpoint, queryId, token)
+    }
   }
 }

@@ -141,8 +141,45 @@ out["split_n_partitions"] = df.rdd.getNumPartitions()
 out["split_proj_sum"] = df.groupBy().sum("l_orderkey").collect()[0][0]
 out["split_filter_count"] = rs.filter("l_quantity > 45").count()
 
+# 7) replica failover: a second server advertises a DEAD endpoint
+#    first in every split's endpoints[] — split 0 (and every even
+#    split) STARTS there, fails to connect, rotates to the live
+#    replica; results must be complete. The dead endpoint costs one
+#    refused connect per even split.
+srv2 = ArrowTestServer(
+    {{"lineitem": {lineitem!r}}},
+    extra_endpoints=["http://127.0.0.1:9"],
+).start()
+rf = (
+    spark.read.format("dd_arrow_dsv2")
+    .option("url", srv2.url)
+    .option("path", "lineitem")
+    .option("split", "true")
+    .option("split_size", "65536")
+    .load()
+)
+out["failover_sum"] = rf.select("l_orderkey").groupBy().sum(
+    "l_orderkey"
+).collect()[0][0]
+
+# 8) cancel-on-teardown: a LIMIT over the full scan tears the stream
+#    down before exhaustion -> close() fires GET /v1/cancel (event
+#    channel) on top of the connection drop (lease channel)
+n_cancel_before = len(srv2.cancelled)
+spark.read.format("dd_arrow_dsv2").option("url", srv2.url).option(
+    "path", "lineitem"
+).load().limit(1).collect()
+import time as _t
+
+for _ in range(50):  # the handler records asynchronously
+    if len(srv2.cancelled) > n_cancel_before:
+        break
+    _t.sleep(0.1)
+out["cancel_recorded"] = len(srv2.cancelled) > n_cancel_before
+
 spark.stop()
 srv.stop()
+srv2.stop()
 print("SHIM_RESULT " + json.dumps(out))
 """
 
@@ -246,3 +283,5 @@ def test_dsv2_shim_transparent_pushdowns():
     assert got["split_n_partitions"] > 1
     assert got["split_proj_sum"] == got["proj_sum"]
     assert got["split_filter_count"] == got["filter_count"]
+    assert got["failover_sum"] == got["proj_sum"]  # dead replica rotated
+    assert got["cancel_recorded"] is True
