@@ -334,10 +334,191 @@ def main_relational(c_small: int = 1, c_big: int = 10) -> int:
     return 0
 
 
+def _stage_totals(sc) -> dict:
+    """(stageId, attempt) -> (inputBytes, shuffleWriteBytes) from the
+    live AppStatusStore (works with the UI disabled)."""
+    store = sc._jsc.sc().statusStore()
+    jvm = sc._jvm
+    stages = store.stageList(
+        jvm.java.util.ArrayList(), False, False,
+        sc._gateway.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+    )
+    out = {}
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        out[(s.stageId(), s.attemptId())] = (
+            s.inputBytes(), s.shuffleWriteBytes()
+        )
+    return out
+
+
+def _measure_io(spark, action) -> tuple[int, int]:
+    """Run `action` and return (inputBytes, shuffleWriteBytes) summed
+    over the stages it created."""
+    before = _stage_totals(spark.sparkContext)
+    action()
+    after = _stage_totals(spark.sparkContext)
+    new = [v for k, v in after.items() if k not in before]
+    return sum(v[0] for v in new), sum(v[1] for v in new)
+
+
+def main_io(n: int = 250_000, dim: int = 64) -> int:
+    """--io: measure the IVF-PQ bandwidth claim with Spark's own
+    bytes-read / shuffle-write metrics (r6 verdict #5). The claim is a
+    STORAGE claim: in the deployed shape, vectors are encoded once at
+    ingest and the per-query scoring scan reads (id, cell, codes)
+    instead of (id, cell, vector). Wall-clock at local page-cached
+    scale cannot show it (BENCH_NOTES documents ADC costing ~2x the
+    uncompressed probe there), but bytes CAN be measured:
+
+    1. build both stored scoring tables from the same corpus with the
+       production knobs (auto centroids, m=32 subspaces, n_codes=64,
+       spill=2) and compare on-disk parquet size — a full-column
+       parquet scan reads ~file bytes, so this ratio IS the scoring
+       scan's I/O ratio in the pre-encoded deployment;
+    2. per-row payload widths (the page-cache / memory-bandwidth view
+       of the same claim, and its dim sensitivity);
+    3. run both FULL pipelines (ann_ivf_topk vs ann_ivfpq_topk, same
+       centroids, 100-query sample) and record shuffleWriteBytes from
+       the AppStatusStore. (Stage inputBytes is NOT reported: Hadoop
+       local-fs read statistics are not populated in this environment
+       — measured footer-sized values against multi-MB scans — while
+       shuffle metrics are tracked internally and are reliable.)"""
+    import shutil
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = os.path.join(root, ".scale", f"io{n}")
+    os.makedirs(d, exist_ok=True)
+    embs = os.path.join(d, "embeddings.parquet")
+    if not os.path.exists(embs):
+        print(f"# generating {n} x {dim}d embeddings", file=sys.stderr)
+        gen_embeddings(n, embs, dim=dim)
+
+    from pyspark.sql import functions as F
+
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        _normalize,
+        ann_ivf_topk,
+        ann_ivfpq_topk,
+        make_multi_assign_udf,
+        make_pq_encode_udf,
+        train_centroids,
+        train_pq_codebooks,
+    )
+    from dazzleduck_sql_duckdb_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_proof_io")
+    corpus = spark.read.parquet(embs)
+    n_centroids = max(4, min(65_536, int(round(n ** 0.5))))
+    m, n_codes, spill = 32, 64, 2
+    print(f"# training {n_centroids} centroids", file=sys.stderr)
+    C = _normalize(
+        np.asarray(
+            train_centroids(corpus, n_centroids, iterations=2), np.float64
+        )
+    )
+    sample = corpus.select("embedding").limit(16_384).collect()
+    S = _normalize(np.vstack([np.asarray(r[0], np.float64) for r in sample]))
+    books = train_pq_codebooks(S - C[(S @ C.T).argmax(axis=1)], m, n_codes)
+
+    codes_pq = os.path.join(d, "scoring_codes.parquet")
+    vecs_pq = os.path.join(d, "scoring_vectors.parquet")
+    for path, df in [
+        (
+            codes_pq,
+            corpus.select(
+                "vec_id",
+                F.explode(
+                    make_pq_encode_udf(C, books, spill=spill)("embedding")
+                ).alias("e"),
+            ).select(
+                "vec_id",
+                F.col("e.cell").alias("cell"),
+                F.col("e.codes").alias("codes"),
+            ),
+        ),
+        (
+            vecs_pq,
+            corpus.select(
+                "vec_id",
+                F.explode(
+                    make_multi_assign_udf(C, spill)("embedding")
+                ).alias("cell"),
+                "embedding",
+            ),
+        ),
+    ]:
+        shutil.rmtree(path, ignore_errors=True)
+        df.write.parquet(path)
+
+    def du(p: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    # (3) end-to-end pipelines, same centroids, 100-query sample
+    step = max(n // 100, 1)
+    queries = corpus.where(F.col("vec_id") % step == 0)
+    kw = dict(k=5, centroids=C, n_probe=4, query_id_col="qid", spill=spill)
+    _, ivf_sw = _measure_io(
+        spark,
+        lambda: ann_ivf_topk(corpus, queries, **kw)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    _, pq_sw = _measure_io(
+        spark,
+        lambda: ann_ivfpq_topk(
+            corpus, queries, m_subspaces=m, n_codes=n_codes, refine=8, **kw
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
+    mb = 1024 * 1024
+    rows = n * spill
+    print(f"\nIVF-PQ I/O proof @ n={n}, dim={dim}, n_centroids="
+          f"{n_centroids}, m={m}, n_codes={n_codes}, spill={spill}\n")
+    print("| metric | IVF (vectors) | IVF-PQ (codes) | ratio |")
+    print("|---|---|---|---|")
+    print(
+        f"| stored scoring table on disk | {du(vecs_pq)/mb:.1f} MiB "
+        f"| {du(codes_pq)/mb:.1f} MiB | {du(vecs_pq)/du(codes_pq):.1f}x |"
+    )
+    print(
+        f"| on-disk bytes per stored row | {du(vecs_pq)/rows:.0f} B "
+        f"| {du(codes_pq)/rows:.0f} B | {du(vecs_pq)/du(codes_pq):.1f}x |"
+    )
+    print(
+        f"| uncompressed scoring payload/row | {4 * dim} B (fp32) "
+        f"| {m} B (1B/code) | {4 * dim / m:.0f}x |"
+    )
+    print(
+        f"| end-to-end query shuffle write | {ivf_sw/mb:.2f} MiB "
+        f"| {pq_sw/mb:.2f} MiB | {ivf_sw/max(pq_sw,1):.2f}x |"
+    )
+    print(
+        "\n(Scan I/O of the pre-encoded deployment ~ file bytes: the"
+        " disk ratio is the scan-bandwidth ratio. The payload row is"
+        " the claim's dim sensitivity: at dim-64 the floor is"
+        f" {4 * dim // m}x; production 256-1024-dim embeddings give"
+        f" {4 * 256 // m}-{4 * 1024 // m}x. The shipped query-time"
+        " pipeline encodes in-flight (reads raw vectors once), so its"
+        " scan I/O is not the deployment number; shuffle write is"
+        " measured from the AppStatusStore.)"
+    )
+    return 0
+
+
 def main() -> int:
     small = 5_000
     big = 50_000
     args = sys.argv[1:]
+    if "--io" in args:
+        n = (
+            int(args[args.index("--io-n") + 1])
+            if "--io-n" in args else 250_000
+        )
+        return main_io(n)
     if "--relational" in args:
         cs = (
             int(args[args.index("--rel-small") + 1])
