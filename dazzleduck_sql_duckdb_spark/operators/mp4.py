@@ -1,12 +1,17 @@
-"""MP4 (ISO BMFF) container metadata — pure stdlib, no codec library.
+"""MP4 (ISO BMFF) container walk + MJPEG mux/demux — pure stdlib.
 
-Closes the last declared multimodal stub at the PLUMBING level: frame
-decode of h264/h265 bitstreams genuinely needs a codec library (the
-`stub_decoder` slot in multimodal.py stays), but the CONTAINER — the
-ISO/IEC 14496-12 box tree — is plain big-endian structs, and container
-metadata (duration, track count, codec fourcc, frame dimensions) is
-what a training-data pipeline actually needs to filter / shard / route
-video columns before any decode happens.
+The CONTAINER — the ISO/IEC 14496-12 box tree — is plain big-endian
+structs: container metadata (duration, track count, codec fourcc,
+frame dimensions) is what a training-data pipeline needs to filter /
+shard / route video columns before any decode happens, and the sample
+tables (stsz/stco/stsc) are what a demuxer needs to slice frames out
+of mdat. For MOTION-JPEG — where every sample is a complete baseline
+JPEG — demux + the pure-python operators/jpeg.py decoder make frame
+decode fully REAL (encode_mjpeg_mp4 / extract_video_samples +
+multimodal.video_frame_features); inter-frame codecs (h264/h265/av1)
+genuinely need a codec library and stay behind
+multimodal.stub_decoder — the boundary is per-codec, not
+per-operator.
 
 `parse_mp4_metadata` walks ftyp / moov / mvhd / trak / tkhd / mdia /
 hdlr / stbl / stsd (handling 64-bit `size==1` largesize boxes and
@@ -278,6 +283,158 @@ VIDEO_SKELETON_BYTES = len(encode_mp4_skeleton(1, 16, 16))
 AUDIO_TRAK_BYTES = len(
     encode_mp4_skeleton(1, 16, 16, with_audio=True)
 ) - VIDEO_SKELETON_BYTES
+
+
+# -------------------------------------------- MJPEG sample round-trip
+#
+# Motion-JPEG closes the frame-DECODE stub for one real codec: each
+# mp4 sample is a COMPLETE baseline JPEG (the 'jpeg' sample entry of
+# QuickTime/ISO MJPEG), so demuxing through the REAL sample tables
+# (stsz/stco/stsc) yields frames the pure-python decode_jpeg
+# (operators/jpeg.py) turns into pixels — no codec library. Inter-
+# frame codecs (h264/h265/av1) stay behind multimodal.stub_decoder.
+
+
+def _sample_stbl(
+    sample_entry: bytes, sizes: list[int], stco_offset: int
+) -> bytes:
+    """stbl with REAL sample tables: one chunk holding every sample
+    consecutively (single stsc run), per-sample byte sizes (stsz), a
+    fixed 40 ms frame delta at the 1000 timescale (stts)."""
+    n = len(sizes)
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 40))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, stco_offset))
+    return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+
+def encode_mjpeg_mp4(
+    width: int, height: int, frames: list[bytes]
+) -> bytes:
+    """Mux complete JPEG frames into a valid single-track MJPEG mp4 at
+    25 fps (40 ms deltas, timescale 1000). The inverse of
+    extract_video_samples; parse_mp4_metadata reads it too (codec
+    fourcc 'jpeg', duration 40*n ms)."""
+    if not frames:
+        raise ValueError("encode_mjpeg_mp4: need at least one frame")
+    sizes = [len(f) for f in frames]
+    duration = 40 * len(frames)
+
+    def head(stco_offset: int) -> bytes:
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"mp42")
+        mvhd = _full(
+            b"mvhd",
+            0,
+            0,
+            struct.pack(">IIII", 0, 0, 1000, duration)
+            + struct.pack(">IHHII", 0x00010000, 0x0100, 0, 0, 0)
+            + _UNITY_MATRIX
+            + b"\x00" * 24
+            + struct.pack(">I", 2),
+        )
+        vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        minf = _box(
+            b"minf",
+            vmhd
+            + _dinf()
+            + _sample_stbl(
+                _visual_entry("jpeg", width, height), sizes, stco_offset
+            ),
+        )
+        mdia = _box(
+            b"mdia",
+            _mdhd(1000, duration) + _hdlr(b"vide", b"VideoHandler") + minf,
+        )
+        trak = _box(b"trak", _tkhd(1, duration, width, height) + mdia)
+        return ftyp + _box(b"moov", mvhd + trak)
+
+    # stco carries the ABSOLUTE mdat payload offset; the head's size
+    # depends only on len(frames) (the offset field is fixed-width),
+    # so one probe pass resolves it
+    probe = head(0)
+    return head(len(probe) + 8) + _box(b"mdat", b"".join(frames))
+
+
+def _parse_stbl_tables(buf: bytes, start: int, end: int):
+    codec, sizes, chunk_offsets, stsc = None, [], [], []
+    for typ, b0, b1 in _boxes(buf, start, end):
+        _, p = _fullbox(buf, b0)
+        if typ == b"stsd" and b1 - b0 > 16:
+            codec = buf[b0 + 12 : b0 + 16].decode("ascii", "replace")
+        elif typ == b"stsz":
+            default, n = struct.unpack_from(">II", buf, p)
+            if default:
+                sizes = [default] * n
+            else:
+                sizes = list(struct.unpack_from(f">{n}I", buf, p + 8))
+        elif typ == b"stco":
+            (n,) = struct.unpack_from(">I", buf, p)
+            chunk_offsets = list(struct.unpack_from(f">{n}I", buf, p + 4))
+        elif typ == b"stsc":
+            (n,) = struct.unpack_from(">I", buf, p)
+            stsc = [
+                struct.unpack_from(">III", buf, p + 4 + 12 * i)
+                for i in range(n)
+            ]
+    return codec, sizes, chunk_offsets, stsc
+
+
+def extract_video_samples(payload: bytes) -> tuple[str, list[bytes]]:
+    """(codec fourcc, per-frame byte slices) of the first video track,
+    resolved through the real sample tables: stsz per-sample sizes,
+    stco chunk offsets, stsc chunk->samples runs (samples are
+    consecutive within a chunk) — the standard demux walk. Raises
+    ValueError when no video track carries sample tables."""
+    for typ, b0, b1 in _boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t1, c0, c1 in _boxes(payload, b0, b1):
+            if t1 != b"trak":
+                continue
+            handler, tables = None, None
+            for t2, d0, d1 in _boxes(payload, c0, c1):
+                if t2 != b"mdia":
+                    continue
+                for t3, e0, e1 in _boxes(payload, d0, d1):
+                    if t3 == b"hdlr":
+                        handler = payload[e0 + 8 : e0 + 12]
+                    elif t3 == b"minf":
+                        for t4, f0, f1 in _boxes(payload, e0, e1):
+                            if t4 == b"stbl":
+                                tables = _parse_stbl_tables(
+                                    payload, f0, f1
+                                )
+            if handler != b"vide" or tables is None:
+                continue
+            codec, sizes, offsets, stsc = tables
+            if not sizes or not offsets:
+                continue
+            frames: list[bytes] = []
+            si = 0
+            for ci in range(len(offsets)):
+                per = 0
+                for first, spc, _sd in stsc:
+                    if first <= ci + 1:
+                        per = spc
+                    else:
+                        break
+                off = offsets[ci]
+                for _ in range(per):
+                    if si >= len(sizes):
+                        break
+                    frames.append(payload[off : off + sizes[si]])
+                    off += sizes[si]
+                    si += 1
+            return codec, frames
+    raise ValueError("no video track with sample tables")
 
 
 # ------------------------------------------------------- DataFrame op

@@ -3052,6 +3052,97 @@ FROM hexed
 """
 
 
+@q("multimodal_video_frames")
+def _video_frames_q(d: str) -> str:
+    """HASH-GATED MJPEG frame-decode pipeline — the frame-decode slot
+    is now REAL for one codec (r6 verdict "missing #1"): per doc the
+    Spark side encodes 1 + doc_id%3 frames (frame f = text bytes
+    [64f, 64f+64) zero-padded, expanded to a 64x64 grayscale image of
+    uniform 8x8 blocks), each as a complete baseline JPEG
+    (operators/jpeg.py encode_jpeg, quant=1), MUXES them into a valid
+    MJPEG mp4 with real sample tables (operators/mp4.py
+    encode_mjpeg_mp4: stsz/stco/stsc/stts), then DEMUXES through those
+    tables and DECODES every frame (video_frame_features ->
+    extract_video_samples -> decode_jpeg) into 16 chunk-means. The
+    uniform-block/quant=1 construction survives the entropy->IDCT
+    path byte-exactly (the multimodal_jpeg_features derivation), so
+    the oracle mirrors every frame's chunk sums with integer
+    arithmetic over hex windows of the text — any corruption across
+    encode->mux->demux->entropy-decode->IDCT->pool breaks the hash.
+    Inter-frame codecs (avc1/hev1/av01) remain the declared stub;
+    the codec-library boundary is now per-codec, not per-operator."""
+    if d == SPARK:
+        # built by _build_video_frames; SQL form unused
+        raise NotImplementedError
+    return """
+WITH frames AS (
+  SELECT doc_id AS media_id,
+         CAST(f AS INT) AS frame_idx,
+         rpad(substr(upper(hex(encode(text))),
+                     1 + 128 * CAST(f AS INT), 128), 128, '0') AS rh
+  FROM (SELECT doc_id, text, unnest(range(0, 1 + doc_id % 3)) AS f
+        FROM documents) t
+)
+SELECT media_id, frame_idx, 'jpeg' AS codec,
+  array_to_string(list_transform(range(0, 16), j ->
+    CAST(list_sum(list_transform(range(0, 8), i ->
+      (strpos('0123456789ABCDEF',
+              substr(rh, CAST((j // 2) * 8 + i AS INT) * 2 + 1, 1)) - 1)
+      * 16
+      + strpos('0123456789ABCDEF',
+               substr(rh, CAST((j // 2) * 8 + i AS INT) * 2 + 2, 1)) - 1
+    )) AS VARCHAR)), '|') AS feature
+FROM frames
+"""
+
+
+def _build_video_frames(spark, sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import video_frame_features
+
+    raw = spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("encode(text, 'UTF-8')").alias("tb"),
+    )
+
+    def encode(batches):
+        from ..operators.jpeg import encode_jpeg
+        from ..operators.mp4 import encode_mjpeg_mp4
+
+        for pdf in batches:
+            payloads = []
+            for mid, tb in zip(pdf["media_id"], pdf["tb"]):
+                mid = int(mid)
+                b = bytes(tb) if tb is not None else b""
+                frames = []
+                for f in range(1 + mid % 3):
+                    chunk = b[64 * f : 64 * f + 64].ljust(64, b"\x00")
+                    blocks = np.frombuffer(chunk, np.uint8).reshape(8, 8)
+                    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                    frames.append(encode_jpeg(img, quant=1))
+                payloads.append(encode_mjpeg_mp4(64, 64, frames))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = raw.mapInPandas(
+        encode, schema="media_id BIGINT, payload BINARY"
+    )
+    feats = video_frame_features(media)
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        "codec",
+        F.expr(
+            "concat_ws('|', transform(feature,"
+            " x -> CAST(round(x * 8) AS INT)))"
+        ).alias("feature"),
+    )
+
+
 @q("multimodal_video_metadata")
 def _video_metadata_q(d: str) -> str:
     """HASH-GATED MP4 container-metadata pipeline (verdict r5 missing
@@ -3065,8 +3156,9 @@ def _video_metadata_q(d: str) -> str:
     mdat (the doc's first 64 text bytes), so the oracle mirrors every
     output — including total byte size via the skeleton size law —
     with integer arithmetic; any corruption in the box writer or the
-    walker breaks the hash. Frame DECODE stays the declared
-    out-of-scope stub (multimodal.py stub_decoder)."""
+    walker breaks the hash. Frame DECODE is real for MJPEG
+    (multimodal_video_frames); inter-frame codecs stay behind
+    multimodal.py stub_decoder."""
     from ..operators.mp4 import AUDIO_TRAK_BYTES, VIDEO_SKELETON_BYTES
 
     if d == SPARK:
@@ -3176,6 +3268,7 @@ SPARK_BUILDERS.update(
         "multimodal_png_features": _build_png_features,
         "multimodal_jpeg_features": _build_jpeg_features,
         "multimodal_video_metadata": _build_video_metadata,
+        "multimodal_video_frames": _build_video_frames,
         "remote_scan_split_agg": _build_remote_scan_split_agg,
         "remote_scan_filter_pushdown": _build_remote_scan_filter,
         "remote_scan_dsv2": _build_remote_scan_dsv2,
@@ -3240,25 +3333,27 @@ def oracle_sql_for(name: str) -> str:
 #       advisor's executor-loss finding), the two IVF-PQ entries
 #       (generic query-id handling in the rerank stage), and
 #       cross_source_contamination (exchange-free source-id
-#       assignment), plus the two NEW entries: remote_scan_dsv2 (the
-#       Scala shim's transparent pushdowns under the hash gate) and
-#       embed_ann_ivfpq_fullprobe (the PQ path's exactness anchor);
+#       assignment), plus the three NEW entries: remote_scan_dsv2 (the
+#       Scala shim's transparent pushdowns under the hash gate),
+#       embed_ann_ivfpq_fullprobe (the PQ path's exactness anchor),
+#       and multimodal_video_frames (MJPEG mux->demux->decode);
 #   (b) the two r3-vintage entries rotated OUT last round —
 #       lineitem_count and dd_version — rotated back IN (the r6
 #       verdict's window policy names them explicitly);
-#   (c) r5-vintage fill, oldest-first: 38 of the 44 remaining
-#       r5-green entries. The 6 left outside —
+#   (c) r5-vintage fill, oldest-first: 37 of the 44 remaining
+#       r5-green entries. The 7 left outside —
 #       dd_search_marker (constant marker expression),
 #       orders_global_aggs (agg matrix whose code path q1 and
-#       orders_group_agg exercise), q6_revenue (filter+sum over paths
+#       orders_rollup exercise), q6_revenue (filter+sum over paths
 #       lineitem_range_filter/q1 cover), customer_orders_left_join
 #       (outer-join path nation_presence_full_join r6-gated),
 #       supplier_nation_join (join path join_region_rollup covers,
 #       displaced by remote_scan_dsv2), lineitem_projection
 #       (projection path lineitem_full_scan r6-gated, displaced by
-#       embed_ann_ivfpq_fullprobe) — are the lowest-staleness-risk
-#       r5 entries, each green over an implementation untouched since
-#       its verdict. 10 + 2 + 38 = 50.
+#       embed_ann_ivfpq_fullprobe), orders_group_agg (agg path
+#       q1/orders_rollup cover, displaced by multimodal_video_frames)
+#       — are the lowest-staleness-risk r5 entries, each green over an
+#       implementation untouched since its verdict. 11 + 2 + 37 = 50.
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
@@ -3279,6 +3374,7 @@ _GATE_WINDOW = [
     "embed_ann_ivfpq",
     "embed_ann_ivfpq_recall",
     "embed_ann_ivfpq_fullprobe",
+    "multimodal_video_frames",
     "cross_source_contamination",
     # -- (b) the r3-vintage pair rotated back in
     "lineitem_count",
@@ -3301,7 +3397,6 @@ _GATE_WINDOW = [
     "multimodal_media_keys",
     "multimodal_png_features",
     "ngram_jaccard_sampled",
-    "orders_group_agg",
     "orders_rollup",
     "orders_running_totals",
     "pack_sequences",
