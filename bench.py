@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "corpus_top_terms",
     "text_tfidf_topk",
     "text_repetition",
+    "text_perplexity",
     "docs_length_quantiles",
     "docs_shard_assignment",
     "cross_source_contamination",

@@ -1685,6 +1685,48 @@ FROM documents
 """
 
 
+@q("text_perplexity")
+def _perplexity(d: str) -> str:
+    """CCNet-style quality scoring: per-document average negative
+    log-likelihood under an add-one-smoothed corpus UNIGRAM language
+    model — the standard perplexity filter of LLM training-data
+    pipelines (perplexity = exp(avg_nll); the gate keeps LOG space so
+    the value hash is robust: cross-engine ln last-ulp differences and
+    float-summation order diverge avg_nll by ~1e-13 worst-case, far
+    inside the 1e-6 rounding).
+
+    Scale: the token explode feeds the count aggregation and the
+    scoring join (n/v derive from the small counts table, not a third
+    explode); counts partial-aggregate map-side, and the (token,
+    count) table stays << corpus (Heaps' law) so Spark broadcasts it
+    into the scoring join — the big token stream shuffles only for
+    the per-doc GROUP BY; past broadcast size the join degrades to a
+    shuffle on tok automatically."""
+    tk = D.tokens("text", d)
+    if d == SPARK:
+        toks = (
+            f"SELECT doc_id, tok FROM (SELECT doc_id, {tk} AS tks"
+            f" FROM {_wide_docs(d)} w) t"
+            " LATERAL VIEW explode(tks) x AS tok"
+        )
+    else:
+        toks = (
+            f"SELECT doc_id, unnest(tks) AS tok"
+            f" FROM (SELECT doc_id, {tk} AS tks FROM documents) t"
+        )
+    return f"""
+WITH toks AS ({toks}),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS v FROM cnt)
+SELECT t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  round(avg(-ln((c.c + 1.0) / (tot.n + tot.v))), 6) AS avg_nll
+FROM toks t JOIN cnt c ON t.tok = c.tok CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
 @q("text_fingerprint")
 def _fingerprint(d: str) -> str:
     norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')" if d == SPARK \
@@ -3336,12 +3378,13 @@ def oracle_sql_for(name: str) -> str:
 #       assignment), plus the three NEW entries: remote_scan_dsv2 (the
 #       Scala shim's transparent pushdowns under the hash gate),
 #       embed_ann_ivfpq_fullprobe (the PQ path's exactness anchor),
-#       and multimodal_video_frames (MJPEG mux->demux->decode);
+#       multimodal_video_frames (MJPEG mux->demux->decode), and
+#       text_perplexity (unigram-LM quality scoring);
 #   (b) the two r3-vintage entries rotated OUT last round —
 #       lineitem_count and dd_version — rotated back IN (the r6
 #       verdict's window policy names them explicitly);
-#   (c) r5-vintage fill, oldest-first: 37 of the 44 remaining
-#       r5-green entries. The 7 left outside —
+#   (c) r5-vintage fill, oldest-first: 36 of the 44 remaining
+#       r5-green entries. The 8 left outside —
 #       dd_search_marker (constant marker expression),
 #       orders_global_aggs (agg matrix whose code path q1 and
 #       orders_rollup exercise), q6_revenue (filter+sum over paths
@@ -3351,9 +3394,11 @@ def oracle_sql_for(name: str) -> str:
 #       displaced by remote_scan_dsv2), lineitem_projection
 #       (projection path lineitem_full_scan r6-gated, displaced by
 #       embed_ann_ivfpq_fullprobe), orders_group_agg (agg path
-#       q1/orders_rollup cover, displaced by multimodal_video_frames)
-#       — are the lowest-staleness-risk r5 entries, each green over an
-#       implementation untouched since its verdict. 11 + 2 + 37 = 50.
+#       q1/orders_rollup cover, displaced by multimodal_video_frames),
+#       orders_rollup (grouping-analytics path orders_cube r6-gated,
+#       displaced by text_perplexity) — are the lowest-staleness-risk
+#       r5 entries, each green over an implementation untouched since
+#       its verdict. 12 + 2 + 36 = 50.
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
@@ -3375,6 +3420,7 @@ _GATE_WINDOW = [
     "embed_ann_ivfpq_recall",
     "embed_ann_ivfpq_fullprobe",
     "multimodal_video_frames",
+    "text_perplexity",
     "cross_source_contamination",
     # -- (b) the r3-vintage pair rotated back in
     "lineitem_count",
@@ -3397,7 +3443,6 @@ _GATE_WINDOW = [
     "multimodal_media_keys",
     "multimodal_png_features",
     "ngram_jaccard_sampled",
-    "orders_rollup",
     "orders_running_totals",
     "pack_sequences",
     "pipeline_clean_corpus",

@@ -89,6 +89,7 @@ def test_gate_window_covers_every_family():
         "embed_ann_ivfpq_recall",     # generic-id rerank fix
         "embed_ann_ivfpq_fullprobe",  # NEW: PQ exactness anchor
         "multimodal_video_frames",    # NEW: MJPEG frame decode
+        "text_perplexity",            # NEW: unigram-LM quality score
         "cross_source_contamination", # exchange-free sid assignment
     }
     r3_rotated_in = {"lineitem_count", "dd_version"}
@@ -101,7 +102,7 @@ def test_gate_window_covers_every_family():
         "events_hourly_rollup", "join_region_rollup",
         "multimodal_features",
         "multimodal_media_keys", "multimodal_png_features",
-        "ngram_jaccard_sampled", "orders_rollup",
+        "ngram_jaccard_sampled",
         "orders_running_totals", "pack_sequences",
         "pipeline_clean_corpus", "q10_returned_items",
         "q14_promo_effect", "q19_disjunctive_join",
