@@ -224,3 +224,17 @@ def test_exact_dedup_shuffles_hash_not_text(plans):
     p = plans("dedup_exact")
     ex = [ln for ln in p.splitlines() if "Exchange" in ln]
     assert ex and all("text" not in ln for ln in ex)
+
+
+def test_perplexity_broadcasts_counts_stays_jvm(plans):
+    """text_perplexity's scale contract: no Python evaluation, the
+    (token, count) vocabulary table broadcasts into the scoring join
+    (the big exploded token stream is never sort-merge-shuffled for
+    it), counts partial-aggregate map-side, and the single-row (n, v)
+    totals side never becomes a CartesianProduct."""
+    p = plans("text_perplexity")
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p
