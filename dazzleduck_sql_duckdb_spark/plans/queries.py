@@ -1963,9 +1963,14 @@ FROM (SELECT source, {grams} AS gs
         # collect_set formulation spent 0.6s of its 1.2s in
         # ObjectHashAggregate at sf0.1; the mask path runs the same
         # stage in ~0.2s). Pair counts then come from the TINY
-        # (mask -> gram count) table joined twice against the source
-        # dim on bit tests — at most 2^|sources| rows, in practice a
-        # few hundred.
+        # (mask -> gram count) table: each mask EXPLODES into its set
+        # bits twice (filter over sequence(0,61) — bounded, codegen),
+        # giving (sid_a, sid_b, count) rows that equi-join the source
+        # dim. Round 7 measured the bit-test NON-equi formulation
+        # (JOIN sid ON ((mask >> sid) & 1) = 1) planning as
+        # CartesianProduct — row-at-a-time, no codegen, 18s at sf0.1
+        # once the sid side became a LocalRelation; the explode+equi
+        # form runs the same logic in broadcast hash joins.
         #
         # Scale: provenance labels are few — ≤62 sources fits one
         # BIGINT mask (assert_true raises loudly past that; the >62
@@ -1973,36 +1978,39 @@ FROM (SELECT source, {grams} AS gs
         # cross-chunk pairs per chunk-pair). The gram shuffle carries
         # 8-byte keys + 8-byte partial masks, never gram text.
         #
-        # Dense source ids come from a triangular self-join rank over
-        # the ≤62-row (assert below) distinct-source dim — NOT an
-        # unpartitioned row_number() window, whose single-partition
-        # WindowExec sprayed "No Partition Defined" warnings through
-        # every plan audit (r6 verdict nit). The non-equi join is a
-        # broadcast nested loop over ≤62x62 rows: exchange-free and
-        # warning-free, same sid assignment (rank in source order).
+        # Dense source ids come from the __contam_sid LocalRelation
+        # registered by _build_contam_sid_stage (SPARK_STAGES) — sid
+        # is referenced three times below and any in-SQL derivation
+        # gets CTE-inlined into three evaluations (a window sprayed
+        # single-partition warnings, r6 nit; a triangular self-join
+        # tripled the documents scans, measured 2-6x slower). The
+        # stage asserts the ≤62-source BIGINT-mask contract.
         return f"""
-WITH srcs AS (SELECT DISTINCT source FROM documents),
-sid AS (
-  SELECT source, sid FROM (
-    SELECT s.source, CAST(count(*) AS INT) - 1 AS sid
-    FROM srcs s JOIN srcs r ON r.source <= s.source
-    GROUP BY s.source) t
-  WHERE assert_true(sid <= 61,
-    'cross_source_contamination: >62 sources — chunk the mask') IS NULL
-),
+WITH sid AS (SELECT source, sid FROM __contam_sid),
 gm AS (
   SELECT gh, bit_or(shiftleft(CAST(1 AS BIGINT), sid.sid)) AS mask
   FROM (SELECT source, {gh} AS gh FROM ({exploded}) e) g
   JOIN sid ON g.source = sid.source
   GROUP BY gh
 ),
-mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM gm GROUP BY mask)
+mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM gm GROUP BY mask),
+mb AS (
+  SELECT c, filter(sequence(0, 61), i -> ((mask >> i) & 1) = 1) AS sids
+  FROM mc
+),
+mp AS (
+  SELECT sid_a, sid_b, CAST(sum(c) AS BIGINT) AS c
+  FROM mb
+  LATERAL VIEW explode(sids) xa AS sid_a
+  LATERAL VIEW explode(sids) xb AS sid_b
+  WHERE sid_a < sid_b
+  GROUP BY sid_a, sid_b
+)
 SELECT sa.source AS source_a, sb.source AS source_b,
-  CAST(sum(mc.c) AS BIGINT) AS shared_ngrams
-FROM mc
-JOIN sid sa ON ((mc.mask >> sa.sid) & 1) = 1
-JOIN sid sb ON ((mc.mask >> sb.sid) & 1) = 1 AND sa.source < sb.source
-GROUP BY sa.source, sb.source
+  mp.c AS shared_ngrams
+FROM mp
+JOIN sid sa ON mp.sid_a = sa.sid
+JOIN sid sb ON mp.sid_b = sb.sid
 """
     return f"""
 WITH grams AS (
@@ -2201,10 +2209,38 @@ def _build_simhash_stages(spark) -> None:
     _STAGE_CACHE[key] = df
 
 
+def _build_contam_sid_stage(spark) -> None:
+    """Register the dense source-id dim as a ≤62-row LocalRelation.
+
+    The sid assignment (rank of the sorted distinct sources) is
+    referenced THREE times by the contamination SQL (gm + the sa/sb
+    pair join); any derivation left in the SQL text gets CTE-inlined
+    into three full evaluations — round 7 first tried a triangular
+    self-join there and measured 2-6x end-to-end regression from the
+    tripled documents scans. ONE driver-side collect of the distinct
+    sources (bounded: the BIGINT-mask contract caps it at 62, asserted
+    loudly here) turns every use into a zero-scan local broadcast, and
+    there is no window anywhere, so plan audits stay warning-free."""
+    rows = sorted(
+        r[0]
+        for r in spark.sql(
+            "SELECT DISTINCT source FROM documents"
+        ).collect()
+    )
+    if len(rows) > 62:
+        raise ValueError(
+            "cross_source_contamination: >62 sources — chunk the mask"
+        )
+    spark.createDataFrame(
+        [(s, i) for i, s in enumerate(rows)], schema="source STRING, sid INT"
+    ).createOrReplaceTempView("__contam_sid")
+
+
 # name -> stage-builder run before the Spark SQL for that query
 SPARK_STAGES: dict[str, Callable] = {
     "simhash_values": _build_simhash_stages,
     "dedup_simhash": _build_simhash_stages,
+    "cross_source_contamination": _build_contam_sid_stage,
 }
 
 
