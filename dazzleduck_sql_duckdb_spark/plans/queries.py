@@ -1714,6 +1714,12 @@ def _perplexity(d: str) -> str:
             f"SELECT doc_id, unnest(tks) AS tok"
             f" FROM (SELECT doc_id, {tk} AS tks FROM documents) t"
         )
+    # NB a (doc_id, tok, tf) pre-aggregation before the scoring join
+    # was built and measured SLIGHTLY SLOWER at sf0.1 (1.1-1.9s vs
+    # 1.0-1.3s): the extra exchange costs more than the join-input
+    # shrink buys on short documents, and Spark inlines the CTE so
+    # nothing is reused. On a corpus with heavy per-doc repetition the
+    # dtf form is the right rewrite — it is one GROUP BY away.
     return f"""
 WITH toks AS ({toks}),
 cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
