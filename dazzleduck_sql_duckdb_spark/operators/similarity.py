@@ -578,11 +578,92 @@ def make_pq_encode_udf(
     return encode
 
 
+class IvfPqIndex:
+    """The encode-once artifact of the IVF-PQ deployment shape: tiny
+    driver-side model state (normalized coarse centroids + PQ
+    codebooks) plus the (id, cell, codes) DataFrame the scoring scan
+    reads — 5x smaller on disk than the vectors at dim 64, 32-128x at
+    production dims (BENCH_NOTES r7, tools/scale_proof.py --io).
+    Persist `encoded` as parquet at ingest and rebuild the index for
+    query time with `spark.read.parquet(...)` — queries then never
+    rescan the float vectors except in the bounded exact rerank."""
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        codebooks: np.ndarray,
+        encoded: DataFrame,
+        spill: int = 1,
+        id_col: str = "vec_id",
+    ):
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.encoded = encoded
+        self.spill = spill
+        self.id_col = id_col
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    *,
+    n_centroids: int | None = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    train_iterations: int = 2,
+    pq_train_sample: int = 16_384,
+    seed: int = 42,
+    spill: int = 1,
+) -> IvfPqIndex:
+    """Train coarse centroids + PQ codebooks and encode the corpus —
+    the ingest-time half of IVF-PQ (all stages deterministic: seeded
+    samples, fixed Lloyd iterations, first-index argmin ties). The
+    returned index's `encoded` DataFrame is lazy; write it to parquet
+    to pin the encode cost once."""
+    if centroids is None:
+        if n_centroids is None:
+            n = corpus.count()
+            n_centroids = max(4, min(65_536, int(round(n ** 0.5))))
+        centroids = train_centroids(
+            corpus, n_centroids, vec_col=vec_col, id_col=id_col,
+            iterations=train_iterations, seed=seed,
+        )
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+
+    # PQ training sample: deterministic xxhash64-ordered draw (the
+    # train_centroids discipline), residualized driver-side against
+    # the coarse centroids.
+    sample_rows = (
+        corpus.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)) + seed + 1,
+                        F.lit(2**31 - 1)))
+        .limit(pq_train_sample)
+        .collect()
+    )
+    S = _normalize(
+        np.vstack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    )
+    res = S - C[(S @ C.T).argmax(axis=1)]
+    books = train_pq_codebooks(res, m_subspaces, n_codes, seed=seed + 2)
+
+    encode = make_pq_encode_udf(C, books, spill=spill)
+    encoded = corpus.select(
+        F.col(id_col), F.explode(encode(F.col(vec_col))).alias("e")
+    ).select(
+        id_col, F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes")
+    )
+    return IvfPqIndex(C, books, encoded, spill=spill, id_col=id_col)
+
+
 def ann_ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     *,
+    index: IvfPqIndex | None = None,
     n_centroids: int | None = 16,
     n_probe: int = 4,
     m_subspaces: int = 8,
@@ -632,42 +713,30 @@ def ann_ivfpq_topk(
     the codes blurred. n_probe == n_centroids AND refine covering the
     cells makes the result exactly the brute-force top-k (pinned in
     tests); the catalog gates the production config by recall floor
-    (embed_ann_ivfpq_recall)."""
-    if centroids is None:
-        if n_centroids is None:
-            n = corpus.count()
-            n_centroids = max(4, min(65_536, int(round(n ** 0.5))))
-        centroids = train_centroids(
-            corpus, n_centroids, vec_col=vec_col, id_col=id_col,
-            iterations=train_iterations, seed=seed,
+    (embed_ann_ivfpq_recall).
+
+    ``index``: a prebuilt `IvfPqIndex` (build_ivfpq_index) — the
+    encode-once / query-many deployment shape: training and encoding
+    are skipped, the scoring scan reads the index's (id, cell, codes)
+    table (persist it as parquet to pin the 5-128x scan-bandwidth
+    win), and `corpus` is touched only by the bounded exact rerank.
+    When given, the training knobs (n_centroids/m_subspaces/n_codes/
+    centroids/seed/spill/...) are ignored in favor of the index's."""
+    if index is None:
+        index = build_ivfpq_index(
+            corpus,
+            n_centroids=n_centroids,
+            m_subspaces=m_subspaces,
+            n_codes=n_codes,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=centroids,
+            train_iterations=train_iterations,
+            pq_train_sample=pq_train_sample,
+            seed=seed,
+            spill=spill,
         )
-    C = _normalize(np.asarray(centroids, dtype=np.float64))
-
-    # PQ training sample: deterministic xxhash64-ordered draw (the
-    # train_centroids discipline), residualized driver-side against
-    # the coarse centroids.
-    sample_rows = (
-        corpus.select(vec_col)
-        .where(F.col(vec_col).isNotNull())
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col)) + seed + 1,
-                        F.lit(2**31 - 1)))
-        .limit(pq_train_sample)
-        .collect()
-    )
-    S = _normalize(
-        np.vstack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
-    )
-    res = S - C[(S @ C.T).argmax(axis=1)]
-    books = train_pq_codebooks(
-        res, m_subspaces, n_codes, seed=seed + 2
-    )
-
-    encode = make_pq_encode_udf(C, books, spill=spill)
-    encoded = corpus.select(
-        F.col(id_col), F.explode(encode(F.col(vec_col))).alias("e")
-    ).select(
-        id_col, F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes")
-    )
+    C, books, encoded = index.centroids, index.codebooks, index.encoded
 
     qids, Q = _collect_query_matrix(queries, id_col, vec_col)
     Qn = _normalize(Q) if Q.shape[0] else Q

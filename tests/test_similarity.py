@@ -423,3 +423,43 @@ def test_ivfpq_string_query_ids(spark, emb):
     want = _topk_sets(ann_ivfpq_topk(emb, q_int, **kw).collect())
     got = _topk_sets(ann_ivfpq_topk(emb, q_str, **kw).collect())
     assert got == {f"q{k}": v for k, v in want.items()}
+
+
+def test_ivfpq_prebuilt_index_matches_inline(spark, emb, tmp_path):
+    """The encode-once deployment shape: build_ivfpq_index once, query
+    many — results must equal the inline (train-per-call) path with
+    the same seeds/knobs, including after the encoded table round-trips
+    through parquet (the stored-codes scan the --io proof measures)."""
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        IvfPqIndex, ann_ivfpq_topk, build_ivfpq_index,
+    )
+
+    queries = emb.where("vec_id % 100 = 0")
+    knobs = dict(n_centroids=8, m_subspaces=8, n_codes=16)
+    kw = dict(k=5, n_probe=4, refine=8)
+
+    inline = _topk_sets(ann_ivfpq_topk(emb, queries, **knobs, **kw).collect())
+
+    idx = build_ivfpq_index(emb, **knobs)
+    via_index = _topk_sets(
+        ann_ivfpq_topk(emb, queries, index=idx, **kw).collect()
+    )
+    assert via_index == inline
+
+    # parquet round-trip of the stored-codes table
+    p = str(tmp_path / "codes.parquet")
+    idx.encoded.write.parquet(p)
+    stored = IvfPqIndex(
+        idx.centroids, idx.codebooks, spark.read.parquet(p),
+        spill=idx.spill, id_col=idx.id_col,
+    )
+    via_stored = _topk_sets(
+        ann_ivfpq_topk(emb, queries, index=stored, **kw).collect()
+    )
+    assert via_stored == inline
+
+    # query-many: a second query set against the same index
+    q2 = emb.where("vec_id % 150 = 0")
+    a = _topk_sets(ann_ivfpq_topk(emb, q2, index=stored, **kw).collect())
+    b = _topk_sets(ann_ivfpq_topk(emb, q2, **knobs, **kw).collect())
+    assert a == b
