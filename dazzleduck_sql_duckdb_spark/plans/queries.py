@@ -2504,6 +2504,9 @@ def _build_remote_scan_dsv2(spark, sf_dir: str):
     split = agg(scan(split="true", split_size=str(64 * 4000)))
     plan2 = split._jdf.queryExecution().executedPlan().toString()
     assert "RemoteSql" in plan2 and "o_totalprice" in plan2, plan2
+    # split mode pushes PARTIAL aggregates (per-split server-side
+    # slices, Spark merges) — avg rides along as decomposed sum+count
+    assert "PushedAggregation: true" in plan2, plan2
     return plain.select(
         F.lit("complete_agg").alias("path"), "*"
     ).unionByName(split.select(F.lit("split").alias("path"), "*"))

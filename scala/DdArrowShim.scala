@@ -288,6 +288,7 @@ class DdScanBuilder(
   private var aggSelect: Option[Seq[String]] = None
   private var aggGroupBy: Seq[String] = Seq.empty
   private var aggSchema: Option[StructType] = None
+  private var aggInputCols: Seq[String] = Seq.empty
 
   // ---- filters (partial-pushdown contract: unsupported filters are
   // returned and re-evaluated by Spark above the scan)
@@ -377,16 +378,35 @@ class DdScanBuilder(
     case _ => throw new IllegalArgumentException(t.toString)
   }
 
+  // Complete pushdown only without splits: the server computes ONE
+  // final aggregate. In split mode we instead accept PARTIAL pushdown
+  // (below) — each split computes its slice's aggregate server-side
+  // and Spark merges the partials, the reference's split-mode
+  // pushdown (aggregation_pushdown.cpp IsSplitSafe contract).
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    translatable(agg)
+    !split && translatable(agg)
 
   private def translatable(agg: Aggregation): Boolean = {
     agg.groupByExpressions().forall(e => col(e).isDefined) &&
     agg.aggregateExpressions().forall(f => translateAgg(f).isDefined)
   }
 
+  /** The reference's IsSplitSafe set: sum/count/min/max, no DISTINCT
+   *  (partials of avg arrive here already decomposed by Spark; count
+   *  DISTINCT is not mergeable and falls back to a raw-row scan). */
+  private def splitSafe(agg: Aggregation): Boolean =
+    agg.aggregateExpressions().forall {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct
+      case _: Min => true
+      case _: Max => true
+      case s: Sum => !s.isDistinct
+      case _ => false
+    }
+
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (!translatable(agg)) return false
+    if (split && !splitSafe(agg)) return false
     val gb = agg.groupByExpressions().toSeq.flatMap(col)
     val gbFields = agg.groupByExpressions().toSeq.flatMap(fieldOf)
     val aggs = agg.aggregateExpressions().toSeq.flatMap(translateAgg)
@@ -403,6 +423,18 @@ class DdScanBuilder(
       } ++ aggs.zipWithIndex.map { case ((_, dt), i) =>
         StructField(s"a_$i", dt, nullable = true)
       }))
+    // columns the per-split agg template reads (split planning prunes
+    // the base relation to these before /v1/plan)
+    aggInputCols = (
+      gb ++ agg.aggregateExpressions().toSeq.flatMap {
+        case c: Count => col(c.column).toSeq
+        case m: Min => col(m.column).toSeq
+        case m: Max => col(m.column).toSeq
+        case s: Sum => col(s.column).toSeq
+        case a: Avg => col(a.column).toSeq
+        case _ => Seq.empty
+      }
+    ).distinct
     true
   }
 
@@ -428,12 +460,31 @@ class DdScanBuilder(
 
   override def build(): Scan = {
     val schema = aggSchema.getOrElse(required)
-    // complete agg pushdown must stay a single global query — the
-    // per-split-partials variant is the Python dd_read_arrow_agg path
+    // Split planning runs over the PRUNED+FILTERED base relation;
+    // with a (partial) aggregate pushed, each split's rewritten slice
+    // is wrapped with the agg template so the server computes the
+    // slice's partials and Spark merges them (plain splits when no
+    // agg is pushed).
+    val planCols =
+      if (aggSelect.isDefined) {
+        if (aggInputCols.isEmpty) "42 AS \"__dd_dummy\""
+        else aggInputCols.mkString(", ")
+      } else if (required.fields.isEmpty) "42 AS \"__dd_dummy\""
+      else required.fields.map(f => DdWire.quoteIdent(f.name))
+        .mkString(", ")
+    val where =
+      if (whereSql.isEmpty) "" else " WHERE " + whereSql.mkString(" AND ")
+    val splitPlanSql = s"SELECT $planCols FROM ($base) __dd_t$where"
+    val gbClause =
+      if (aggGroupBy.isEmpty) ""
+      else " GROUP BY " + aggGroupBy.mkString(", ")
+    val splitAggWrap = aggSelect.map(sel =>
+      (s"SELECT ${sel.mkString(", ")} FROM (", s") __dd_s$gbClause"))
     new DdScan(schema, url, buildSql(), token, pushed,
       aggSelect.isDefined, emptyProjection = required.fields.isEmpty
         && aggSelect.isEmpty,
-      split = split && aggSelect.isEmpty, splitSize = splitSize)
+      split = split, splitSize = splitSize,
+      splitPlanSql = splitPlanSql, splitAggWrap = splitAggWrap)
   }
 }
 
@@ -448,7 +499,9 @@ class DdScan(
     aggPushed: Boolean,
     emptyProjection: Boolean,
     split: Boolean = false,
-    splitSize: Long = 0L) extends Scan with Batch {
+    splitSize: Long = 0L,
+    splitPlanSql: String = "",
+    splitAggWrap: Option[(String, String)] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
@@ -458,11 +511,18 @@ class DdScan(
 
   override def planInputPartitions(): Array[InputPartition] =
     if (split) {
-      // plan over the PRUNED+FILTERED SQL: each split is the server's
-      // rewritten slice of it, fetched in parallel by Spark tasks
-      DdWire.fetchPlan(url, sql, splitSize, token).zipWithIndex.map {
-        case ((eps, q), i) => DdPartition(eps, q, i): InputPartition
-      }
+      // plan over the PRUNED+FILTERED base relation: each split is
+      // the server's rewritten slice of it; with an aggregate pushed,
+      // wrap each slice with the agg template so the server computes
+      // per-split partials (Spark plans the final merge above)
+      DdWire.fetchPlan(url, splitPlanSql, splitSize, token)
+        .zipWithIndex.map { case ((eps, q), i) =>
+          val qq = splitAggWrap match {
+            case Some((pre, post)) => pre + q + post
+            case None => q
+          }
+          DdPartition(eps, qq, i): InputPartition
+        }
     } else {
       Array(DdPartition(Array(url), sql, 0))
     }

@@ -141,6 +141,32 @@ out["split_n_partitions"] = df.rdd.getNumPartitions()
 out["split_proj_sum"] = df.groupBy().sum("l_orderkey").collect()[0][0]
 out["split_filter_count"] = rs.filter("l_quantity > 45").count()
 
+# 6b) split + aggregate: PARTIAL pushdown — each split's slice is
+#     aggregated server-side (the reference's split-mode pushdown),
+#     Spark merges the partials in a final HashAggregate
+df = rs.filter("l_quantity > 45").groupBy("l_returnflag").agg(
+    {{"l_quantity": "sum", "*": "count"}}
+)
+p = plan(df)
+out["split_agg_pushed"] = "PushedAggregation: true" in p
+out["split_agg_final_merge"] = "HashAggregate" in p
+out["split_agg_cols"] = df.columns
+out["split_agg_rows"] = sorted([list(x) for x in df.collect()])
+
+# avg over splits: Spark decomposes into split-safe sum+count
+# partials; count DISTINCT is NOT split-safe and falls back to a
+# raw-row split scan (values still correct)
+df = rs.groupBy("l_returnflag").agg({{"l_quantity": "avg"}})
+out["split_avg_pushed"] = "PushedAggregation: true" in plan(df)
+out["split_avg_rows"] = sorted(
+    [[x[0], round(x[1], 9)] for x in df.collect()]
+)
+df = rs.groupBy("l_returnflag").agg(
+    F.countDistinct("l_suppkey").alias("d")
+)
+out["split_cd_not_pushed"] = "PushedAggregation: true" not in plan(df)
+out["split_cd_rows"] = sorted([list(x) for x in df.collect()])
+
 # 7) replica failover: a second server advertises a DEAD endpoint
 #    first in every split's endpoints[] — split 0 (and every even
 #    split) STARTS there, fails to connect, rotates to the live
@@ -283,5 +309,28 @@ def test_dsv2_shim_transparent_pushdowns():
     assert got["split_n_partitions"] > 1
     assert got["split_proj_sum"] == got["proj_sum"]
     assert got["split_filter_count"] == got["filter_count"]
+    assert got["split_agg_pushed"] is True   # per-split server partials
+    assert got["split_agg_final_merge"] is True  # Spark merges them
+    sa_oracle_by_col = {
+        "l_returnflag": "l_returnflag",
+        "sum(l_quantity)": "sum(l_quantity)",
+        "count(1)": "CAST(count(*) AS BIGINT)",
+    }
+    sel = ", ".join(sa_oracle_by_col[c] for c in got["split_agg_cols"])
+    assert got["split_agg_rows"] == sorted(
+        [list(x) for x in con(
+            f"SELECT {sel} FROM '{LINEITEM}' WHERE l_quantity > 45"
+            " GROUP BY l_returnflag"
+        ).fetchall()]
+    )
+    assert got["split_avg_pushed"] is True  # decomposed sum+count partials
+    assert got["split_avg_rows"] == got["avg_rows"]
+    assert got["split_cd_not_pushed"] is True  # not split-safe -> raw rows
+    assert got["split_cd_rows"] == sorted(
+        [list(x) for x in con(
+            f"SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS"
+            f" BIGINT) FROM '{LINEITEM}' GROUP BY 1"
+        ).fetchall()]
+    )
     assert got["failover_sum"] == got["proj_sum"]  # dead replica rotated
     assert got["cancel_recorded"] is True
