@@ -39,6 +39,8 @@ CLUSTER_ENTRIES = [
     "embed_ann_ivf_fullprobe",
     "embed_ann_ivfpq",  # PQ codebooks + ADC LUTs in task closures
     "multimodal_jpeg_features",
+    "multimodal_video_frames",  # mjpeg mux/demux + per-frame decode
+    "text_perplexity",  # broadcast vocab counts over worker JVMs
     "q1_pricing_summary",
 ]
 
