@@ -1703,10 +1703,13 @@ def _perplexity(d: str) -> str:
     the per-doc GROUP BY; past broadcast size the join degrades to a
     shuffle on tok automatically."""
     tk = D.tokens("text", d)
+    # NB no _wide_docs repartition here: split+explode is cheap JVM
+    # codegen, not interpreted-HOF work, and the widening exchange
+    # measured ~2x the whole query (0.97s -> 0.56s without it)
     if d == SPARK:
         toks = (
             f"SELECT doc_id, tok FROM (SELECT doc_id, {tk} AS tks"
-            f" FROM {_wide_docs(d)} w) t"
+            f" FROM documents) t"
             " LATERAL VIEW explode(tks) x AS tok"
         )
     else:
@@ -1969,14 +1972,9 @@ FROM (SELECT source, {grams} AS gs
         # collect_set formulation spent 0.6s of its 1.2s in
         # ObjectHashAggregate at sf0.1; the mask path runs the same
         # stage in ~0.2s). Pair counts then come from the TINY
-        # (mask -> gram count) table: each mask EXPLODES into its set
-        # bits twice (filter over sequence(0,61) — bounded, codegen),
-        # giving (sid_a, sid_b, count) rows that equi-join the source
-        # dim. Round 7 measured the bit-test NON-equi formulation
-        # (JOIN sid ON ((mask >> sid) & 1) = 1) planning as
-        # CartesianProduct — row-at-a-time, no codegen, 18s at sf0.1
-        # once the sid side became a LocalRelation; the explode+equi
-        # form runs the same logic in broadcast hash joins.
+        # (mask -> gram count) table joined twice against the source
+        # dim on bit tests — at most 2^|sources| rows, in practice a
+        # few hundred.
         #
         # Scale: provenance labels are few — ≤62 sources fits one
         # BIGINT mask (assert_true raises loudly past that; the >62
@@ -1984,39 +1982,41 @@ FROM (SELECT source, {grams} AS gs
         # cross-chunk pairs per chunk-pair). The gram shuffle carries
         # 8-byte keys + 8-byte partial masks, never gram text.
         #
-        # Dense source ids come from the __contam_sid LocalRelation
-        # registered by _build_contam_sid_stage (SPARK_STAGES) — sid
-        # is referenced three times below and any in-SQL derivation
-        # gets CTE-inlined into three evaluations (a window sprayed
-        # single-partition warnings, r6 nit; a triangular self-join
-        # tripled the documents scans, measured 2-6x slower). The
-        # stage asserts the ≤62-source BIGINT-mask contract.
+        # The unpartitioned row_number() window below runs over SELECT
+        # DISTINCT source — bounded ≤62 rows by the adjacent assert —
+        # so its single-partition WindowExec (and Spark's warning
+        # about it) is a one-reducer pass over a dim table, not a
+        # scale hazard. Round 7 built BOTH warning-free rewrites the
+        # r6 verdict suggested and A/B-measured each SLOWER at sf0.1
+        # (same session, interleaved): a triangular self-join rank
+        # CTE-inlined into 3 evaluations (3x the documents scans,
+        # 2-6x wall); a stage-collected LocalRelation sid dim turned
+        # the bit-test joins into CartesianProduct (18s) and its
+        # explode+equi repair still ran 1.25-1.5s vs 0.5-0.6s for
+        # this form (BENCH_NOTES r7). The warning is cosmetic; the
+        # window stays.
         return f"""
-WITH sid AS (SELECT source, sid FROM __contam_sid),
+WITH sid AS (
+  SELECT source, sid FROM (
+    SELECT source,
+      CAST(row_number() OVER (ORDER BY source) AS INT) - 1 AS sid
+    FROM (SELECT DISTINCT source FROM documents) s) t
+  WHERE assert_true(sid <= 61,
+    'cross_source_contamination: >62 sources — chunk the mask') IS NULL
+),
 gm AS (
   SELECT gh, bit_or(shiftleft(CAST(1 AS BIGINT), sid.sid)) AS mask
   FROM (SELECT source, {gh} AS gh FROM ({exploded}) e) g
   JOIN sid ON g.source = sid.source
   GROUP BY gh
 ),
-mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM gm GROUP BY mask),
-mb AS (
-  SELECT c, filter(sequence(0, 61), i -> ((mask >> i) & 1) = 1) AS sids
-  FROM mc
-),
-mp AS (
-  SELECT sid_a, sid_b, CAST(sum(c) AS BIGINT) AS c
-  FROM mb
-  LATERAL VIEW explode(sids) xa AS sid_a
-  LATERAL VIEW explode(sids) xb AS sid_b
-  WHERE sid_a < sid_b
-  GROUP BY sid_a, sid_b
-)
+mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM gm GROUP BY mask)
 SELECT sa.source AS source_a, sb.source AS source_b,
-  mp.c AS shared_ngrams
-FROM mp
-JOIN sid sa ON mp.sid_a = sa.sid
-JOIN sid sb ON mp.sid_b = sb.sid
+  CAST(sum(mc.c) AS BIGINT) AS shared_ngrams
+FROM mc
+JOIN sid sa ON ((mc.mask >> sa.sid) & 1) = 1
+JOIN sid sb ON ((mc.mask >> sb.sid) & 1) = 1 AND sa.source < sb.source
+GROUP BY sa.source, sb.source
 """
     return f"""
 WITH grams AS (
@@ -2215,38 +2215,10 @@ def _build_simhash_stages(spark) -> None:
     _STAGE_CACHE[key] = df
 
 
-def _build_contam_sid_stage(spark) -> None:
-    """Register the dense source-id dim as a ≤62-row LocalRelation.
-
-    The sid assignment (rank of the sorted distinct sources) is
-    referenced THREE times by the contamination SQL (gm + the sa/sb
-    pair join); any derivation left in the SQL text gets CTE-inlined
-    into three full evaluations — round 7 first tried a triangular
-    self-join there and measured 2-6x end-to-end regression from the
-    tripled documents scans. ONE driver-side collect of the distinct
-    sources (bounded: the BIGINT-mask contract caps it at 62, asserted
-    loudly here) turns every use into a zero-scan local broadcast, and
-    there is no window anywhere, so plan audits stay warning-free."""
-    rows = sorted(
-        r[0]
-        for r in spark.sql(
-            "SELECT DISTINCT source FROM documents"
-        ).collect()
-    )
-    if len(rows) > 62:
-        raise ValueError(
-            "cross_source_contamination: >62 sources — chunk the mask"
-        )
-    spark.createDataFrame(
-        [(s, i) for i, s in enumerate(rows)], schema="source STRING, sid INT"
-    ).createOrReplaceTempView("__contam_sid")
-
-
 # name -> stage-builder run before the Spark SQL for that query
 SPARK_STAGES: dict[str, Callable] = {
     "simhash_values": _build_simhash_stages,
     "dedup_simhash": _build_simhash_stages,
-    "cross_source_contamination": _build_contam_sid_stage,
 }
 
 
