@@ -326,7 +326,14 @@ class DdScanBuilder(
   private def sparkSumType(in: DataType): Option[DataType] = in match {
     case ByteType | ShortType | IntegerType | LongType => Some(LongType)
     case FloatType | DoubleType => Some(DoubleType)
-    case _ => None // decimals: keep the Python dd_read_arrow_agg path
+    case d: DecimalType =>
+      // Spark's sum(DECIMAL(p,s)) result type is DECIMAL(min(38,
+      // p+10), s); the explicit CAST below makes the server (whose
+      // own sum widens to DECIMAL(38,s) via HUGEINT) return exactly
+      // that — the A5 type-reconciliation discipline, now covering
+      // decimals (round 7; previously excluded)
+      Some(DecimalType(math.min(38, d.precision + 10), d.scale))
+    case _ => None
   }
 
   private def translateAgg(
@@ -375,6 +382,7 @@ class DdScanBuilder(
   private def ddType(t: DataType): String = t match {
     case LongType => "BIGINT"
     case DoubleType => "DOUBLE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case _ => throw new IllegalArgumentException(t.toString)
   }
 

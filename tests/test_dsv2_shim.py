@@ -167,6 +167,25 @@ df = rs.groupBy("l_returnflag").agg(
 out["split_cd_not_pushed"] = "PushedAggregation: true" not in plan(df)
 out["split_cd_rows"] = sorted([list(x) for x in df.collect()])
 
+# 6c) decimal sum: pushed COMPLETE with an explicit CAST to Spark's
+#     widened result type DECIMAL(p+10, s) — previously excluded
+rd = (
+    spark.read.format("dd_arrow_dsv2")
+    .option("url", srv.url)
+    .option("token", "sekret")
+    .option(
+        "query",
+        "SELECT l_returnflag,"
+        " CAST(l_quantity AS DECIMAL(12,2)) AS qd FROM lineitem",
+    )
+    .load()
+)
+df = rd.groupBy("l_returnflag").agg({{"qd": "sum"}})
+p = plan(df)
+out["dec_sum_pushed"] = "PushedAggregation: true" in p
+out["dec_sum_type"] = dict(df.dtypes)["sum(qd)"]
+out["dec_sum_rows"] = sorted([[x[0], str(x[1])] for x in df.collect()])
+
 # 7) replica failover: a second server advertises a DEAD endpoint
 #    first in every split's endpoints[] — split 0 (and every even
 #    split) STARTS there, fails to connect, rotates to the live
@@ -330,6 +349,15 @@ def test_dsv2_shim_transparent_pushdowns():
         [list(x) for x in con(
             f"SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS"
             f" BIGINT) FROM '{LINEITEM}' GROUP BY 1"
+        ).fetchall()]
+    )
+    assert got["dec_sum_pushed"] is True
+    assert got["dec_sum_type"] == "decimal(22,2)"  # Spark's p+10 widening
+    assert got["dec_sum_rows"] == sorted(
+        [[x[0], str(x[1])] for x in con(
+            f"SELECT l_returnflag, CAST(sum(CAST(l_quantity AS"
+            f" DECIMAL(12,2))) AS DECIMAL(22,2)) FROM '{LINEITEM}'"
+            " GROUP BY 1"
         ).fetchall()]
     )
     assert got["failover_sum"] == got["proj_sum"]  # dead replica rotated
