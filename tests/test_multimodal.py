@@ -703,3 +703,35 @@ def test_video_frame_features_operator(spark):
     assert got[(1, 0)] == ("jpeg", [10] * 16)
     assert got[(1, 1)] == ("jpeg", [11] * 16)
     assert got[(2, 0)] == ("jpeg", [99] * 16)
+
+
+def test_mjpeg_roundtrip_property():
+    """Property: ANY frame list (arbitrary counts and byte contents —
+    the demuxer never looks inside a sample) round-trips byte-exactly
+    through mux -> sample-table demux, and the container metadata
+    holds duration = 40 ms * n. Driver-only (no Spark), so hypothesis
+    can afford many examples."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dazzleduck_sql_duckdb_spark.operators.mp4 import (
+        encode_mjpeg_mp4, extract_video_samples, parse_mp4_metadata,
+    )
+
+    frames_st = st.lists(
+        st.binary(min_size=0, max_size=4096), min_size=1, max_size=12
+    )
+
+    @given(frames=frames_st, w=st.integers(1, 4096), h=st.integers(1, 4096))
+    @settings(max_examples=120, deadline=None)
+    def law(frames, w, h):
+        payload = encode_mjpeg_mp4(w, h, frames)
+        codec, got = extract_video_samples(payload)
+        assert codec == "jpeg"
+        assert [bytes(g) for g in got] == frames
+        meta = parse_mp4_metadata(payload)
+        assert meta["duration_ms"] == 40 * len(frames)
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["n_tracks"] == 1
+
+    law()
