@@ -362,3 +362,138 @@ def test_dsv2_shim_transparent_pushdowns():
     )
     assert got["failover_sum"] == got["proj_sum"]  # dead replica rotated
     assert got["cancel_recorded"] is True
+
+
+_RAND_SCRIPT = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from dazzleduck_sql_duckdb_spark.sources.local_server import ArrowTestServer
+
+srv = ArrowTestServer({{"lineitem": {lineitem!r}}}).start()
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .config("spark.jars", {jar!r})
+    .getOrCreate()
+)
+out = []
+for case in {cases!r}:
+    rd = spark.read.format("dd_arrow_dsv2").option("url", srv.url).option(
+        "path", "lineitem"
+    )
+    if case["split"]:
+        rd = rd.option("split", "true").option("split_size", "65536")
+    df = rd.load()
+    if case["where"]:
+        df = df.filter(case["where"])
+    aggs = [F.expr(a).alias(f"a{{i}}") for i, a in enumerate(case["aggs"])]
+    if case["group"]:
+        df = df.groupBy(*case["group"]).agg(*aggs)
+    else:
+        df = df.agg(*aggs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rows = sorted([[repr(v) for v in r] for r in df.collect()])
+    out.append({{"pushed": "PushedAggregation: true" in plan, "rows": rows}})
+spark.stop()
+srv.stop()
+print("RAND_RESULT " + json.dumps(out))
+"""
+
+
+@pytest.mark.slow
+def test_dsv2_shim_randomized_agg_differential():
+    """Seeded randomized agg shapes through the shim (split AND
+    non-split) vs DuckDB over the same parquet: group keys, filters,
+    and agg mixes drawn from the pushable surface. Every case must be
+    value-identical; pushability itself is reported but only sanity-
+    checked (the optimizer may legitimately decline)."""
+    import random
+
+    rng = random.Random(20260815)
+    group_pool = [[], ["l_returnflag"], ["l_returnflag", "l_linestatus"]]
+    agg_pool = [
+        "count(*)",
+        "count(l_partkey)",
+        "sum(l_orderkey)",
+        "min(l_quantity)",
+        "max(l_extendedprice)",
+        "sum(l_suppkey)",
+        "min(l_shipdate)",
+        "max(l_shipdate)",
+    ]
+    where_pool = [
+        None,
+        "l_quantity > 25",
+        "l_orderkey % 7 = 0",
+        "l_returnflag = 'N' AND l_discount >= 0.05",
+    ]
+    cases = []
+    for _ in range(10):
+        cases.append(
+            {
+                "split": rng.random() < 0.5,
+                "group": rng.choice(group_pool),
+                "aggs": rng.sample(agg_pool, rng.randint(1, 3)),
+                "where": rng.choice(where_pool),
+            }
+        )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            _RAND_SCRIPT.format(
+                repo=REPO, lineitem=LINEITEM, jar=JAR, cases=cases
+            ),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = next(
+        ln for ln in proc.stdout.splitlines()
+        if ln.startswith("RAND_RESULT ")
+    )
+    got = json.loads(line[len("RAND_RESULT "):])
+
+    import datetime
+    import decimal  # noqa: F401  (repr() of decimal/date values)
+
+    con = duckdb.sql
+    n_pushed = 0
+    for case, res in zip(cases, got):
+        sel_g = ", ".join(case["group"])
+        duck_aggs = []
+        for a in case["aggs"]:
+            if a == "count(*)" or a.startswith("count("):
+                duck_aggs.append(f"CAST({a} AS BIGINT)")
+            elif a.startswith("sum(") and "quantity" not in a:
+                duck_aggs.append(f"CAST({a} AS BIGINT)")
+            else:
+                duck_aggs.append(a)
+        sel = (sel_g + ", " if sel_g else "") + ", ".join(duck_aggs)
+        sql = f"SELECT {sel} FROM '{LINEITEM}'"
+        if case["where"]:
+            sql += f" WHERE {case['where']}"
+        if sel_g:
+            sql += f" GROUP BY {sel_g}"
+        want = sorted(
+            [
+                [
+                    repr(
+                        datetime.date.fromisoformat(str(v))
+                        if hasattr(v, "isoformat") and not hasattr(v, "hour")
+                        else v
+                    )
+                    for v in r
+                ]
+                for r in con(sql).fetchall()
+            ]
+        )
+        assert res["rows"] == want, (case, res["rows"][:3], want[:3])
+        n_pushed += res["pushed"]
+    assert n_pushed >= len(cases) // 2  # most of the surface pushes
