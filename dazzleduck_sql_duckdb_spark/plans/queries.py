@@ -2029,6 +2029,79 @@ GROUP BY a.source, b.source
 """
 
 
+@q("dedup_exact_substring")
+def _exact_substring(d: str) -> str:
+    """Exact-substring dedup (Lee et al. 2021, 'Deduplicating Training
+    Data Makes Language Models Better'): doc pairs sharing >=1 exact
+    12-token window, scored by how many windows they share — catches
+    copied PASSAGES that whole-doc MinHash misses (a long doc quoting
+    a paragraph of another sits far below any Jaccard threshold).
+
+    Spark-native formulation: per-doc DISTINCT hashed windows ->
+    group by window with a 2..64-doc bucket bound -> pairs generated
+    INSIDE each bounded bucket (sort_array + double explode) -> pair
+    counts. The suffix-array construction of the paper is replaced by
+    the hashed-window equi-bucket — same pair semantics at fixed
+    window length, and it shuffles 8-byte hashes, never text.
+
+    Scale: the bucket bound is load-bearing twice — buckets of 1
+    produce nothing and are dropped by the HAVING before any pair
+    expansion, and buckets >64 docs are boilerplate (licence headers,
+    templated banners) whose pair expansion would go quadratic;
+    production treats those as cluster-level boilerplate exactly like
+    the MinHash hot-bucket cap. collect_list is bounded at 64 by the
+    HAVING, so no aggregation buffer can blow up."""
+    tk = D.tokens("text", d)
+    n = 12
+    if d == SPARK:
+        exploded = f"""
+SELECT doc_id, array_join(slice(tks, pos + 1, {n}), ' ') AS g
+FROM (SELECT doc_id, {tk} AS tks FROM documents) t
+LATERAL VIEW posexplode(tks) x AS pos, tok
+WHERE pos + {n} <= size(tks)"""
+    else:
+        gram = f"i -> array_to_string(list_slice(tks, i, i + {n - 1}), ' ')"
+        grams = D.ltransform(
+            D.seq("1", f"{D.lsize('tks', d)} - {n - 1}", d), gram, d
+        )
+        exploded = f"""
+SELECT doc_id, unnest(gs) AS g
+FROM (SELECT doc_id, {grams} AS gs
+      FROM (SELECT doc_id, {tk} AS tks FROM documents) i
+      WHERE {D.lsize('tks', d)} >= {n}) b"""
+    wh = D.hash60("g", d)
+    if d == SPARK:
+        return f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, {wh} AS wh FROM ({exploded}) e
+),
+b AS (
+  SELECT wh, sort_array(collect_list(doc_id)) AS ds
+  FROM w GROUP BY wh
+  HAVING count(1) BETWEEN 2 AND 64
+)
+SELECT da AS doc_a, db AS doc_b,
+  CAST(count(*) AS BIGINT) AS shared_windows
+FROM b
+LATERAL VIEW explode(ds) xa AS da
+LATERAL VIEW explode(ds) xb AS db
+WHERE da < db
+GROUP BY da, db
+"""
+    return f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, {wh} AS wh FROM ({exploded}) e
+),
+f AS (SELECT wh FROM w GROUP BY wh HAVING count(*) BETWEEN 2 AND 64)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(count(*) AS BIGINT) AS shared_windows
+FROM w a
+JOIN f ON f.wh = a.wh
+JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 @q("corpus_top_terms")
 def _top_terms(d: str) -> str:
     """Corpus heavy hitters: top-50 terms by exact global frequency.
@@ -3401,13 +3474,14 @@ def oracle_sql_for(name: str) -> str:
 #       assignment), plus the three NEW entries: remote_scan_dsv2 (the
 #       Scala shim's transparent pushdowns under the hash gate),
 #       embed_ann_ivfpq_fullprobe (the PQ path's exactness anchor),
-#       multimodal_video_frames (MJPEG mux->demux->decode), and
-#       text_perplexity (unigram-LM quality scoring);
+#       multimodal_video_frames (MJPEG mux->demux->decode),
+#       text_perplexity (unigram-LM quality scoring), and
+#       dedup_exact_substring (shared-window passage dedup);
 #   (b) the two r3-vintage entries rotated OUT last round —
 #       lineitem_count and dd_version — rotated back IN (the r6
 #       verdict's window policy names them explicitly);
-#   (c) r5-vintage fill, oldest-first: 36 of the 44 remaining
-#       r5-green entries. The 8 left outside —
+#   (c) r5-vintage fill, oldest-first: 35 of the 44 remaining
+#       r5-green entries. The 9 left outside —
 #       dd_search_marker (constant marker expression),
 #       orders_global_aggs (agg matrix whose code path q1 and
 #       orders_rollup exercise), q6_revenue (filter+sum over paths
@@ -3419,9 +3493,11 @@ def oracle_sql_for(name: str) -> str:
 #       embed_ann_ivfpq_fullprobe), orders_group_agg (agg path
 #       q1/orders_rollup cover, displaced by multimodal_video_frames),
 #       orders_rollup (grouping-analytics path orders_cube r6-gated,
-#       displaced by text_perplexity) — are the lowest-staleness-risk
-#       r5 entries, each green over an implementation untouched since
-#       its verdict. 12 + 2 + 36 = 50.
+#       displaced by text_perplexity), events_hourly_rollup
+#       (time-bucket agg path events_grouping_sets r6-gated +
+#       streaming twin in pytest, displaced by dedup_exact_substring)
+#       — are the lowest-staleness-risk r5 entries, each green over an
+#       implementation untouched since its verdict. 13 + 2 + 35 = 50.
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
@@ -3444,6 +3520,7 @@ _GATE_WINDOW = [
     "embed_ann_ivfpq_fullprobe",
     "multimodal_video_frames",
     "text_perplexity",
+    "dedup_exact_substring",
     "cross_source_contamination",
     # -- (b) the r3-vintage pair rotated back in
     "lineitem_count",
@@ -3460,7 +3537,6 @@ _GATE_WINDOW = [
     "embed_knn_bruteforce",
     "embed_neardup_lsh",
     "events_activity_range_join",
-    "events_hourly_rollup",
     "join_region_rollup",
     "multimodal_features",
     "multimodal_media_keys",

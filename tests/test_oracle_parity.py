@@ -90,6 +90,7 @@ def test_gate_window_covers_every_family():
         "embed_ann_ivfpq_fullprobe",  # NEW: PQ exactness anchor
         "multimodal_video_frames",    # NEW: MJPEG frame decode
         "text_perplexity",            # NEW: unigram-LM quality score
+        "dedup_exact_substring",      # NEW: shared-window passage dedup
         "cross_source_contamination", # exchange-free sid assignment
     }
     r3_rotated_in = {"lineitem_count", "dd_version"}
@@ -99,7 +100,7 @@ def test_gate_window_covers_every_family():
         "docs_shard_assignment", "docs_stratified_sample",
         "embed_cosine_neardup", "embed_knn_bruteforce",
         "embed_neardup_lsh", "events_activity_range_join",
-        "events_hourly_rollup", "join_region_rollup",
+        "join_region_rollup",
         "multimodal_features",
         "multimodal_media_keys", "multimodal_png_features",
         "ngram_jaccard_sampled",
