@@ -3463,8 +3463,8 @@ def oracle_sql_for(name: str) -> str:
 # round is inside (cross_source_contamination was changed, A/B-measured
 # and REVERTED to its r6-verdict form — kept in the window regardless),
 # all 50 window entries replicated against the driver's sf0.01 gate on
-# final code, full catalog green at sf0.001, pytest 288 passed /
-# 2 documented skips. Policy:
+# final code, full catalog (102 entries, 100 oracled) green at
+# sf0.001, pytest 290 passed / 2 documented skips. Policy:
 #   (a) every entry round 7 CHANGES or ADDS — the five
 #       minhash-verify-path consumers (operators/dedup.py gains
 #       size-aware eager staging + a reliable-checkpoint mode for the
