@@ -853,6 +853,67 @@ GROUP BY n.n_name
 """
 
 
+@q("q7_volume_shipping")
+def _q7(d: str) -> str:
+    """TPC-H Q7 (volume shipping): bidirectional trade volume between
+    two nation groups by ship year — a 6-table join with TWO nation
+    dimension roles (supplier's and customer's) and the classic
+    disjunctive cross-group predicate. Nation groups rather than the
+    kit's single pair because the test corpus assigns nations
+    uniformly (a single pair selects zero rows at sf0.001)."""
+    ga = "('NATION_1','NATION_2','NATION_3')"
+    gb = "('NATION_4','NATION_5','NATION_6')"
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(CAST(round(sum({_REV}), 4) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name IN {ga} AND n2.n_name IN {gb})
+    OR (n1.n_name IN {gb} AND n2.n_name IN {ga}))
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+"""
+
+
+@q("q8_market_share")
+def _q8(d: str) -> str:
+    """TPC-H Q8 (national market share): the widest join in the suite
+    — 8 tables, nation playing TWO roles (customer's region gate,
+    supplier's share group) — with a conditional-aggregate share
+    ratio. Both sums are EXACT decimal arithmetic (_REV discipline),
+    so the double ratio is bit-identical across engines; rounded at
+    1e-6 anyway. Share group = a nation set (the kit's single nation
+    under-selects the uniform test corpus)."""
+    ga = "('NATION_1','NATION_2','NATION_3')"
+    return f"""
+SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(round(
+    CAST(sum(CASE WHEN n2.n_name IN {ga} THEN {_REV}
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+    / CAST(sum({_REV}) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY EXTRACT(YEAR FROM o.o_orderdate)
+"""
+
+
 @q("q10_returned_items")
 def _q10(d: str) -> str:
     """TPC-H Q10: top-20 customers by revenue lost to returns."""
@@ -3463,7 +3524,7 @@ def oracle_sql_for(name: str) -> str:
 # round is inside (cross_source_contamination was changed, A/B-measured
 # and REVERTED to its r6-verdict form — kept in the window regardless),
 # all 50 window entries replicated against the driver's sf0.01 gate on
-# final code, full catalog (102 entries, 100 oracled) green at
+# final code, full catalog (104 entries, 102 oracled) green at
 # sf0.001, pytest 290 passed / 2 documented skips. Policy:
 #   (a) every entry round 7 CHANGES or ADDS — the five
 #       minhash-verify-path consumers (operators/dedup.py gains
@@ -3475,13 +3536,14 @@ def oracle_sql_for(name: str) -> str:
 #       Scala shim's transparent pushdowns under the hash gate),
 #       embed_ann_ivfpq_fullprobe (the PQ path's exactness anchor),
 #       multimodal_video_frames (MJPEG mux->demux->decode),
-#       text_perplexity (unigram-LM quality scoring), and
-#       dedup_exact_substring (shared-window passage dedup);
+#       text_perplexity (unigram-LM quality scoring),
+#       dedup_exact_substring (shared-window passage dedup), and the
+#       TPC-H additions q7_volume_shipping / q8_market_share;
 #   (b) the two r3-vintage entries rotated OUT last round —
 #       lineitem_count and dd_version — rotated back IN (the r6
 #       verdict's window policy names them explicitly);
-#   (c) r5-vintage fill, oldest-first: 35 of the 44 remaining
-#       r5-green entries. The 9 left outside —
+#   (c) r5-vintage fill, oldest-first: 33 of the 44 remaining
+#       r5-green entries. The 11 left outside —
 #       dd_search_marker (constant marker expression),
 #       orders_global_aggs (agg matrix whose code path q1 and
 #       orders_rollup exercise), q6_revenue (filter+sum over paths
@@ -3495,9 +3557,12 @@ def oracle_sql_for(name: str) -> str:
 #       orders_rollup (grouping-analytics path orders_cube r6-gated,
 #       displaced by text_perplexity), events_hourly_rollup
 #       (time-bucket agg path events_grouping_sets r6-gated +
-#       streaming twin in pytest, displaced by dedup_exact_substring)
-#       — are the lowest-staleness-risk r5 entries, each green over an
-#       implementation untouched since its verdict. 13 + 2 + 35 = 50.
+#       streaming twin in pytest, displaced by dedup_exact_substring),
+#       join_region_rollup and q14_promo_effect (star-join and
+#       conditional-agg-over-join paths superseded by the in-window
+#       q5/q7/q8/q19, displaced by q7/q8) — are the
+#       lowest-staleness-risk r5 entries, each green over an
+#       implementation untouched since its verdict. 15 + 2 + 33 = 50.
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
@@ -3521,6 +3586,8 @@ _GATE_WINDOW = [
     "multimodal_video_frames",
     "text_perplexity",
     "dedup_exact_substring",
+    "q7_volume_shipping",
+    "q8_market_share",
     "cross_source_contamination",
     # -- (b) the r3-vintage pair rotated back in
     "lineitem_count",
@@ -3537,7 +3604,6 @@ _GATE_WINDOW = [
     "embed_knn_bruteforce",
     "embed_neardup_lsh",
     "events_activity_range_join",
-    "join_region_rollup",
     "multimodal_features",
     "multimodal_media_keys",
     "multimodal_png_features",
@@ -3546,7 +3612,6 @@ _GATE_WINDOW = [
     "pack_sequences",
     "pipeline_clean_corpus",
     "q10_returned_items",
-    "q14_promo_effect",
     "q19_disjunctive_join",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -91,6 +91,8 @@ def test_gate_window_covers_every_family():
         "multimodal_video_frames",    # NEW: MJPEG frame decode
         "text_perplexity",            # NEW: unigram-LM quality score
         "dedup_exact_substring",      # NEW: shared-window passage dedup
+        "q7_volume_shipping",         # NEW: TPC-H Q7 (dual nation roles)
+        "q8_market_share",            # NEW: TPC-H Q8 (8-table share)
         "cross_source_contamination", # exchange-free sid assignment
     }
     r3_rotated_in = {"lineitem_count", "dd_version"}
@@ -100,13 +102,12 @@ def test_gate_window_covers_every_family():
         "docs_shard_assignment", "docs_stratified_sample",
         "embed_cosine_neardup", "embed_knn_bruteforce",
         "embed_neardup_lsh", "events_activity_range_join",
-        "join_region_rollup",
         "multimodal_features",
         "multimodal_media_keys", "multimodal_png_features",
         "ngram_jaccard_sampled",
         "orders_running_totals", "pack_sequences",
         "pipeline_clean_corpus", "q10_returned_items",
-        "q14_promo_effect", "q19_disjunctive_join",
+        "q19_disjunctive_join",
         "q1_pricing_summary", "q3_shipping_priority",
         "q5_regional_volume", "remote_agg_pushdown",
         "remote_login_scan", "remote_scan_filter_pushdown",
