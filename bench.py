@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
     "q14_promo_effect",
     "q18_large_volume",
     "orders_group_agg",
