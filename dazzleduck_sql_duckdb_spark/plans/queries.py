@@ -3517,115 +3517,116 @@ def oracle_sql_for(name: str) -> str:
 # ------------------------------------------------------------ gate order
 #
 # The driver's correctness gate covers the FIRST 50 catalog entries.
-# Round-7 window, re-derived per the r6 verdict's directive #1 as the
-# round's FIRST commit (freshness computed over CORRECTNESS_r01..r06:
-# 50 entries r6-green, 45 r5-green, 2 r3-green), re-affirmed
-# END-OF-ROUND after the final engine change: every entry touched this
-# round is inside (cross_source_contamination was changed, A/B-measured
-# and REVERTED to its r6-verdict form — kept in the window regardless),
-# all 50 window entries replicated against the driver's sf0.01 gate on
-# final code, full catalog (104 entries, 102 oracled) green at
-# sf0.001, pytest 290 passed / 2 documented skips. Policy:
-#   (a) every entry round 7 CHANGES or ADDS — the five
-#       minhash-verify-path consumers (operators/dedup.py gains
-#       size-aware eager staging + a reliable-checkpoint mode for the
-#       advisor's executor-loss finding), the two IVF-PQ entries
-#       (generic query-id handling in the rerank stage), and
-#       cross_source_contamination (exchange-free source-id
-#       assignment), plus the three NEW entries: remote_scan_dsv2 (the
-#       Scala shim's transparent pushdowns under the hash gate),
-#       embed_ann_ivfpq_fullprobe (the PQ path's exactness anchor),
-#       multimodal_video_frames (MJPEG mux->demux->decode),
-#       text_perplexity (unigram-LM quality scoring),
-#       dedup_exact_substring (shared-window passage dedup), and the
-#       TPC-H additions q7_volume_shipping / q8_market_share;
-#   (b) the two r3-vintage entries rotated OUT last round —
-#       lineitem_count and dd_version — rotated back IN (the r6
-#       verdict's window policy names them explicitly);
-#   (c) r5-vintage fill, oldest-first: 33 of the 44 remaining
-#       r5-green entries. The 11 left outside —
-#       dd_search_marker (constant marker expression),
-#       orders_global_aggs (agg matrix whose code path q1 and
-#       orders_rollup exercise), q6_revenue (filter+sum over paths
-#       lineitem_range_filter/q1 cover), customer_orders_left_join
-#       (outer-join path nation_presence_full_join r6-gated),
-#       supplier_nation_join (join path join_region_rollup covers,
-#       displaced by remote_scan_dsv2), lineitem_projection
-#       (projection path lineitem_full_scan r6-gated, displaced by
-#       embed_ann_ivfpq_fullprobe), orders_group_agg (agg path
-#       q1/orders_rollup cover, displaced by multimodal_video_frames),
-#       orders_rollup (grouping-analytics path orders_cube r6-gated,
-#       displaced by text_perplexity), events_hourly_rollup
-#       (time-bucket agg path events_grouping_sets r6-gated +
-#       streaming twin in pytest, displaced by dedup_exact_substring),
-#       join_region_rollup and q14_promo_effect (star-join and
-#       conditional-agg-over-join paths superseded by the in-window
-#       q5/q7/q8/q19, displaced by q7/q8) — are the
-#       lowest-staleness-risk r5 entries, each green over an
-#       implementation untouched since its verdict. 15 + 2 + 33 = 50.
+# Round-8 window, re-derived per the r7 verdict's directive #1 as the
+# round's FIRST commit. Freshness is now MECHANICAL: tools/gate_age.py
+# generates GATE_AGE.md (entry -> last-green driver round, oldest
+# first) from CORRECTNESS_r01..r07, and the suite --checks it stays in
+# sync. At derivation time: 11 entries r5-green, 43 r6-green, 50
+# r7-green (GATE_AGE.md). Policy:
+#   (a) every entry round 8 CHANGES or ADDS. Planned at derivation,
+#       amended as work lands (the list below is re-affirmed
+#       end-of-round like r7's): text_tfidf_topk (the r7 verdict's
+#       drift re-measure), cross_source_contamination (chunked
+#       >62-source path, stretch directive #8), the three IVF-PQ
+#       entries (advisor: ann_ivfpq_topk must honor a prebuilt
+#       index's id_col), multimodal_video_frames +
+#       multimodal_video_metadata (advisor: co64 chunk offsets in the
+#       demuxer; MJPEG throughput work), remote_scan_dsv2 (advisor:
+#       TRY_CAST decimal-sum pushdown + split-mode test; shutdown
+#       sweep directive #6), dedup_exact_substring (randomized
+#       differential + plan tests, directive #3), dedup_minhash_lsh
+#       (checkpoint-cleanup contract in the materialize path);
+#   (b) the ENTIRE r5-vintage cohort — after the r7 rotation these 11
+#       are the oldest entries in GATE_AGE.md: lineitem_projection,
+#       dd_search_marker, q6_revenue, orders_global_aggs,
+#       orders_group_agg, join_region_rollup, events_hourly_rollup,
+#       orders_rollup, supplier_nation_join, customer_orders_left_join,
+#       q14_promo_effect;
+#   (c) r6-vintage fill for the remaining 29 slots (all r6 entries are
+#       equally old by round; within the tie, prefer entries whose
+#       code path has NO in-window kin). The 12 r6 entries left
+#       outside, each displaced by an in-window twin over an
+#       implementation untouched since r6:
+#       lineitem_sum_orderkey (global-agg path: orders_global_aggs
+#       in-window), lineitem_point_filter (filter path:
+#       lineitem_range_filter in-window), events_sessionize_native
+#       (twin events_sessionize in-window), dd_array_contains_all
+#       (bloom-accelerated _fn twin in-window + hypothesis model
+#       test), cast_matrix (try_cast_matrix in-window + 7x7 pytest
+#       matrix vs DuckDB), distinct_rows (orders_set_ops in-window),
+#       order_by_limit (TakeOrderedAndProject pinned by plan test),
+#       empty_set_laws (null_laws in-window + pytest law tests),
+#       events_type_pivot (pivot pinned by pytest; orders_cube
+#       in-window covers grouping analytics), embed_ann_ivf_probed
+#       (ivf fullprobe + recall twins in-window),
+#       events_view_click_attribution (events_funnel in-window),
+#       bucketed_join_rollup (zero-Exchange plan asserted in pytest).
+#       New catalog entries added during round 8 displace this fill
+#       list from the bottom (nation_presence_full_join first), with
+#       the displacement recorded here. 10 + 11 + 29 = 50.
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
 # tests/test_oracle_parity.py, so the next round CANNOT run its gate
 # against an un-rederived window: the moment the driver lands
-# CORRECTNESS_r07, the suite fails until round 8 re-derives this list.
+# CORRECTNESS_r08, the suite fails until round 9 re-derives this list.
 
-_GATE_WINDOW_ROUND = 7
+_GATE_WINDOW_ROUND = 8
 
 _GATE_WINDOW = [
-    # -- (a) changed or NEW in round 7
-    "remote_scan_dsv2",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "dedup_canonical_corpus",
-    "dedup_minhash_auto",
-    "dedup_minhash_recall_held",
+    # -- (a) changed or planned-to-change in round 8
+    "text_tfidf_topk",
+    "cross_source_contamination",
     "embed_ann_ivfpq",
     "embed_ann_ivfpq_recall",
     "embed_ann_ivfpq_fullprobe",
     "multimodal_video_frames",
-    "text_perplexity",
+    "multimodal_video_metadata",
+    "remote_scan_dsv2",
     "dedup_exact_substring",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "cross_source_contamination",
-    # -- (b) the r3-vintage pair rotated back in
-    "lineitem_count",
-    "dd_version",
-    # -- (c) r5-vintage fill (oldest-staleness rotation)
-    "bloom_no_false_negatives",
-    "corpus_top_terms",
-    "dedup_exact",
-    "dedup_simhash",
-    "docs_length_quantiles",
-    "docs_shard_assignment",
-    "docs_stratified_sample",
-    "embed_cosine_neardup",
-    "embed_knn_bruteforce",
-    "embed_neardup_lsh",
-    "events_activity_range_join",
-    "multimodal_features",
-    "multimodal_media_keys",
-    "multimodal_png_features",
-    "ngram_jaccard_sampled",
-    "orders_running_totals",
-    "pack_sequences",
-    "pipeline_clean_corpus",
-    "q10_returned_items",
-    "q19_disjunctive_join",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_volume",
-    "remote_agg_pushdown",
-    "remote_login_scan",
-    "remote_scan_filter_pushdown",
-    "remote_scan_split_agg",
-    "remote_splits_plan",
-    "skew_salted_join_agg",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_redact_pii",
+    "dedup_minhash_lsh",
+    # -- (b) the full r5-vintage cohort (oldest in GATE_AGE.md)
+    "lineitem_projection",
+    "dd_search_marker",
+    "q6_revenue",
+    "orders_global_aggs",
+    "orders_group_agg",
+    "join_region_rollup",
+    "events_hourly_rollup",
+    "orders_rollup",
+    "supplier_nation_join",
+    "customer_orders_left_join",
+    "q14_promo_effect",
+    # -- (c) r6-vintage fill (see displacement notes above)
+    "cte_union_all",
+    "dd_array_contains_all_fn",
+    "embed_ann_ivf_fullprobe",
+    "embed_ann_recall",
+    "events_count_distinct",
+    "events_funnel",
+    "events_grouping_sets",
+    "events_json_extract",
+    "events_orders_asof_join",
+    "events_sessionize",
+    "lineitem_date_filter_count",
+    "lineitem_full_scan",
+    "lineitem_range_filter",
+    "multimodal_jpeg_features",
+    "nation_presence_full_join",
+    "null_laws",
+    "orders_cube",
+    "orders_set_ops",
+    "part_brand_stats",
+    "q18_large_volume",
+    "q4_order_priority",
+    "scalar_subquery_filter",
+    "semi_anti_join",
+    "simhash_values",
+    "string_functions",
+    "text_repetition",
+    "text_token_stats",
+    "try_cast_matrix",
+    "window_topk_per_group",
 ]
 
 

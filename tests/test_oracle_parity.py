@@ -67,11 +67,13 @@ def test_prepare_pins_utc_session_timezone(spark):
 
 
 def test_gate_window_covers_every_family():
-    """Round-7 window contract (the driver gates the FIRST 50 catalog
-    entries): every entry round 7 changes/adds, the r3-vintage pair
-    rotated back in, and an oldest-first r5 fill; every entry excluded
-    carries an r5/r6-green verdict over an implementation untouched
-    since its verdict (freshness table in the _GATE_WINDOW comment)."""
+    """Round-8 window contract (the driver gates the FIRST 50 catalog
+    entries): every entry round 8 changes/adds, the entire r5-vintage
+    cohort (the oldest rows in GATE_AGE.md after the r7 rotation), and
+    an r6-vintage fill; every entry excluded carries an r6/r7-green
+    verdict over an implementation untouched since its verdict
+    (displacement notes in the _GATE_WINDOW comment; ages in
+    GATE_AGE.md)."""
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
     window = Q._GATE_WINDOW
@@ -79,53 +81,62 @@ def test_gate_window_covers_every_family():
     assert len(set(window)) == 50
     assert list(Q.CATALOG)[:50] == window
     changed_or_new = {
-        "remote_scan_dsv2",           # NEW: shim under the hash gate
-        "dedup_minhash_lsh",          # size-aware eager staging
-        "dedup_components",           # consumes the minhash pairs
-        "dedup_canonical_corpus",     # consumes the minhash pairs
-        "dedup_minhash_auto",         # consumes the minhash pairs
-        "dedup_minhash_recall_held",  # consumes the minhash pairs
-        "embed_ann_ivfpq",            # generic-id rerank fix
-        "embed_ann_ivfpq_recall",     # generic-id rerank fix
-        "embed_ann_ivfpq_fullprobe",  # NEW: PQ exactness anchor
-        "multimodal_video_frames",    # NEW: MJPEG frame decode
-        "text_perplexity",            # NEW: unigram-LM quality score
-        "dedup_exact_substring",      # NEW: shared-window passage dedup
-        "q7_volume_shipping",         # NEW: TPC-H Q7 (dual nation roles)
-        "q8_market_share",            # NEW: TPC-H Q8 (8-table share)
-        "cross_source_contamination", # exchange-free sid assignment
+        "text_tfidf_topk",             # r7 drift re-measure
+        "cross_source_contamination",  # chunked >62-source path
+        "embed_ann_ivfpq",             # index id_col contract fix
+        "embed_ann_ivfpq_recall",      # index id_col contract fix
+        "embed_ann_ivfpq_fullprobe",   # index id_col contract fix
+        "multimodal_video_frames",     # co64 demux + throughput work
+        "multimodal_video_metadata",   # mp4.py touched (co64)
+        "remote_scan_dsv2",            # shim TRY_CAST + shutdown sweep
+        "dedup_exact_substring",       # differential + plan tests
+        "dedup_minhash_lsh",           # checkpoint-cleanup contract
     }
-    r3_rotated_in = {"lineitem_count", "dd_version"}
-    r5_fill = {
-        "bloom_no_false_negatives", "corpus_top_terms", "dedup_exact",
-        "dedup_simhash", "docs_length_quantiles",
-        "docs_shard_assignment", "docs_stratified_sample",
-        "embed_cosine_neardup", "embed_knn_bruteforce",
-        "embed_neardup_lsh", "events_activity_range_join",
-        "multimodal_features",
-        "multimodal_media_keys", "multimodal_png_features",
-        "ngram_jaccard_sampled",
-        "orders_running_totals", "pack_sequences",
-        "pipeline_clean_corpus", "q10_returned_items",
-        "q19_disjunctive_join",
-        "q1_pricing_summary", "q3_shipping_priority",
-        "q5_regional_volume", "remote_agg_pushdown",
-        "remote_login_scan", "remote_scan_filter_pushdown",
-        "remote_scan_split_agg", "remote_splits_plan",
-        "skew_salted_join_agg",
-        "text_fingerprint", "text_langid", "text_quality",
-        "text_redact_pii",
+    r5_cohort = {
+        "lineitem_projection", "dd_search_marker", "q6_revenue",
+        "orders_global_aggs", "orders_group_agg", "join_region_rollup",
+        "events_hourly_rollup", "orders_rollup", "supplier_nation_join",
+        "customer_orders_left_join", "q14_promo_effect",
+    }
+    r6_fill = {
+        "cte_union_all", "dd_array_contains_all_fn",
+        "embed_ann_ivf_fullprobe", "embed_ann_recall",
+        "events_count_distinct", "events_funnel",
+        "events_grouping_sets", "events_json_extract",
+        "events_orders_asof_join", "events_sessionize",
+        "lineitem_date_filter_count", "lineitem_full_scan",
+        "lineitem_range_filter", "multimodal_jpeg_features",
+        "nation_presence_full_join", "null_laws", "orders_cube",
+        "orders_set_ops", "part_brand_stats", "q18_large_volume",
+        "q4_order_priority", "scalar_subquery_filter", "semi_anti_join",
+        "simhash_values", "string_functions", "text_repetition",
+        "text_token_stats", "try_cast_matrix", "window_topk_per_group",
     }
     in_window = set(window)
     for group, names in [
         ("changed_or_new", changed_or_new),
-        ("r3_rotated_in", r3_rotated_in),
-        ("r5_fill", r5_fill),
+        ("r5_cohort", r5_cohort),
+        ("r6_fill", r6_fill),
     ]:
         missing = names - in_window
         assert not missing, f"{group} entries outside window: {missing}"
     # exhaustive: the three sets ARE the window, no free-floating slots
-    assert in_window == changed_or_new | r3_rotated_in | r5_fill
+    assert in_window == changed_or_new | r5_cohort | r6_fill
+
+
+def test_gate_age_report_current():
+    """GATE_AGE.md must be regenerated whenever a CORRECTNESS file
+    lands (r7 verdict directive #7): per-entry verdict age is the
+    input to window derivation, so a stale report makes the rotation
+    policy unauditable."""
+    import gate_age
+
+    ages, latest = gate_age.last_green_rounds()
+    text = gate_age.render(ages, latest)
+    with open(os.path.join(REPO, "GATE_AGE.md")) as f:
+        assert f.read() == text, (
+            "GATE_AGE.md stale — rerun: python tools/gate_age.py"
+        )
 
 
 def test_gate_window_round_ratchet():
