@@ -2211,12 +2211,21 @@ def _tfidf(d: str) -> str:
     OVER (PARTITION BY term) window, whose hottest term would land
     n_docs rows on one reducer) and broadcasts into the tf join; the
     1-row doc-count side is a broadcast cross join. Spark inlines the
-    tf CTE into both consumers, so tokenize+explode runs twice —
-    measured CHEAPER at bench scale than the previous persisted-view
-    staging (no cache write, no separate count job, no view
-    re-registration: ~0.95s vs ~1.6s at sf0.1); on a 100 TB corpus,
-    re-introduce a checkpointed tf stage (the _stage pattern simhash
-    uses) to tokenize once at the cost of materializing tf."""
+    tf CTE into both consumers, but AQE's runtime stage reuse deduces
+    the two REPARTITION(doc_id) exchanges are identical and the df
+    branch reads the tf branch's shuffle output via ReusedExchange
+    (verified in the final adaptive plan, round 8) — so the
+    scan+tokenize runs ONCE and only the cheap explode+aggregate runs
+    per branch. This beat the previous persisted-view staging (~0.95s
+    vs ~1.6s at sf0.1, r6 A/B) precisely because the "recompute" the
+    persist avoided was already shared at the exchange.
+
+    The r7 "drift" (+30% single-run / +15% median-of-3 on untouched
+    code) root-caused in round 8 as JIT lifecycle, not plan change: a
+    15-run series decays monotonically 1.0s -> 0.55s (the r6 median)
+    as C2 compiles the tokenizer; the lambda-free dialect.tokens()
+    rewrite removes the interpreted higher-order filter that dominated
+    that warmup (BENCH_NOTES r8)."""
     tk = D.tokens("text", d)
     if d == SPARK:
         exploded = (
@@ -3561,9 +3570,24 @@ def oracle_sql_for(name: str) -> str:
 #       (ivf fullprobe + recall twins in-window),
 #       events_view_click_attribution (events_funnel in-window),
 #       bucketed_join_rollup (zero-Exchange plan asserted in pytest).
+#       AMENDED mid-round: the lambda-free tokenizer rewrite in
+#       dialect.tokens() (codegen-friendly array_remove in place of
+#       the interpreted higher-order filter) changes the emitted SQL
+#       of all 15 token-consuming entries, so the changed set grew to
+#       22 and the r6 fill shrank to 17. Additional r6 displacements,
+#       each with an in-window kin on the same code path:
+#       lineitem_full_scan + lineitem_date_filter_count (scan/filter:
+#       lineitem_range_filter + lineitem_projection + q6_revenue
+#       in-window), events_json_extract (string fns: string_functions
+#       in-window), events_grouping_sets (grouping analytics:
+#       orders_cube + orders_rollup in-window), cte_union_all
+#       (scalar_subquery_filter + orders_set_ops in-window),
+#       embed_ann_recall (embed_ann_ivf_fullprobe + the two in-window
+#       ivfpq twins), q4_order_priority (EXISTS path: semi_anti_join
+#       in-window), window_topk_per_group (window path:
+#       orders_running_totals in-window + WindowGroupLimit plan test).
 #       New catalog entries added during round 8 displace this fill
-#       list from the bottom (nation_presence_full_join first), with
-#       the displacement recorded here. 10 + 11 + 29 = 50.
+#       list from the bottom, recorded here. 22 + 11 + 17 = 50.
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
@@ -3585,6 +3609,20 @@ _GATE_WINDOW = [
     "remote_scan_dsv2",
     "dedup_exact_substring",
     "dedup_minhash_lsh",
+    #    the lambda-free tokenizer (dialect.tokens) touches every
+    #    token-consuming entry — all 15 consumers gate this round:
+    "bloom_no_false_negatives",
+    "corpus_top_terms",
+    "dd_array_contains_all",
+    "dd_array_contains_all_fn",
+    "dedup_canonical_corpus",
+    "pipeline_clean_corpus",
+    "string_functions",
+    "text_langid",
+    "text_perplexity",
+    "text_quality",
+    "text_repetition",
+    "text_token_stats",
     # -- (b) the full r5-vintage cohort (oldest in GATE_AGE.md)
     "lineitem_projection",
     "dd_search_marker",
@@ -3598,18 +3636,11 @@ _GATE_WINDOW = [
     "customer_orders_left_join",
     "q14_promo_effect",
     # -- (c) r6-vintage fill (see displacement notes above)
-    "cte_union_all",
-    "dd_array_contains_all_fn",
     "embed_ann_ivf_fullprobe",
-    "embed_ann_recall",
     "events_count_distinct",
     "events_funnel",
-    "events_grouping_sets",
-    "events_json_extract",
     "events_orders_asof_join",
     "events_sessionize",
-    "lineitem_date_filter_count",
-    "lineitem_full_scan",
     "lineitem_range_filter",
     "multimodal_jpeg_features",
     "nation_presence_full_join",
@@ -3618,15 +3649,10 @@ _GATE_WINDOW = [
     "orders_set_ops",
     "part_brand_stats",
     "q18_large_volume",
-    "q4_order_priority",
     "scalar_subquery_filter",
     "semi_anti_join",
     "simhash_values",
-    "string_functions",
-    "text_repetition",
-    "text_token_stats",
     "try_cast_matrix",
-    "window_topk_per_group",
 ]
 
 

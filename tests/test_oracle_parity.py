@@ -81,7 +81,7 @@ def test_gate_window_covers_every_family():
     assert len(set(window)) == 50
     assert list(Q.CATALOG)[:50] == window
     changed_or_new = {
-        "text_tfidf_topk",             # r7 drift re-measure
+        "text_tfidf_topk",             # r7 drift root-cause + tokenizer
         "cross_source_contamination",  # chunked >62-source path
         "embed_ann_ivfpq",             # index id_col contract fix
         "embed_ann_ivfpq_recall",      # index id_col contract fix
@@ -91,6 +91,19 @@ def test_gate_window_covers_every_family():
         "remote_scan_dsv2",            # shim TRY_CAST + shutdown sweep
         "dedup_exact_substring",       # differential + plan tests
         "dedup_minhash_lsh",           # checkpoint-cleanup contract
+        # lambda-free dialect.tokens() — every token consumer changed:
+        "bloom_no_false_negatives",
+        "corpus_top_terms",
+        "dd_array_contains_all",
+        "dd_array_contains_all_fn",
+        "dedup_canonical_corpus",
+        "pipeline_clean_corpus",
+        "string_functions",
+        "text_langid",
+        "text_perplexity",
+        "text_quality",
+        "text_repetition",
+        "text_token_stats",
     }
     r5_cohort = {
         "lineitem_projection", "dd_search_marker", "q6_revenue",
@@ -99,18 +112,13 @@ def test_gate_window_covers_every_family():
         "customer_orders_left_join", "q14_promo_effect",
     }
     r6_fill = {
-        "cte_union_all", "dd_array_contains_all_fn",
-        "embed_ann_ivf_fullprobe", "embed_ann_recall",
-        "events_count_distinct", "events_funnel",
-        "events_grouping_sets", "events_json_extract",
-        "events_orders_asof_join", "events_sessionize",
-        "lineitem_date_filter_count", "lineitem_full_scan",
+        "embed_ann_ivf_fullprobe", "events_count_distinct",
+        "events_funnel", "events_orders_asof_join", "events_sessionize",
         "lineitem_range_filter", "multimodal_jpeg_features",
         "nation_presence_full_join", "null_laws", "orders_cube",
         "orders_set_ops", "part_brand_stats", "q18_large_volume",
-        "q4_order_priority", "scalar_subquery_filter", "semi_anti_join",
-        "simhash_values", "string_functions", "text_repetition",
-        "text_token_stats", "try_cast_matrix", "window_topk_per_group",
+        "scalar_subquery_filter", "semi_anti_join", "simhash_values",
+        "try_cast_matrix",
     }
     in_window = set(window)
     for group, names in [
