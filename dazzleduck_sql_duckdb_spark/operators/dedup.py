@@ -274,7 +274,11 @@ def minhash_neardup_pairs(
       blocks with NO recompute path — production deployments must
       ``sc.setCheckpointDir(...)`` (or pass ``"reliable"``).
     - ``"reliable"``: force ``checkpoint(eager=True)`` (requires a
-      checkpoint dir; survives executor loss).
+      checkpoint dir; survives executor loss). NOTE: reliable
+      checkpoint files are not auto-deleted when the DataFrame goes
+      out of scope — long-lived sessions calling this repeatedly
+      should set spark.cleaner.referenceTracking.cleanCheckpoints=true
+      or use a per-job checkpoint dir (see _materialize_pairs).
     - ``"local"``: force the eager ``localCheckpoint`` (single-node /
       ephemeral sessions where the trade is understood).
     - ``"none"``: fully LAZY — no persists, no plan-picking counts, no
@@ -351,7 +355,18 @@ def _materialize_pairs(verified: DataFrame, materialize: str) -> DataFrame:
     100 TB default whenever a dir is configured. The localCheckpoint
     fallback is executor-local and lineage-truncated: executor loss
     after the call loses blocks unrecoverably (see the
-    minhash_neardup_pairs docstring)."""
+    minhash_neardup_pairs docstring).
+
+    Cleanup contract (advisor finding r7): unlike localCheckpoint
+    blocks, which the ContextCleaner frees when the DataFrame is
+    GC'd, reliable checkpoint FILES are NOT deleted on release by
+    default — repeated calls in a long-lived session accumulate
+    unbounded data under the checkpoint dir. Long-lived sessions
+    using "reliable"/"auto"-with-a-dir should either set
+    spark.cleaner.referenceTracking.cleanCheckpoints=true (files of
+    out-of-scope checkpoints are then GC-swept) or manage the
+    checkpoint dir's lifetime themselves (per-job dir, deleted after
+    the pipeline lands its output)."""
     sc = verified.sparkSession.sparkContext
     if materialize == "reliable" or (
         materialize == "auto" and sc.getCheckpointDir() is not None

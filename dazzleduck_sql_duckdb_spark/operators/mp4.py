@@ -378,6 +378,13 @@ def _parse_stbl_tables(buf: bytes, start: int, end: int):
         elif typ == b"stco":
             (n,) = struct.unpack_from(">I", buf, p)
             chunk_offsets = list(struct.unpack_from(f">{n}I", buf, p + 4))
+        elif typ == b"co64":
+            # 64-bit chunk offsets — what large/foreign files (>4 GiB
+            # mdat, or muxers that always emit co64) carry instead of
+            # stco (advisor finding r7: these demuxed as 'no video
+            # track' before)
+            (n,) = struct.unpack_from(">I", buf, p)
+            chunk_offsets = list(struct.unpack_from(f">{n}Q", buf, p + 4))
         elif typ == b"stsc":
             (n,) = struct.unpack_from(">I", buf, p)
             stsc = [
@@ -390,9 +397,14 @@ def _parse_stbl_tables(buf: bytes, start: int, end: int):
 def extract_video_samples(payload: bytes) -> tuple[str, list[bytes]]:
     """(codec fourcc, per-frame byte slices) of the first video track,
     resolved through the real sample tables: stsz per-sample sizes,
-    stco chunk offsets, stsc chunk->samples runs (samples are
-    consecutive within a chunk) — the standard demux walk. Raises
-    ValueError when no video track carries sample tables."""
+    stco OR co64 chunk offsets (32/64-bit), stsc chunk->samples runs
+    (samples are consecutive within a chunk) — the standard demux
+    walk. Raises ValueError when no video track carries sample tables.
+
+    Known limitation: only stsz version 0 (the universal form) is
+    parsed; the stz2 compact-size variant and fragmented MP4s
+    (moof/trun sample tables) degrade to the ValueError, not a wrong
+    answer."""
     for typ, b0, b1 in _boxes(payload, 0, len(payload)):
         if typ != b"moov":
             continue

@@ -721,7 +721,19 @@ def ann_ivfpq_topk(
     table (persist it as parquet to pin the 5-128x scan-bandwidth
     win), and `corpus` is touched only by the bounded exact rerank.
     When given, the training knobs (n_centroids/m_subspaces/n_codes/
-    centroids/seed/spill/...) are ignored in favor of the index's."""
+    centroids/seed/spill/...) are ignored in favor of the index's.
+    `id_col` is NOT an index knob — it also keys `corpus` and
+    `queries` here — so it must MATCH the index's: the ADC scan reads
+    the index's encoded table by this name, and a mismatch is rejected
+    up front (advisor finding r7) instead of failing with a KeyError
+    inside the scorer."""
+    if index is not None and index.id_col != id_col:
+        raise ValueError(
+            f"id_col mismatch: the prebuilt index was encoded with"
+            f" id_col={index.id_col!r} but ann_ivfpq_topk was called"
+            f" with id_col={id_col!r}; pass the same id_col used at"
+            " build_ivfpq_index time (it also keys corpus/queries)"
+        )
     if index is None:
         index = build_ivfpq_index(
             corpus,

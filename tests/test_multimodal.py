@@ -735,3 +735,47 @@ def test_mjpeg_roundtrip_property():
         assert meta["n_tracks"] == 1
 
     law()
+
+
+def test_extract_video_samples_reads_co64():
+    """Large/foreign MP4s carry 64-bit co64 chunk offsets instead of
+    stco (advisor finding r7: these were rejected as 'no video track'
+    before). Surgically rewrite a muxed file's stco into co64 — fixing
+    every ancestor box size and the +4 payload shift — and demux it
+    byte-exactly."""
+    import struct
+
+    from dazzleduck_sql_duckdb_spark.operators.mp4 import (
+        _boxes, encode_mjpeg_mp4, extract_video_samples,
+    )
+
+    frames = [b"\xff\xd8frame-%d\xff\xd9" % i for i in range(5)]
+    mp4 = encode_mjpeg_mp4(32, 16, frames)
+    codec, got = extract_video_samples(mp4)
+    assert codec == "jpeg" and got == frames
+
+    # locate the stco box and every ancestor box containing it
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+    def find_stco(buf, start, end, ancestors):
+        for typ, b0, b1 in _boxes(buf, start, end):
+            if typ == b"stco":
+                return b0 - 8, ancestors  # box start incl. header
+            if typ in containers:
+                hit = find_stco(buf, b0, b1, ancestors + [b0 - 8])
+                if hit:
+                    return hit
+        return None
+
+    stco_at, ancestors = find_stco(mp4, 0, len(mp4), [])
+    (old_off,) = struct.unpack_from(">I", mp4, stco_at + 16)
+    co64 = (
+        struct.pack(">I", 24) + b"co64" + struct.pack(">I", 0)
+        + struct.pack(">IQ", 1, old_off + 4)  # box grows by 4 bytes
+    )
+    buf = bytearray(mp4[:stco_at] + co64 + mp4[stco_at + 20:])
+    for a in ancestors:  # moov/trak/mdia/minf/stbl each grow by 4
+        (sz,) = struct.unpack_from(">I", buf, a)
+        struct.pack_into(">I", buf, a, sz + 4)
+    codec2, got2 = extract_video_samples(bytes(buf))
+    assert codec2 == "jpeg" and got2 == frames

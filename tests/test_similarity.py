@@ -463,3 +463,30 @@ def test_ivfpq_prebuilt_index_matches_inline(spark, emb, tmp_path):
     a = _topk_sets(ann_ivfpq_topk(emb, q2, index=stored, **kw).collect())
     b = _topk_sets(ann_ivfpq_topk(emb, q2, **knobs, **kw).collect())
     assert a == b
+
+
+def test_ivfpq_index_id_col_mismatch_rejected(spark, emb):
+    """A prebuilt index encodes under its own id_col; calling
+    ann_ivfpq_topk with a different id_col must fail UP FRONT with the
+    contract error, not a KeyError inside the ADC scorer (advisor
+    finding r7). The matching-name path (non-default on both sides)
+    must work."""
+    import pytest as _pt
+
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        ann_ivfpq_topk, build_ivfpq_index,
+    )
+
+    renamed = emb.withColumnRenamed("vec_id", "doc_key")
+    idx = build_ivfpq_index(
+        renamed, n_centroids=8, m_subspaces=8, n_codes=16,
+        id_col="doc_key",
+    )
+    queries = renamed.where("doc_key % 100 = 0")
+    with _pt.raises(ValueError, match="id_col mismatch"):
+        ann_ivfpq_topk(renamed, queries, index=idx)  # default vec_id
+    out = ann_ivfpq_topk(
+        renamed, queries, index=idx, id_col="doc_key", k=5, n_probe=4,
+    )
+    assert out.count() > 0
+    assert set(out.columns) == {"qid", "doc_key", "sim"}

@@ -142,6 +142,15 @@ PIPELINES = [
     "embed_ann_ivf_fullprobe",
     "embed_ann_ivf_probed",
     "embed_ann_ivfpq",
+    # round-8 additions (r7 verdict directive #4): the two r7 text
+    # operators shipped with design arguments only — measure them.
+    # text_perplexity: broadcast vocab join, expect ~linear.
+    # dedup_exact_substring: bounded 2..64-doc window buckets; the
+    # synthetic corpus plants exact/near dups at fixed density over a
+    # 20k Zipf vocab, so shared windows track the planted pairs and
+    # bucket sizes stay bounded — expect ~linear, NOT quadratic.
+    "text_perplexity",
+    "dedup_exact_substring",
 ]
 
 
