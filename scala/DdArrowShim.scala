@@ -355,7 +355,20 @@ class DdScanBuilder(
         r <- col(s.column)
         fl <- fieldOf(s.column)
         out <- sparkSumType(fl.dataType)
-      } yield (s"CAST(sum($r) AS ${ddType(out)})", out)
+      } yield {
+        // decimal sums: TRY_CAST, not CAST — Spark's non-ANSI
+        // sum(DECIMAL) returns NULL when the widened result type
+        // overflows, while DuckDB's CAST raises a query error; the
+        // TRY_CAST mirrors Spark's null-on-overflow semantics
+        // (advisor finding r7). Integer sums keep the plain CAST:
+        // the server's HUGEINT sum fits BIGINT whenever Spark's own
+        // long accumulator hasn't already wrapped.
+        val cast = out match {
+          case _: DecimalType => "TRY_CAST"
+          case _ => "CAST"
+        }
+        (s"$cast(sum($r) AS ${ddType(out)})", out)
+      }
     case a: Avg =>
       // Spark offers Avg for COMPLETE pushdown only; if we decline it
       // re-plans as decomposed sum+count partials. Spark's Average
@@ -542,6 +555,47 @@ class DdScan(
 case class DdPartition(endpoints: Array[String], query: String, value: Int)
   extends InputPartition
 
+/** Process-exit cancel sweep — the Python source's third cancel
+ *  channel (sources/arrow_http.py SIGTERM/atexit sweep), which the
+ *  shim lacked (r7 verdict, "What's missing" #3): task teardown calls
+ *  close(), covering kills/limits/errors, but a whole-JVM death
+ *  (driver SIGTERM in local mode, executor decommission on a cluster)
+ *  never runs close() and leaked the in-flight queries server-side
+ *  until timeout. Every open mid-stream reader registers here; a JVM
+ *  shutdown hook fires the best-effort GET /v1/cancel for each. The
+ *  hook only issues the event-channel cancels (the dying process's
+ *  sockets drop on their own — the lease channel); it deliberately
+ *  does NOT touch the Arrow readers, which other threads may still
+ *  hold. */
+object DdReaderRegistry {
+  private val open =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DdColumnarReader]()
+  @volatile private var hooked = false
+
+  def register(r: DdColumnarReader): Unit = {
+    ensureHook()
+    open.add(r)
+  }
+
+  def unregister(r: DdColumnarReader): Unit = open.remove(r)
+
+  def inFlight(): Int = open.size()
+
+  private def ensureHook(): Unit = synchronized {
+    if (!hooked) {
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => sweep(), "dd-arrow-cancel-sweep"))
+      hooked = true
+    }
+  }
+
+  /** Cancel every registered in-flight query (idempotent;
+   *  best-effort). Public so tests can exercise the sweep without
+   *  killing the JVM. */
+  def sweep(): Unit =
+    open.forEach(r => r.cancelInFlight())
+}
+
 class DdReaderFactory(token: String, emptyProjection: Boolean)
     extends PartitionReaderFactory {
   override def supportColumnarReads(p: InputPartition): Boolean = true
@@ -604,6 +658,17 @@ class DdColumnarReader(p: DdPartition, token: String,
   private var batch: ColumnarBatch = _
   private var exhausted = false
 
+  DdReaderRegistry.register(this)
+
+  /** Best-effort event-channel cancel of the in-flight query; no-op
+   *  once the stream is exhausted. Fired by close() on mid-stream
+   *  teardown and by DdReaderRegistry's JVM shutdown hook. */
+  def cancelInFlight(): Unit = {
+    if (!exhausted) {
+      DdWire.cancelQuiet(endpoint, queryId, token)
+    }
+  }
+
   override def next(): Boolean = {
     if (!reader.loadNextBatch()) {
       exhausted = true
@@ -621,13 +686,12 @@ class DdColumnarReader(p: DdPartition, token: String,
   override def get(): ColumnarBatch = batch
 
   override def close(): Unit = {
+    DdReaderRegistry.unregister(this)
     reader.close()
     in.close()
     alloc.close()
-    if (!exhausted) {
-      // torn down mid-stream (kill/limit/error): connection drop is
-      // the lease cancel; fire the explicit channel too
-      DdWire.cancelQuiet(endpoint, queryId, token)
-    }
+    // torn down mid-stream (kill/limit/error): connection drop is
+    // the lease cancel; fire the explicit channel too
+    cancelInFlight()
   }
 }

@@ -222,6 +222,54 @@ for _ in range(50):  # the handler records asynchronously
     _t.sleep(0.1)
 out["cancel_recorded"] = len(srv2.cancelled) > n_cancel_before
 
+# 6d) split-mode decimal sum: split-safe partial pushdown with the
+#     same TRY_CAST'd widened type as the complete path (advisor
+#     finding r7: only the non-split case was covered)
+rds = (
+    spark.read.format("dd_arrow_dsv2")
+    .option("url", srv.url)
+    .option("token", "sekret")
+    .option(
+        "query",
+        "SELECT l_returnflag,"
+        " CAST(l_quantity AS DECIMAL(12,2)) AS qd FROM lineitem",
+    )
+    .option("split", "true")
+    .option("split_size", "65536")
+    .load()
+)
+df = rds.groupBy("l_returnflag").agg({{"qd": "sum"}})
+p = plan(df)
+out["split_dec_sum_pushed"] = "PushedAggregation: true" in p
+out["split_dec_sum_final_merge"] = "HashAggregate" in p
+out["split_dec_sum_type"] = dict(df.dtypes)["sum(qd)"]
+out["split_dec_sum_rows"] = sorted(
+    [[x[0], str(x[1])] for x in df.collect()]
+)
+
+# 9) JVM shutdown sweep (the Python source's SIGTERM/atexit third
+#    cancel channel): hold a reader MID-STREAM via py4j, fire the
+#    registry sweep the shutdown hook runs, and assert the server
+#    records the event-channel cancel while the stream is still open
+jvm = spark._jvm
+gw = spark.sparkContext._gateway
+pkg = jvm.org.apache.spark.sql.dazzleduck
+eps = gw.new_array(jvm.java.lang.String, 1)
+eps[0] = srv2.url
+part = pkg.DdPartition(eps, "SELECT * FROM lineitem", 0)
+rdr = pkg.DdColumnarReader(part, "", False)
+assert rdr.next()  # first batch loaded, stream NOT exhausted
+out["sweep_in_flight"] = pkg.DdReaderRegistry.inFlight()
+n_before = len(srv2.cancelled)
+pkg.DdReaderRegistry.sweep()
+for _ in range(50):
+    if len(srv2.cancelled) > n_before:
+        break
+    _t.sleep(0.1)
+out["sweep_cancel_recorded"] = len(srv2.cancelled) > n_before
+rdr.close()
+out["sweep_unregistered"] = pkg.DdReaderRegistry.inFlight()
+
 spark.stop()
 srv.stop()
 srv2.stop()
@@ -362,6 +410,17 @@ def test_dsv2_shim_transparent_pushdowns():
     )
     assert got["failover_sum"] == got["proj_sum"]  # dead replica rotated
     assert got["cancel_recorded"] is True
+    # 6d: decimal sum over splits — pushed as split partials, merged
+    # by Spark, same widened type and values as the complete path
+    assert got["split_dec_sum_pushed"] is True
+    assert got["split_dec_sum_final_merge"] is True
+    assert got["split_dec_sum_type"] == "decimal(22,2)"
+    assert got["split_dec_sum_rows"] == got["dec_sum_rows"]
+    # 9: the shutdown sweep cancels in-flight queries while the reader
+    # is mid-stream, and close() drains the registry
+    assert got["sweep_in_flight"] >= 1
+    assert got["sweep_cancel_recorded"] is True
+    assert got["sweep_unregistered"] == 0
 
 
 _RAND_SCRIPT = r"""
