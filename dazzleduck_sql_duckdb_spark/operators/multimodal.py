@@ -452,6 +452,16 @@ def video_frame_features(
     from .mp4 import extract_video_samples
 
     cols = media.select(id_col, payload_col)
+    # decode parallelism = input partitions. A compacted source (one
+    # fat parquet file, a coalesced upstream) would otherwise pin the
+    # CPU-bound demux+decode fan-out to a few cores — measured 1
+    # partition = 1 core = ~12 frames/s at sf0.1 vs ~330/s after the
+    # guard (BENCH_NOTES r8). The shuffle moves each payload once and
+    # only fires when the input arrives under-split; on a well-split
+    # 100 TB source (every file >= one split) it is a no-op.
+    sc = media.sparkSession.sparkContext
+    if cols.rdd.getNumPartitions() < sc.defaultParallelism:
+        cols = cols.repartition(sc.defaultParallelism, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

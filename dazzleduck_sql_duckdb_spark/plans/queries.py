@@ -3309,6 +3309,13 @@ def _build_video_frames(spark, sf_dir: str):
         F.col("doc_id").alias("media_id"),
         F.expr("encode(text, 'UTF-8')").alias("tb"),
     )
+    # the encode fixture fans out CPU-bound JPEG-encode work per doc;
+    # a single-file scan would pin it (and everything downstream) to
+    # one core — spread the narrow (id, text) rows BEFORE the fan-out
+    # (same guard as video_frame_features; measured 28x at sf0.1)
+    sc = spark.sparkContext
+    if raw.rdd.getNumPartitions() < sc.defaultParallelism:
+        raw = raw.repartition(sc.defaultParallelism, "media_id")
 
     def encode(batches):
         from ..operators.jpeg import encode_jpeg
