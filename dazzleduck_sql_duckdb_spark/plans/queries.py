@@ -1992,16 +1992,9 @@ FROM (SELECT doc_id, {h} AS h FROM documents) t
 """
 
 
-@q("cross_source_contamination")
-def _contamination(d: str) -> str:
-    """Train/test decontamination check: count distinct token 8-grams
-    shared between each pair of sources. The standard n-gram-overlap
-    contamination test, expressed as a self-join on hashed grams.
-
-    Scale: grams are deduped per (source, gram) BEFORE the join, and the
-    join key is the 60-bit gram hash (8-byte exchange rows, never gram
-    text). The output is |sources|² rows at most. At 100 TB the gram
-    dedup is the big shuffle; it partial-aggregates map-side."""
+def _contam_exploded(d: str) -> tuple[str, str]:
+    """(per-source 8-gram subquery, gram-hash expr) shared by the
+    one-mask and chunked-mask contamination forms."""
     tk = D.tokens("text", d)
     n = 8
     # Same Generate pitfall as text_repetition: posexplode the raw
@@ -2022,7 +2015,24 @@ SELECT source, unnest(gs) AS g
 FROM (SELECT source, {grams} AS gs
       FROM (SELECT source, {tk} AS tks FROM documents) i
       WHERE {D.lsize('tks', d)} >= {n}) b"""
-    gh = D.hash60("g", d)
+    return exploded, D.hash60("g", d)
+
+
+@q("cross_source_contamination")
+def _contamination(d: str) -> str:
+    """Train/test decontamination check: count distinct token 8-grams
+    shared between each pair of sources. The standard n-gram-overlap
+    contamination test, expressed as a self-join on hashed grams.
+
+    Scale: grams are deduped per (source, gram) BEFORE the join, and the
+    join key is the 60-bit gram hash (8-byte exchange rows, never gram
+    text). The output is |sources|² rows at most. At 100 TB the gram
+    dedup is the big shuffle; it partial-aggregates map-side.
+
+    The Spark side is builder-dispatched (_build_contamination): ≤62
+    distinct sources run this one-BIGINT-mask form; more run the
+    chunked-mask generalization (_contamination_chunked_sql)."""
+    exploded, gh = _contam_exploded(d)
     if d == SPARK:
         # Spark plans a CTE self-join as TWO full explode+distinct
         # subtrees (no exchange reuse once one side broadcasts), so
@@ -2088,6 +2098,73 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM grams a JOIN grams b ON a.gh = b.gh AND a.source < b.source
 GROUP BY a.source, b.source
 """
+
+
+def _contamination_chunked_sql() -> str:
+    """The >62-source generalization the one-mask form's assert points
+    at (r7 verdict stretch directive): sources are densely numbered as
+    before, then split into 62-bit CHUNKS (chunk = sid DIV 62, bit =
+    sid % 62); the per-gram aggregate groups by (gh, chunk) so each
+    gram carries one bounded-width mask row PER CHUNK it touches.
+    Pair counts need cross-chunk pairs, so the tiny-table trick
+    changes shape: gm self-joins on gh with chunk_a <= chunk_b
+    (<= ceil(S/62)^2 rows per gram — 4 rows at 124 sources), the
+    (chunk, mask, chunk, mask) combos collapse into a bounded mp
+    table, and the bit-test joins against the sid dim run per chunk.
+    Same-chunk pairs come from a row paired with itself; cross-chunk
+    source order is implied by chunk order (sid order == source
+    order) but the sa.source < sb.source predicate is kept explicit.
+
+    Trade vs the one-mask form, and why BOTH exist: the self-join on
+    gh re-shuffles the per-gram mask table once more than the one-mask
+    form's plain GROUP BY mask — measured ~2x wall at sf0.1 — so the
+    builder only takes this path when the mask genuinely can't fit
+    one BIGINT. Shuffles still carry 8-byte hashes + masks, never
+    gram text."""
+    exploded, gh = _contam_exploded(SPARK)
+    return f"""
+WITH sid AS (
+  SELECT source, sid, CAST(sid DIV 62 AS INT) AS chunk,
+         CAST(sid % 62 AS INT) AS bit
+  FROM (
+    SELECT source,
+      CAST(row_number() OVER (ORDER BY source) AS INT) - 1 AS sid
+    FROM (SELECT DISTINCT source FROM documents) s) t
+),
+gm AS (
+  SELECT gh, sid.chunk AS chunk,
+         bit_or(shiftleft(CAST(1 AS BIGINT), sid.bit)) AS mask
+  FROM (SELECT source, {gh} AS gh FROM ({exploded}) e) g
+  JOIN sid ON g.source = sid.source
+  GROUP BY gh, sid.chunk
+),
+mp AS (
+  SELECT a.chunk AS ca, a.mask AS ma, b.chunk AS cb, b.mask AS mb,
+         CAST(count(*) AS BIGINT) AS c
+  FROM gm a JOIN gm b ON a.gh = b.gh AND a.chunk <= b.chunk
+  GROUP BY a.chunk, a.mask, b.chunk, b.mask
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+  CAST(sum(mp.c) AS BIGINT) AS shared_ngrams
+FROM mp
+JOIN sid sa ON sa.chunk = mp.ca AND ((mp.ma >> sa.bit) & 1) = 1
+JOIN sid sb ON sb.chunk = mp.cb AND ((mp.mb >> sb.bit) & 1) = 1
+  AND sa.source < sb.source
+GROUP BY sa.source, sb.source
+"""
+
+
+def _build_contamination(spark, sf_dir: str | None = None):
+    """Route cross_source_contamination by provenance-label count:
+    the one-BIGINT-mask fast path when every source fits one mask,
+    the chunked-mask path past 62 (where the fast path's assert_true
+    would raise). The count probe is a ~|sources|-row aggregate."""
+    n = spark.sql(
+        "SELECT count(DISTINCT source) AS n FROM documents"
+    ).collect()[0][0]
+    if n <= 62:
+        return spark.sql(spark_sql_for("cross_source_contamination"))
+    return spark.sql(_contamination_chunked_sql())
 
 
 @q("dedup_exact_substring")
@@ -2438,6 +2515,7 @@ SPARK_BUILDERS: dict[str, Callable] = {
     "dedup_minhash_lsh": _build_minhash_df,
     "dedup_minhash_auto": _build_minhash_auto_df,
     "dedup_minhash_recall_held": _build_minhash_recall_held_df,
+    "cross_source_contamination": _build_contamination,
 }
 
 # ======================================================= remote-source queries
