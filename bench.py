@@ -40,8 +40,15 @@ BENCH_QUERIES = [
     "q5_regional_volume",
     "q7_volume_shipping",
     "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
     "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
     "q18_large_volume",
+    "q22_sales_opportunity",
     "orders_group_agg",
     "join_region_rollup",
     "window_topk_per_group",

@@ -1010,6 +1010,196 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
 """
 
 
+@q("q9_product_profit")
+def _q9(d: str) -> str:
+    """TPC-H Q9 shape (product-type profit measure): 5-table join,
+    LIKE-filtered part dimension, profit grouped by nation and year.
+    Adaptation for this corpus' schema (no partsupp table — see
+    TESTDATA.md): supply cost is the part's catalog price times
+    quantity, so profit = revenue - catalog cost; the join/aggregate
+    SHAPE (fact x 4 broadcast dims, computed measure, two-level
+    group) is the point of the query. Both measures are exact-decimal
+    summed and rounded separately BEFORE the double subtraction, so
+    the result hash never sees engine-specific decimal-multiply
+    precision rules."""
+    cost = (
+        "CAST(p.p_retailprice AS DECIMAL(18,4))"
+        " * CAST(l.l_quantity AS DECIMAL(18,4))"
+    )
+    return f"""
+SELECT n.n_name AS nation,
+  CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+  CAST(round(
+    CAST(CAST(round(sum({_REV}), 4) AS DECIMAL(38,4)) AS DOUBLE)
+    - CAST(CAST(round(sum({cost}), 4) AS DECIMAL(38,4)) AS DOUBLE),
+    4) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+"""
+
+
+@q("q12_priority_shipping")
+def _q12(d: str) -> str:
+    """TPC-H Q12 shape (shipping-mode priority classes): lineitem x
+    orders with conditional-aggregate CASE counts of high- vs
+    low-priority orders per class, over a one-year window.
+    Adaptation: the class column is l_linestatus (the corpus has no
+    l_shipmode) and the window predicate is on l_shipdate (no
+    commit/receipt dates); the high-priority set is the kit's."""
+    return """
+SELECT l.l_linestatus,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+
+@q("q13_customer_distribution")
+def _q13(d: str) -> str:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    so zero-order customers survive into the c_count=0 bucket, then a
+    second aggregation histograms customers per order count — the
+    double-aggregation-over-outer-join shape. Adaptation: the
+    excluded-orders predicate is an o_orderpriority class (the corpus
+    has no o_comment)."""
+    return """
+WITH c_orders AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@q("q15_top_supplier")
+def _q15(d: str) -> str:
+    """TPC-H Q15 (top supplier): quarterly per-supplier revenue with a
+    scalar-subquery max and an equality join back — the
+    view-plus-argmax shape. The revenue compare happens in the EXACT
+    rounded DECIMAL(38,4) domain (tie-safe and engine-independent);
+    only the output column degrades to DOUBLE."""
+    return f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(round(sum({_REV}), 4) AS DECIMAL(38,4)) AS total_revenue
+  FROM lineitem l
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+  CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@q("q16_supplier_cnt")
+def _q16(d: str) -> str:
+    """TPC-H Q16 shape (parts/supplier relationship): count DISTINCT
+    suppliers per (brand, type, size) bucket, excluding a
+    subquery-derived supplier blacklist via NOT IN — the
+    anti-join-into-count-distinct shape. Adaptation: supplier-part
+    pairs come from lineitem (no partsupp table) and the blacklist
+    predicate is an s_acctbal threshold (no s_comment)."""
+    return """
+SELECT p.p_brand, p.p_type, p.p_size,
+  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 500.0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@q("q17_small_quantity")
+def _q17(d: str) -> str:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost to
+    orders below 20% of a part's average quantity — the
+    correlated-average shape, decorrelated into a per-part aggregate
+    join (what both planners do to the kit's subquery anyway). The
+    threshold compare 'qty < 0.2 * avg' is algebraized to the EXACT
+    integer-decimal form 5 * qty * cnt < total (quantities are
+    integral, summed as DECIMAL), so no engine's double avg sits on
+    the boundary."""
+    return """
+WITH pq AS (
+  SELECT l_partkey,
+    CAST(count(*) AS DECIMAL(18,0)) AS cnt,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      AS total
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(round(
+    CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2)
+         AS DECIMAL(38,2)) AS DOUBLE) / 7.0, 6) AS DOUBLE)
+  AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+  AND CAST(l.l_quantity AS DECIMAL(18,2)) * pq.cnt * 5 < pq.total
+"""
+
+
+@q("q22_sales_opportunity")
+def _q22(d: str) -> str:
+    """TPC-H Q22 (global sales opportunity): positive-balance
+    customers above the average balance with no recent orders,
+    bucketed — the anti-join + scalar-average shape. Adaptations: the
+    bucket is the customer's nation (no c_phone to prefix) and
+    'never ordered' is 'no orders since 1999' (every corpus customer
+    has old orders). The average-balance threshold compares in the
+    EXACT decimal domain (bal * cnt > total), never through a double
+    average."""
+    return """
+WITH pos AS (
+  SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_custkey, c_nationkey
+  FROM customer WHERE c_acctbal > 0.0
+),
+thr AS (
+  SELECT CAST(count(*) AS DECIMAL(18,0)) AS cnt,
+    CAST(sum(bal) AS DECIMAL(38,2)) AS total
+  FROM pos
+)
+SELECT n.n_name AS cntrycode,
+  CAST(count(*) AS BIGINT) AS numcust,
+  CAST(CAST(sum(p.bal) AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
+FROM pos p CROSS JOIN thr t
+JOIN nation n ON n.n_nationkey = p.c_nationkey
+WHERE p.bal * t.cnt > t.total
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = p.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  )
+GROUP BY n.n_name
+"""
+
+
 @q("events_sessionize_native")
 def _sessionize_native(d: str) -> str:
     """Oracle for the native session_window operator (streaming/pipeline
@@ -3671,8 +3861,20 @@ def oracle_sql_for(name: str) -> str:
 #       ivfpq twins), q4_order_priority (EXISTS path: semi_anti_join
 #       in-window), window_topk_per_group (window path:
 #       orders_running_totals in-window + WindowGroupLimit plan test).
-#       New catalog entries added during round 8 displace this fill
-#       list from the bottom, recorded here. 22 + 11 + 17 = 50.
+#       AMENDED again when the seven new TPC-H entries landed
+#       (q9/q12/q13/q15/q16/q17/q22): changed set 29, fill 10. The
+#       seven additional r6 displacements, each with an in-window kin
+#       on the same code path: nation_presence_full_join (outer-join
+#       path: q13's LeftOuter + customer_orders_left_join in-window),
+#       scalar_subquery_filter (scalar-subquery path: q15/q22
+#       in-window), semi_anti_join (anti-join path: q22's LeftAnti
+#       in-window; q4's semi pinned by plan test), events_count_distinct
+#       (count-distinct path: q16 in-window), part_brand_stats
+#       (part-dim aggregation: q16 in-window), q18_large_volume
+#       (TPC-H join path: six TPC-H entries in-window + its own
+#       single-scan plan test), multimodal_jpeg_features (jpeg decode
+#       path: multimodal_video_frames in-window runs the same
+#       decoder). 29 + 11 + 10 = 50.
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
@@ -3708,6 +3910,16 @@ _GATE_WINDOW = [
     "text_quality",
     "text_repetition",
     "text_token_stats",
+    #    NEW round-8 entries (TPC-H suite completion over the corpus
+    #    schema: q2/q11/q20 are partsupp-centric and stay out of
+    #    scope — TESTDATA.md ships no partsupp table):
+    "q9_product_profit",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q22_sales_opportunity",
     # -- (b) the full r5-vintage cohort (oldest in GATE_AGE.md)
     "lineitem_projection",
     "dd_search_marker",
@@ -3722,20 +3934,13 @@ _GATE_WINDOW = [
     "q14_promo_effect",
     # -- (c) r6-vintage fill (see displacement notes above)
     "embed_ann_ivf_fullprobe",
-    "events_count_distinct",
     "events_funnel",
     "events_orders_asof_join",
     "events_sessionize",
     "lineitem_range_filter",
-    "multimodal_jpeg_features",
-    "nation_presence_full_join",
     "null_laws",
     "orders_cube",
     "orders_set_ops",
-    "part_brand_stats",
-    "q18_large_volume",
-    "scalar_subquery_filter",
-    "semi_anti_join",
     "simhash_values",
     "try_cast_matrix",
 ]

@@ -104,6 +104,11 @@ def test_gate_window_covers_every_family():
         "text_quality",
         "text_repetition",
         "text_token_stats",
+        # new round-8 TPC-H entries
+        "q9_product_profit", "q12_priority_shipping",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q16_supplier_cnt", "q17_small_quantity",
+        "q22_sales_opportunity",
     }
     r5_cohort = {
         "lineitem_projection", "dd_search_marker", "q6_revenue",
@@ -112,13 +117,10 @@ def test_gate_window_covers_every_family():
         "customer_orders_left_join", "q14_promo_effect",
     }
     r6_fill = {
-        "embed_ann_ivf_fullprobe", "events_count_distinct",
-        "events_funnel", "events_orders_asof_join", "events_sessionize",
-        "lineitem_range_filter", "multimodal_jpeg_features",
-        "nation_presence_full_join", "null_laws", "orders_cube",
-        "orders_set_ops", "part_brand_stats", "q18_large_volume",
-        "scalar_subquery_filter", "semi_anti_join", "simhash_values",
-        "try_cast_matrix",
+        "embed_ann_ivf_fullprobe", "events_funnel",
+        "events_orders_asof_join", "events_sessionize",
+        "lineitem_range_filter", "null_laws", "orders_cube",
+        "orders_set_ops", "simhash_values", "try_cast_matrix",
     }
     in_window = set(window)
     for group, names in [

@@ -91,7 +91,9 @@ def test_tpch_joins_never_nested_loop_on_fact(plans):
     for name in [
         "q3_shipping_priority", "q4_order_priority", "q5_regional_volume",
         "q10_returned_items", "q14_promo_effect", "q18_large_volume",
-        "q19_disjunctive_join",
+        "q19_disjunctive_join", "q9_product_profit",
+        "q12_priority_shipping", "q13_customer_distribution",
+        "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
     ]:
         p = plans(name)
         assert "CartesianProduct" not in p, name
@@ -238,3 +240,29 @@ def test_perplexity_broadcasts_counts_stays_jvm(plans):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "partial_count" in p
+
+
+def test_q17_decorrelated_single_fact_pattern(plans):
+    """Q17's correlated-average threshold must run as ONE per-part
+    aggregate hash-joined back — no per-row subquery re-execution
+    (no nested-loop anything) and the threshold compare stays in the
+    decimal domain on the JVM."""
+    p = plans("q17_small_quantity")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_q22_anti_join_not_per_row_subquery(plans):
+    """Q22's NOT EXISTS must decorrelate to an anti join; the scalar
+    threshold is a one-row broadcast, not a recomputed subquery."""
+    p = plans("q22_sales_opportunity")
+    assert "LeftAnti" in p
+    assert "EvalPython" not in p
+
+
+def test_q13_outer_join_keeps_zero_order_bucket(plans):
+    """Q13's LEFT OUTER must survive planning as an outer hash join
+    (an inner rewrite would silently drop the c_count=0 bucket)."""
+    p = plans("q13_customer_distribution")
+    assert "LeftOuter" in p
