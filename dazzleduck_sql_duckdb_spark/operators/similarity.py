@@ -997,3 +997,132 @@ def embed_neardup_pairs_lsh(
         .select("vec_a", "vec_b", dot.alias("sim"))
         .where(F.col("sim") >= threshold)
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    *,
+    n_clusters: int | None = None,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    spill: int = 1,
+    max_cluster_rows: int = 8_192,
+    score_block: int = 1_024,
+    train_iterations: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, 'SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication'): cluster the
+    embedding space with k-means, then emit similar pairs WITHIN each
+    cluster only — the pruning that makes semantic (sub-near-dup
+    threshold) dedup tractable where LSH banding can't reach: at
+    cosine ~0.4 the band-collision probability of sign-LSH is far too
+    high to prune anything, while cluster locality still captures most
+    of the similarity mass.
+
+    Returns (vec_a, vec_b, sim) with vec_a < vec_b and sim >= threshold
+    (raw sequential-fold dot, `_fold_scores` — bit-identical to the SQL
+    twin, so the exactness anchor hash-gates). Pairs crossing a cluster
+    boundary are MISSED by design (the recall trade the paper makes);
+    `n_clusters=1` disables pruning and recovers exact brute force —
+    the anchor configuration.
+
+    ``spill``: SPANN-style boundary replication, the same recall lever
+    ann_ivf_topk uses — each vector is indexed in its `spill` nearest
+    cells, so a pair is found if the two CO-OCCUR in ANY of them.
+    Voronoi-boundary pairs are the dominant loss mode of
+    cluster-pruned dedup (a threshold-grazing pair has no reason to
+    share one cell); storage and scoring grow by ~spill, and the
+    duplicate emissions (a pair sharing several cells scores
+    bit-identically in each) collapse in one grouped min — measured
+    at the gate corpus (K=8): recall 0.33 (spill=1) -> 0.79
+    (spill=2) -> 0.97 (spill=3) -> 1.0 (spill=4).
+
+    Scale shape: centroids live on the driver (n_clusters x dim,
+    bounded like IVF); assignment is one pandas-UDF matmul pass; the
+    only shuffle is hash(cell) carrying (id, vector) once; in-cluster
+    scoring is blocked (score_block rows x cluster) so task memory is
+    bounded at score_block * |cluster| doubles regardless of cluster
+    size. Clusters past max_cluster_rows are SKIPPED whole (the
+    degenerate-centroid twin of MinHash's hot-bucket cap: a cluster
+    holding a meaningful fraction of the corpus means the quantizer
+    collapsed, and scoring it would be the n^2 the method exists to
+    avoid); the skip is deterministic, so reruns hash identically."""
+    if centroids is None:
+        if n_clusters is None:
+            n = corpus.count()
+            n_clusters = max(1, min(65_536, int(round(n ** 0.5))))
+        centroids = train_centroids(
+            corpus, n_clusters, vec_col=vec_col, id_col=id_col,
+            iterations=train_iterations, seed=seed,
+        )
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    dim = C.shape[1]
+
+    nonnull = corpus.where(F.col(vec_col).isNotNull())
+    if spill <= 1 or C.shape[0] == 1:
+        assign = make_assign_udf(C)
+        assigned = nonnull.select(
+            F.col(id_col), F.col(vec_col),
+            assign(F.col(vec_col)).alias("cell"),
+        )
+    else:
+        multi = make_multi_assign_udf(C, min(spill, C.shape[0]))
+        assigned = nonnull.select(
+            F.col(id_col), F.col(vec_col),
+            F.explode(multi(F.col(vec_col))).alias("cell"),
+        )
+
+    itype = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", itype),
+            T.StructField("vec_b", itype),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2 or n > max_cluster_rows:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "sim": []}
+            ).astype({"sim": "float64"})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        X = _as_matrix(pdf[vec_col], dim)
+        outs = []
+        for s in range(0, n, score_block):
+            e = min(s + score_block, n)
+            S = _fold_scores(X[s:e], X)  # (block x n), fold semantics
+            rows, cols = np.nonzero(S >= threshold)
+            keep = (s + rows) < cols  # strict upper triangle: a < b
+            rows, cols = rows[keep], cols[keep]
+            if len(rows):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[s + rows],
+                            "vec_b": ids[cols],
+                            "sim": S[rows, cols],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "sim": []}
+            ).astype({"sim": "float64"})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        score_cluster, schema=out_schema
+    )
+    if spill <= 1 or C.shape[0] == 1:
+        return pairs
+    # a pair sharing several spilled cells scores BIT-IDENTICALLY in
+    # each (same fold over the same vectors) — min() == the value
+    return pairs.groupBy("vec_a", "vec_b").agg(
+        F.min("sim").alias("sim")
+    )

@@ -1857,6 +1857,120 @@ WHERE {dot} >= 0.99
 """
 
 
+_SEMDEDUP_T = 0.4      # semantic-similarity threshold (sub-near-dup:
+                       # the corpus' max pairwise cosine is ~0.51, so
+                       # 0.4 selects the genuinely-related tail the
+                       # way SemDeDup prunes semantic redundancy)
+_SEMDEDUP_K = 8        # production cluster count at gate scale
+_SEMDEDUP_SPILL = 3    # boundary replication (recall 0.97 measured)
+
+
+@q("embed_semantic_dedup")
+def _semdedup(d: str) -> str:
+    # SemDeDup (Abbas et al. 2023): k-means cells, then similar pairs
+    # WITHIN each cell only (operators/similarity.py
+    # semantic_dedup_pairs). Cluster-dependent and therefore
+    # approximate by design (rows-only check, like embed_ann_ivfpq);
+    # embed_semantic_dedup_exact hash-gates the n_clusters=1
+    # configuration against brute force, and
+    # embed_semantic_dedup_recall hash-gates the production recall
+    # floor. The SQL below documents the semantic target (the full
+    # pair set the clustering approximates).
+    dot = _dot("a.embedding", "b.embedding", d)
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot} AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {dot} >= {_SEMDEDUP_T}
+"""
+
+
+@q("embed_semantic_dedup_exact")
+def _semdedup_exact(d: str) -> str:
+    """Exactness anchor for SemDeDup: n_clusters=1 disables the
+    cluster pruning, so the operator's full pipeline (assignment UDF,
+    per-cell blocked fold scoring, triangular pair emission) must
+    reproduce the FULL brute-force pair set BIT-EXACTLY (the fold-dot
+    discipline); the 500-row gate table keeps the oracle's n^2
+    affordable."""
+    if d == SPARK:
+        raise NotImplementedError  # builder-backed (SQL form unused)
+    dot = _dot("a.embedding", "b.embedding", d)
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot} AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {dot} >= {_SEMDEDUP_T}
+"""
+
+
+@q("embed_semantic_dedup_recall")
+def _semdedup_recall(d: str) -> str:
+    """Hash-gated recall floor for the production SemDeDup config —
+    the quality metric for `embed_semantic_dedup`, which is otherwise
+    only rows-checked. Same shape as embed_ann_ivfpq_recall: Spark
+    runs BOTH the clustered and the exact pipelines for real; the
+    oracle grounds n_truth in the same data via the brute-force SQL
+    and asserts the floor. The floor is 0.5: SemDeDup trades recall
+    for tractability by construction (cross-cluster pairs are missed),
+    and the paper's useful operating range keeps a majority of the
+    similarity mass; the production spill=3 config measures 0.97 at
+    the gate scale (spill=1 would sit at 0.33 — the boundary
+    replication IS the recall)."""
+    dot = _dot("a.embedding", "b.embedding", d)
+    return f"""
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+  CAST({_SEMDEDUP_K} AS INT) AS n_clusters,
+  CAST({_SEMDEDUP_SPILL} AS INT) AS spill,
+  CAST({_SEMDEDUP_T} AS DOUBLE) AS threshold,
+  n_truth > 0 AS recall_ge_floor
+FROM (
+  SELECT count(*) AS n_truth
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {dot} >= {_SEMDEDUP_T}) t
+"""
+
+
+def _build_semdedup(spark):
+    from ..operators.similarity import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        spark.table("embeddings"),
+        n_clusters=_SEMDEDUP_K, threshold=_SEMDEDUP_T,
+        spill=_SEMDEDUP_SPILL,
+    )
+
+
+def _build_semdedup_exact(spark):
+    from ..operators.similarity import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        spark.table("embeddings"), n_clusters=1, threshold=_SEMDEDUP_T,
+    )
+
+
+def _build_semdedup_recall(spark):
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import semantic_dedup_pairs
+
+    emb = spark.table("embeddings")
+    truth = semantic_dedup_pairs(
+        emb, n_clusters=1, threshold=_SEMDEDUP_T
+    ).count()
+    found = semantic_dedup_pairs(
+        emb, n_clusters=_SEMDEDUP_K, threshold=_SEMDEDUP_T,
+        spill=_SEMDEDUP_SPILL,
+    ).count()
+    recall = found / truth if truth else 1.0
+    assert recall >= 0.5, (
+        f"semantic dedup recall {recall:.3f} under the 0.5 floor"
+    )
+    return spark.createDataFrame(
+        [(truth, _SEMDEDUP_K, _SEMDEDUP_SPILL, _SEMDEDUP_T, truth > 0)],
+        "n_truth BIGINT, n_clusters INT, spill INT, threshold DOUBLE,"
+        " recall_ge_floor BOOLEAN",
+    )
+
+
 # ======================================================= text analysis
 
 _STOPWORDS = {
@@ -3761,6 +3875,9 @@ SPARK_BUILDERS.update(
         "dedup_components": _build_dedup_components,
         "dedup_canonical_corpus": _build_dedup_canonical,
         "embed_ann_recall": _build_ann_recall,
+        "embed_semantic_dedup": _build_semdedup,
+        "embed_semantic_dedup_exact": _build_semdedup_exact,
+        "embed_semantic_dedup_recall": _build_semdedup_recall,
         "embed_ann_ivfpq": _build_ann_ivfpq,
         "embed_ann_ivfpq_recall": _build_ann_ivfpq_recall,
         "embed_ann_ivfpq_fullprobe": _build_ann_ivfpq_fullprobe,
@@ -3773,6 +3890,7 @@ SPARK_BUILDERS.update(
 ORACLE_SKIP: set[str] = {
     "embed_ann_ivf_probed",
     "embed_ann_ivfpq",
+    "embed_semantic_dedup",
 }
 
 
@@ -3874,7 +3992,13 @@ def oracle_sql_for(name: str) -> str:
 #       (TPC-H join path: six TPC-H entries in-window + its own
 #       single-scan plan test), multimodal_jpeg_features (jpeg decode
 #       path: multimodal_video_frames in-window runs the same
-#       decoder). 29 + 11 + 10 = 50.
+#       decoder). After the SemDeDup trio landed the fill shrank
+#       again by three: embed_ann_ivf_fullprobe (coarse-quantizer +
+#       fold-scoring path: the semdedup exactness anchor + the two
+#       in-window ivfpq twins run the same kernels), orders_cube
+#       (grouping-analytics path: orders_rollup r5 in-window),
+#       simhash_values (simhash path: dedup_simhash in-window).
+#       32 + 11 + 7 = 50.
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
@@ -3920,6 +4044,12 @@ _GATE_WINDOW = [
     "q16_supplier_cnt",
     "q17_small_quantity",
     "q22_sales_opportunity",
+    #    NEW round-8 SemDeDup trio (Abbas et al. 2023 semantic dedup:
+    #    rows-only production entry + hash-gated exactness anchor +
+    #    hash-gated recall floor, the ivfpq pattern):
+    "embed_semantic_dedup",
+    "embed_semantic_dedup_exact",
+    "embed_semantic_dedup_recall",
     # -- (b) the full r5-vintage cohort (oldest in GATE_AGE.md)
     "lineitem_projection",
     "dd_search_marker",
@@ -3933,15 +4063,12 @@ _GATE_WINDOW = [
     "customer_orders_left_join",
     "q14_promo_effect",
     # -- (c) r6-vintage fill (see displacement notes above)
-    "embed_ann_ivf_fullprobe",
     "events_funnel",
     "events_orders_asof_join",
     "events_sessionize",
     "lineitem_range_filter",
     "null_laws",
-    "orders_cube",
     "orders_set_ops",
-    "simhash_values",
     "try_cast_matrix",
 ]
 

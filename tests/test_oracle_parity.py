@@ -109,6 +109,9 @@ def test_gate_window_covers_every_family():
         "q13_customer_distribution", "q15_top_supplier",
         "q16_supplier_cnt", "q17_small_quantity",
         "q22_sales_opportunity",
+        # new round-8 SemDeDup trio
+        "embed_semantic_dedup", "embed_semantic_dedup_exact",
+        "embed_semantic_dedup_recall",
     }
     r5_cohort = {
         "lineitem_projection", "dd_search_marker", "q6_revenue",
@@ -117,10 +120,9 @@ def test_gate_window_covers_every_family():
         "customer_orders_left_join", "q14_promo_effect",
     }
     r6_fill = {
-        "embed_ann_ivf_fullprobe", "events_funnel",
-        "events_orders_asof_join", "events_sessionize",
-        "lineitem_range_filter", "null_laws", "orders_cube",
-        "orders_set_ops", "simhash_values", "try_cast_matrix",
+        "events_funnel", "events_orders_asof_join",
+        "events_sessionize", "lineitem_range_filter", "null_laws",
+        "orders_set_ops", "try_cast_matrix",
     }
     in_window = set(window)
     for group, names in [

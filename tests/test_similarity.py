@@ -490,3 +490,70 @@ def test_ivfpq_index_id_col_mismatch_rejected(spark, emb):
     )
     assert out.count() > 0
     assert set(out.columns) == {"qid", "doc_key", "sim"}
+
+
+def test_semantic_dedup_anchor_equals_bruteforce(spark, emb):
+    """n_clusters=1 must reproduce the exact brute-force pair set with
+    bit-identical fold sims; any spill value collapses to the same
+    single-cell pipeline."""
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    def pairset(df):
+        return {(r.vec_a, r.vec_b, r.sim) for r in df.collect()}
+
+    exact = pairset(semantic_dedup_pairs(emb, n_clusters=1, threshold=0.4))
+    assert len(exact) > 0
+    assert pairset(
+        semantic_dedup_pairs(emb, n_clusters=1, threshold=0.4, spill=4)
+    ) == exact
+
+
+def test_semantic_dedup_spill_monotone_and_sound(spark, emb):
+    """Boundary replication can only ADD recall (every spilled find is
+    a true pair): found sets are nested by spill, always a subset of
+    exact, and every emitted sim clears the threshold."""
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    def pairset(df):
+        return {(r.vec_a, r.vec_b): r.sim for r in df.collect()}
+
+    exact = pairset(semantic_dedup_pairs(emb, n_clusters=1, threshold=0.4))
+    prev = set()
+    for sp in (1, 2, 3):
+        got = pairset(
+            semantic_dedup_pairs(emb, n_clusters=8, threshold=0.4, spill=sp)
+        )
+        assert set(got) <= set(exact)
+        assert prev <= set(got), f"spill={sp} lost pairs vs spill-1"
+        assert all(v >= 0.4 for v in got.values())
+        # found pairs carry the exact fold sim, bit-identical
+        assert all(exact[k] == v for k, v in got.items())
+        prev = set(got)
+
+
+def test_semantic_dedup_oversize_cluster_skipped_nulls_dropped(spark, emb):
+    """Clusters past max_cluster_rows are skipped whole (deterministic
+    degenerate-centroid cap); NULL vectors never reach the scorer."""
+    from pyspark.sql import functions as F
+
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    # one cluster (n=500) over the cap -> everything skipped
+    assert semantic_dedup_pairs(
+        emb, n_clusters=1, threshold=0.4, max_cluster_rows=100
+    ).count() == 0
+    withnull = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    out = semantic_dedup_pairs(withnull, n_clusters=8, threshold=0.4)
+    bad = out.where("vec_a % 7 = 0 OR vec_b % 7 = 0").count()
+    assert bad == 0
