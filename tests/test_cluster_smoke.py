@@ -41,6 +41,7 @@ CLUSTER_ENTRIES = [
     "multimodal_jpeg_features",
     "multimodal_video_frames",  # mjpeg mux/demux + per-frame decode
     "text_perplexity",  # broadcast vocab counts over worker JVMs
+    "embed_semantic_dedup",  # centroid closure + applyInPandas cells
     "q1_pricing_summary",
 ]
 
