@@ -1948,8 +1948,6 @@ def _build_semdedup_exact(spark):
 
 
 def _build_semdedup_recall(spark):
-    from pyspark.sql import functions as F
-
     from ..operators.similarity import semantic_dedup_pairs
 
     emb = spark.table("embeddings")
