@@ -153,6 +153,30 @@ PIPELINES = [
     "dedup_exact_substring",
 ]
 
+# semantic dedup runs OUTSIDE the catalog config: the catalog pins
+# K=8 for the sf-scale gate, but at proof sizes the scale knob is
+# CONSTANT CELL SIZE (K = n/1024), not sqrt(n) cells — within-cell
+# scoring is n * cell_rows * spill, so constant cells give linear
+# compute where sqrt sizing would give n^1.5 (the sizing note in the
+# semantic_dedup_pairs docstring; exactly why IVF sizes by sqrt(N)
+# [probe count] and SemDeDup must not).
+SEMDEDUP_PIPELINE = "embed_semantic_dedup"
+
+
+def _proof_semdedup(spark, sf_dir: str):
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    k = max(4, n // 1024)
+    print(f"# {SEMDEDUP_PIPELINE}: n={n} -> n_clusters={k} (spill=3)",
+          file=sys.stderr)
+    return semantic_dedup_pairs(
+        emb, n_clusters=k, threshold=0.4, spill=3
+    )
+
 
 def _proof_dedup(name: str):
     """Operator-level twin of the catalog dedup entries with the
@@ -567,6 +591,7 @@ def main() -> int:
     queries = E.queries()
     runners = {n: _proof_dedup(n) for n in DEDUP_PIPELINES}
     runners.update({n: queries[n] for n in PIPELINES})
+    runners[SEMDEDUP_PIPELINE] = _proof_semdedup
     t_small = run_at(spark, dirs["small"], runners=runners)
     t_big = run_at(spark, dirs["big"], runners=runners)
 
@@ -582,7 +607,7 @@ def main() -> int:
     }
     print(f"\n| pipeline | t({small}) s | t({big}) s | exponent |")
     print("|---|---|---|---|")
-    for name in [*DEDUP_PIPELINES, *PIPELINES]:
+    for name in [*DEDUP_PIPELINES, *PIPELINES, SEMDEDUP_PIPELINE]:
         a, b = t_small[name], t_big[name]
         if name.startswith("embed_ann"):
             a, b = a / n_queries["small"], b / n_queries["big"]
