@@ -1045,7 +1045,18 @@ def semantic_dedup_pairs(
     only shuffle is hash(cell) carrying (id, vector) once; in-cluster
     scoring is blocked (score_block rows x cluster) so task memory is
     bounded at score_block * |cluster| doubles regardless of cluster
-    size. Clusters past max_cluster_rows are SKIPPED whole (the
+    size.
+
+    SIZING AT SCALE: pick n_clusters for CONSTANT CELL ROWS
+    (n_clusters ~ n / target_cell_rows), not the IVF-style sqrt(n) —
+    within-cell scoring costs n * cell_rows * spill, so constant
+    cells keep compute linear in the corpus where sqrt sizing gives
+    n^1.5 (IVF sizes by sqrt(N) because ITS scale knob is probe
+    count per query; pair scoring has no probe side). The default
+    sqrt sizing here is for small evaluation corpora; the measured
+    exponent at K = n/1024 is e = 1.19 over 25k -> 250k on
+    unstructured random vectors (BENCH_NOTES r8), output-term
+    included. Clusters past max_cluster_rows are SKIPPED whole (the
     degenerate-centroid twin of MinHash's hot-bucket cap: a cluster
     holding a meaningful fraction of the corpus means the quantizer
     collapsed, and scoring it would be the n^2 the method exists to
