@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_components",
     "dedup_canonical_corpus",
+    "dedup_exact_substring",
     "embed_knn_bruteforce",
     "text_langid",
     "text_quality",
