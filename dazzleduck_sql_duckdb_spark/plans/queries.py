@@ -2099,6 +2099,30 @@ GROUP BY t.doc_id
 """
 
 
+@q("text_perplexity_static_lm")
+def _perplexity_static(d: str) -> str:
+    """The STREAMING formulation of the perplexity filter under the
+    hash gate (streaming/quality.py): scores are computed per row by a
+    higher-order fold over the token array against a literal
+    vocabulary map — the stateless train-once/score-many shape a
+    document stream needs (no stream-side aggregate, no watermark),
+    with the LM trained on the same corpus so the DuckDB oracle is the
+    batch formulation itself. The stream==batch lifecycle (multi-batch
+    arrival independence, filter semantics) is pinned in
+    tests/test_streaming_quality.py; this entry pins the VALUES of the
+    shared expressions cross-engine."""
+    if d == SPARK:
+        raise NotImplementedError  # builder-backed (SQL form unused)
+    return _perplexity(d)
+
+
+def _build_perplexity_static(spark):
+    from ..streaming.quality import build_unigram_lm, perplexity_scores
+
+    docs = spark.table("documents")
+    return perplexity_scores(docs, build_unigram_lm(docs))
+
+
 @q("text_fingerprint")
 def _fingerprint(d: str) -> str:
     norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')" if d == SPARK \
@@ -3874,6 +3898,7 @@ SPARK_BUILDERS.update(
         "dedup_canonical_corpus": _build_dedup_canonical,
         "embed_ann_recall": _build_ann_recall,
         "embed_semantic_dedup": _build_semdedup,
+        "text_perplexity_static_lm": _build_perplexity_static,
         "embed_semantic_dedup_exact": _build_semdedup_exact,
         "embed_semantic_dedup_recall": _build_semdedup_recall,
         "embed_ann_ivfpq": _build_ann_ivfpq,
@@ -3996,7 +4021,10 @@ def oracle_sql_for(name: str) -> str:
 #       in-window ivfpq twins run the same kernels), orders_cube
 #       (grouping-analytics path: orders_rollup r5 in-window),
 #       simhash_values (simhash path: dedup_simhash in-window).
-#       32 + 11 + 7 = 50.
+#       Final amendment (text_perplexity_static_lm landed):
+#       events_sessionize displaced (sessionize path: events_funnel +
+#       the r6-gated native twin + streaming lifecycle pytest).
+#       33 + 11 + 6 = 50.
 #
 # END-OF-ROUND AFFIRMATION (round 8): every entry this round changed
 # or added is inside the window — the 10 planned at derivation, the 12
@@ -4061,6 +4089,9 @@ _GATE_WINDOW = [
     "embed_semantic_dedup",
     "embed_semantic_dedup_exact",
     "embed_semantic_dedup_recall",
+    #    NEW round-8 streaming-formulation twin (stateless fold vs
+    #    the batch explode+join under the same oracle):
+    "text_perplexity_static_lm",
     # -- (b) the full r5-vintage cohort (oldest in GATE_AGE.md)
     "lineitem_projection",
     "dd_search_marker",
@@ -4076,7 +4107,6 @@ _GATE_WINDOW = [
     # -- (c) r6-vintage fill (see displacement notes above)
     "events_funnel",
     "events_orders_asof_join",
-    "events_sessionize",
     "lineitem_range_filter",
     "null_laws",
     "orders_set_ops",

@@ -15,6 +15,12 @@ from .pipeline import (
     sessionize,
     view_click_attribution,
 )
+from .quality import (
+    UnigramLM,
+    build_unigram_lm,
+    perplexity_scores,
+    quality_filter_stream,
+)
 
 __all__ = [
     "read_events_stream",
@@ -22,4 +28,8 @@ __all__ = [
     "sessionize",
     "view_click_attribution",
     "run_stream_to_memory",
+    "UnigramLM",
+    "build_unigram_lm",
+    "perplexity_scores",
+    "quality_filter_stream",
 ]

@@ -112,6 +112,8 @@ def test_gate_window_covers_every_family():
         # new round-8 SemDeDup trio
         "embed_semantic_dedup", "embed_semantic_dedup_exact",
         "embed_semantic_dedup_recall",
+        # new round-8 streaming-formulation twin
+        "text_perplexity_static_lm",
     }
     r5_cohort = {
         "lineitem_projection", "dd_search_marker", "q6_revenue",
@@ -121,7 +123,7 @@ def test_gate_window_covers_every_family():
     }
     r6_fill = {
         "events_funnel", "events_orders_asof_join",
-        "events_sessionize", "lineitem_range_filter", "null_laws",
+        "lineitem_range_filter", "null_laws",
         "orders_set_ops", "try_cast_matrix",
     }
     in_window = set(window)
