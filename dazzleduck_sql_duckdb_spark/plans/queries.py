@@ -1360,6 +1360,64 @@ WHERE {verify}
 """
 
 
+@q("dedup_stream_screen")
+def _dedup_stream_screen(d: str) -> str:
+    """The streaming near-dup SCREEN's values under the hash gate
+    (streaming/dedup.py neardup_screen_stream): incoming docs are
+    screened against a static MinHash index — the
+    dedupe-new-data-against-the-existing-training-set ingest shape.
+    STATELESS by construction (stream-static joins + the
+    first-shared-band pair dedup predicate), so it runs append-mode
+    with no state store; the stream lifecycle (stream==batch,
+    multi-batch arrival independence) is pinned in
+    tests/test_streaming_neardup.py, and this entry pins the VALUES:
+    self-screening the corpus (kept at in_id < corpus_id) must equal
+    the brute-force pair set. Unlike dedup_minhash_lsh the screen has
+    NO language blocking — an ingest screen must catch cross-lang
+    copies (this corpus has 20 such pairs at sf0.001) — so the oracle
+    is the unblocked brute force."""
+    if d == SPARK:
+        raise NotImplementedError  # builder-backed (SQL form unused)
+    sh = D.shingles("text", SHINGLE_N, d)
+    inter = D.lsize(D.lintersect("a.sh", "b.sh", d), d)
+    la, lb = D.lsize("a.sh", d), D.lsize("b.sh", d)
+    jac = (
+        f"CAST({inter} AS DOUBLE) / CAST({la} + {lb} - {inter} AS DOUBLE)"
+    )
+    verify = (
+        f"100 * {inter} >= {JACCARD_PCT} * ({la} + {lb} - {inter})"
+        f" AND 100 * least({la}, {lb}) >= {JACCARD_PCT} * greatest({la}, {lb})"
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {sh} AS sh FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+WHERE {verify}
+"""
+
+
+def _build_stream_screen(spark):
+    from pyspark.sql import functions as F
+
+    from ..streaming.dedup import (
+        build_minhash_index, neardup_screen_stream,
+    )
+
+    docs = spark.table("documents")
+    index = build_minhash_index(
+        docs, shingle_n=SHINGLE_N, a=MINHASH_A, b=MINHASH_B,
+        bands=32, max_bucket_docs=None,
+    )
+    out = neardup_screen_stream(
+        docs, index, threshold_pct=JACCARD_PCT
+    )
+    return out.where(F.col("doc_id") < F.col("corpus_id")).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("corpus_id").alias("doc_b"),
+        "jaccard",
+    )
+
+
 @q("dedup_minhash_auto")
 def _minhash_auto(d: str) -> str:
     """dedup_minhash_lsh's contract under the PRODUCTION knobs: the
@@ -3899,6 +3957,7 @@ SPARK_BUILDERS.update(
         "embed_ann_recall": _build_ann_recall,
         "embed_semantic_dedup": _build_semdedup,
         "text_perplexity_static_lm": _build_perplexity_static,
+        "dedup_stream_screen": _build_stream_screen,
         "embed_semantic_dedup_exact": _build_semdedup_exact,
         "embed_semantic_dedup_recall": _build_semdedup_recall,
         "embed_ann_ivfpq": _build_ann_ivfpq,
@@ -4021,10 +4080,12 @@ def oracle_sql_for(name: str) -> str:
 #       in-window ivfpq twins run the same kernels), orders_cube
 #       (grouping-analytics path: orders_rollup r5 in-window),
 #       simhash_values (simhash path: dedup_simhash in-window).
-#       Final amendment (text_perplexity_static_lm landed):
-#       events_sessionize displaced (sessionize path: events_funnel +
-#       the r6-gated native twin + streaming lifecycle pytest).
-#       33 + 11 + 6 = 50.
+#       Amended as the streaming twins landed
+#       (text_perplexity_static_lm, dedup_stream_screen):
+#       events_sessionize displaced (sessionize path: the r6-gated
+#       native twin + streaming lifecycle pytest), then events_funnel
+#       (event-window path: orders_running_totals r5 in-window +
+#       events_view_click_attribution r6-gated). 34 + 11 + 5 = 50.
 #
 # END-OF-ROUND AFFIRMATION (round 8): every entry this round changed
 # or added is inside the window — the 10 planned at derivation, the 12
@@ -4089,9 +4150,10 @@ _GATE_WINDOW = [
     "embed_semantic_dedup",
     "embed_semantic_dedup_exact",
     "embed_semantic_dedup_recall",
-    #    NEW round-8 streaming-formulation twin (stateless fold vs
-    #    the batch explode+join under the same oracle):
+    #    NEW round-8 streaming-formulation twins (stateless fold /
+    #    stateless index screen vs batch oracles):
     "text_perplexity_static_lm",
+    "dedup_stream_screen",
     # -- (b) the full r5-vintage cohort (oldest in GATE_AGE.md)
     "lineitem_projection",
     "dd_search_marker",
@@ -4105,7 +4167,6 @@ _GATE_WINDOW = [
     "customer_orders_left_join",
     "q14_promo_effect",
     # -- (c) r6-vintage fill (see displacement notes above)
-    "events_funnel",
     "events_orders_asof_join",
     "lineitem_range_filter",
     "null_laws",

@@ -15,6 +15,11 @@ from .pipeline import (
     sessionize,
     view_click_attribution,
 )
+from .dedup import (
+    MinHashIndex,
+    build_minhash_index,
+    neardup_screen_stream,
+)
 from .quality import (
     UnigramLM,
     build_unigram_lm,
@@ -32,4 +37,7 @@ __all__ = [
     "build_unigram_lm",
     "perplexity_scores",
     "quality_filter_stream",
+    "MinHashIndex",
+    "build_minhash_index",
+    "neardup_screen_stream",
 ]

@@ -80,3 +80,159 @@ def first_seen_dedup(events: DataFrame, key_col: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------ near-dup screen vs a static index
+
+
+class MinHashIndex:
+    """Static MinHash index of a REFERENCE corpus for screening an
+    incoming document stream (the "is this new doc a near-dup of the
+    existing training set?" ingest question).
+
+    Two static tables, built once at index time:
+
+    - ``buckets`` (corpus_id, bkey): one 8-byte bucket key per (doc,
+      band) — the stream-static equi-join side. Rows in buckets larger
+      than ``max_bucket_docs`` are dropped WHOLE at build (boilerplate
+      clusters; the batch pipeline's hot-bucket cap, deterministic).
+    - ``detail`` (corpus_id, sh, bkeys): the doc's distinct
+      shingle-hash set (exact verify) and its full band-key array
+      (first-shared-band dedup, below), ONE row per corpus doc.
+
+    Persist both as parquet for the deployed shape; keep the kernel
+    params — a screen MUST hash with the index's seeds/bands (asserted
+    in :func:`neardup_screen_stream`)."""
+
+    def __init__(self, buckets: DataFrame, detail: DataFrame,
+                 a: list[int], b: list[int], shingle_n: int, bands: int):
+        self.buckets = buckets
+        self.detail = detail
+        self.a = list(a)
+        self.b = list(b)
+        self.shingle_n = shingle_n
+        self.bands = bands
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    *,
+    shingle_n: int,
+    a: list[int],
+    b: list[int],
+    bands: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_docs: int | None = 1024,
+) -> MinHashIndex:
+    """Index a reference corpus with the SAME fused kernel the batch
+    pipeline uses (operators/dedup.py make_shingle_sig_udf), so a
+    screen against the index finds exactly the pairs the batch
+    pipeline would."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import make_shingle_sig_udf
+
+    kernel = make_shingle_sig_udf(a, b, shingle_n, bands=bands)
+    staged = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        kernel(F.col(text_col)).alias("k"),
+    ).select(
+        "corpus_id",
+        F.col("k.sh").alias("sh"),
+        F.col("k.bkeys").alias("bkeys"),
+    )
+    detail = staged
+    buckets = staged.select(
+        "corpus_id", F.explode("bkeys").alias("bkey")
+    )
+    if max_bucket_docs is not None:
+        oversized = (
+            buckets.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_docs)
+            .select("bkey")
+        )
+        buckets = buckets.join(
+            F.broadcast(oversized), ["bkey"], "left_anti"
+        )
+    return MinHashIndex(buckets, detail, a, b, shingle_n, bands)
+
+
+def neardup_screen_stream(
+    incoming: DataFrame,
+    index: MinHashIndex,
+    *,
+    threshold_pct: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Screen a document stream against the static index: emit
+    (doc_id, corpus_id, jaccard) for every incoming document whose
+    character-shingle Jaccard with a corpus document clears
+    ``threshold_pct`` — STATELESS, so it runs append-mode with no
+    watermark and no state store. Works identically on a batch
+    DataFrame (the stream==batch test discipline).
+
+    Why stateless is nontrivial here: a near-dup pair collides in
+    MULTIPLE bands, and the batch pipeline dedupes candidates with a
+    DISTINCT — unbounded state on a stream. Instead each candidate row
+    keeps BOTH full band-key arrays and survives only if its band is
+    the pair's FIRST shared band (`array_position(zip_with(=), true)`)
+    — a pure per-row predicate, so each verified pair is emitted
+    exactly once per micro-batch with no cross-row coordination.
+    (A pair is per-(incoming doc) — re-arrivals of the same doc_id in
+    later micro-batches re-emit, exactly like every stateless filter.)
+
+    Scale shape: the stream side is one kernel pass per micro-batch;
+    the bucket join is stream-static equi on the 8-byte bkey (Spark
+    broadcasts or shuffles the STATIC side once, planner's choice);
+    the detail join brings (sh, bkeys) only for candidate rows; verify
+    is the batch pipeline's exact integer-threshold Jaccard."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import make_shingle_sig_udf
+
+    kernel = make_shingle_sig_udf(
+        index.a, index.b, index.shingle_n, bands=index.bands
+    )
+    staged = incoming.select(
+        F.col(id_col).alias("in_id"),
+        kernel(F.col(text_col)).alias("k"),
+    ).select(
+        "in_id",
+        F.col("k.sh").alias("in_sh"),
+        F.col("k.bkeys").alias("in_bkeys"),
+    )
+    cand = (
+        staged.select(
+            "in_id", "in_sh", "in_bkeys",
+            F.posexplode("in_bkeys").alias("band_i", "bkey"),
+        )
+        .join(index.buckets, "bkey")
+        .join(index.detail, "corpus_id")
+    )
+    first_shared = (
+        F.array_position(
+            F.zip_with(
+                "in_bkeys", "bkeys", lambda p, q: p == q
+            ),
+            F.lit(True),
+        )
+        - 1
+    )
+    inter = F.size(F.array_intersect("in_sh", "sh"))
+    la, lb = F.size("in_sh"), F.size("sh")
+    uni = la + lb - inter
+    return (
+        cand.where(F.col("band_i") == first_shared)
+        .where(
+            (100 * inter >= threshold_pct * uni)
+            & (100 * F.least(la, lb) >= threshold_pct * F.greatest(la, lb))
+        )
+        .select(
+            F.col("in_id").alias(id_col),
+            "corpus_id",
+            (inter.cast("double") / uni.cast("double")).alias("jaccard"),
+        )
+    )

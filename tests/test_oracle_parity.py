@@ -112,8 +112,9 @@ def test_gate_window_covers_every_family():
         # new round-8 SemDeDup trio
         "embed_semantic_dedup", "embed_semantic_dedup_exact",
         "embed_semantic_dedup_recall",
-        # new round-8 streaming-formulation twin
+        # new round-8 streaming-formulation twins
         "text_perplexity_static_lm",
+        "dedup_stream_screen",
     }
     r5_cohort = {
         "lineitem_projection", "dd_search_marker", "q6_revenue",
@@ -122,9 +123,8 @@ def test_gate_window_covers_every_family():
         "customer_orders_left_join", "q14_promo_effect",
     }
     r6_fill = {
-        "events_funnel", "events_orders_asof_join",
-        "lineitem_range_filter", "null_laws",
-        "orders_set_ops", "try_cast_matrix",
+        "events_orders_asof_join", "lineitem_range_filter",
+        "null_laws", "orders_set_ops", "try_cast_matrix",
     }
     in_window = set(window)
     for group, names in [
