@@ -4089,16 +4089,17 @@ def oracle_sql_for(name: str) -> str:
 #
 # END-OF-ROUND AFFIRMATION (round 8): every entry this round changed
 # or added is inside the window — the 10 planned at derivation, the 12
-# tokenizer-rewrite consumers, the 7 new TPC-H entries, and the 3 new
-# SemDeDup entries (32 changed + 11 r5 + 7 r6 fill = 50). Validation
-# record on final code: the ENTIRE suite ran green in one process —
-# 305 passed, 2 documented skips — INCLUDING the full-catalog parity
-# gate (114 entries, 111 DuckDB-oracled, 0 failures at sf0.001) and
-# the gate-window structure/ratchet/age tests; the 15
-# tokenizer-touched entries were additionally replicated at sf0.01
-# (the driver's scale), as were the 7 TPC-H and 3 SemDeDup additions
-# and the contamination builder. BENCH_REPORT regenerated end-of-round:
-# 1.02x ex-n^2, weak-query list empty.
+# tokenizer-rewrite consumers, the 7 new TPC-H entries, the 3 SemDeDup
+# entries, and the 2 streaming-formulation twins (34 changed + 11 r5 +
+# 5 r6 fill = 50). Validation record on final code: the ENTIRE suite
+# ran green in one process — 312 passed, 2 documented skips —
+# INCLUDING the full-catalog parity gate (116 entries, 113
+# DuckDB-oracled, 0 failures at sf0.001) and the gate-window
+# structure/ratchet/age tests; every round-8 addition (7 TPC-H, 3
+# SemDeDup, 2 streaming twins, chunked contamination, the 15
+# tokenizer-touched entries) was additionally replicated at sf0.01
+# (the driver's scale). BENCH_REPORT regenerated end-of-round: 1.10x
+# ex-n^2 on the idle machine, weak-query list empty.
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
