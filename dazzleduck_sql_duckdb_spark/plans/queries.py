@@ -4087,92 +4087,87 @@ def oracle_sql_for(name: str) -> str:
 #       (event-window path: orders_running_totals r5 in-window +
 #       events_view_click_attribution r6-gated). 34 + 11 + 5 = 50.
 #
-# END-OF-ROUND AFFIRMATION (round 8): every entry this round changed
-# or added is inside the window — the 10 planned at derivation, the 12
-# tokenizer-rewrite consumers, the 7 new TPC-H entries, the 3 SemDeDup
-# entries, and the 2 streaming-formulation twins (34 changed + 11 r5 +
-# 5 r6 fill = 50). Validation record on final code: the ENTIRE suite
-# ran green in one process — 312 passed, 2 documented skips —
-# INCLUDING the full-catalog parity gate (116 entries, 113
-# DuckDB-oracled, 0 failures at sf0.001) and the gate-window
-# structure/ratchet/age tests; every round-8 addition (7 TPC-H, 3
-# SemDeDup, 2 streaming twins, chunked contamination, the 15
-# tokenizer-touched entries) was additionally replicated at sf0.01
-# (the driver's scale). BENCH_REPORT regenerated end-of-round: 1.10x
-# ex-n^2 on the idle machine, weak-query list empty.
+# ROUND-9 WINDOW DERIVATION (from GATE_AGE.md over CORRECTNESS_r01..
+# r08): (a) every entry round 9 changes or adds — the
+# dedup_exact_substring perf rewrite (r8 verdict directive #2), the
+# SemDeDup trio (advisor fixes: n_clusters=1 anchor vs the oversize
+# skip, pre-spill oversize accounting; + the structured-corpus sizing
+# default), the streaming near-dup screen (advisor fix: first-shared
+# band computed over SURVIVING bands under max_bucket_docs), the
+# static-LM perplexity twin (advisor fix: vocab cap sized to what
+# create_map supports + probe-before-collect), the ANN entries whose
+# shared _collect_query_matrix gets the probe-before-collect guard
+# (knn + ivfpq trio), and remote_scan_dsv2 (canonical shim gate;
+# directive #6's second shim family lands alongside it);
+# (b) the ENTIRE r6-vintage cohort — 31 entries, the oldest rows in
+# GATE_AGE.md after the r8 rotation, which retires the r6 vintage
+# completely: after this round no entry is older than r7;
+# (c) r7-vintage fill, oldest-alphabetical. Every entry excluded
+# carries an r7/r8-green verdict over an implementation untouched
+# since its verdict (ages in GATE_AGE.md).
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
 # tests/test_oracle_parity.py, so the next round CANNOT run its gate
 # against an un-rederived window: the moment the driver lands
-# CORRECTNESS_r08, the suite fails until round 9 re-derives this list.
+# CORRECTNESS_r09, the suite fails until round 10 re-derives this list.
 
-_GATE_WINDOW_ROUND = 8
+_GATE_WINDOW_ROUND = 9
 
 _GATE_WINDOW = [
-    # -- (a) changed or planned-to-change in round 8
-    "text_tfidf_topk",
-    "cross_source_contamination",
-    "embed_ann_ivfpq",
-    "embed_ann_ivfpq_recall",
-    "embed_ann_ivfpq_fullprobe",
-    "multimodal_video_frames",
-    "multimodal_video_metadata",
-    "remote_scan_dsv2",
+    # -- (a) changed or planned-to-change in round 9
     "dedup_exact_substring",
-    "dedup_minhash_lsh",
-    #    the lambda-free tokenizer (dialect.tokens) touches every
-    #    token-consuming entry — all 15 consumers gate this round:
-    "bloom_no_false_negatives",
-    "corpus_top_terms",
-    "dd_array_contains_all",
-    "dd_array_contains_all_fn",
-    "dedup_canonical_corpus",
-    "pipeline_clean_corpus",
-    "string_functions",
-    "text_langid",
-    "text_perplexity",
-    "text_quality",
-    "text_repetition",
-    "text_token_stats",
-    #    NEW round-8 entries (TPC-H suite completion over the corpus
-    #    schema: q2/q11/q20 are partsupp-centric and stay out of
-    #    scope — TESTDATA.md ships no partsupp table):
-    "q9_product_profit",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q22_sales_opportunity",
-    #    NEW round-8 SemDeDup trio (Abbas et al. 2023 semantic dedup:
-    #    rows-only production entry + hash-gated exactness anchor +
-    #    hash-gated recall floor, the ivfpq pattern):
     "embed_semantic_dedup",
     "embed_semantic_dedup_exact",
     "embed_semantic_dedup_recall",
-    #    NEW round-8 streaming-formulation twins (stateless fold /
-    #    stateless index screen vs batch oracles):
-    "text_perplexity_static_lm",
     "dedup_stream_screen",
-    # -- (b) the full r5-vintage cohort (oldest in GATE_AGE.md)
-    "lineitem_projection",
-    "dd_search_marker",
-    "q6_revenue",
-    "orders_global_aggs",
-    "orders_group_agg",
-    "join_region_rollup",
-    "events_hourly_rollup",
-    "orders_rollup",
-    "supplier_nation_join",
-    "customer_orders_left_join",
-    "q14_promo_effect",
-    # -- (c) r6-vintage fill (see displacement notes above)
-    "events_orders_asof_join",
-    "lineitem_range_filter",
-    "null_laws",
-    "orders_set_ops",
-    "try_cast_matrix",
+    "text_perplexity_static_lm",
+    "embed_knn_bruteforce",
+    "embed_ann_ivfpq",
+    "embed_ann_ivfpq_fullprobe",
+    "embed_ann_ivfpq_recall",
+    "remote_scan_dsv2",
+    # -- (b) the full r6-vintage cohort (oldest in GATE_AGE.md)
+    "bucketed_join_rollup",
+    "cast_matrix",
+    "cte_union_all",
+    "distinct_rows",
+    "embed_ann_ivf_fullprobe",
+    "embed_ann_ivf_probed",
+    "embed_ann_recall",
+    "empty_set_laws",
+    "events_count_distinct",
+    "events_funnel",
+    "events_grouping_sets",
+    "events_json_extract",
+    "events_sessionize",
+    "events_sessionize_native",
+    "events_type_pivot",
+    "events_view_click_attribution",
+    "lineitem_date_filter_count",
+    "lineitem_full_scan",
+    "lineitem_point_filter",
+    "lineitem_sum_orderkey",
+    "multimodal_jpeg_features",
+    "nation_presence_full_join",
+    "order_by_limit",
+    "orders_cube",
+    "part_brand_stats",
+    "q18_large_volume",
+    "q4_order_priority",
+    "scalar_subquery_filter",
+    "semi_anti_join",
+    "simhash_values",
+    "window_topk_per_group",
+    # -- (c) r7-vintage fill (oldest-alphabetical in GATE_AGE.md)
+    "dd_version",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_minhash_auto",
+    "dedup_minhash_recall_held",
+    "dedup_simhash",
+    "docs_length_quantiles",
+    "docs_shard_assignment",
 ]
 
 

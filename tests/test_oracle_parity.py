@@ -67,13 +67,13 @@ def test_prepare_pins_utc_session_timezone(spark):
 
 
 def test_gate_window_covers_every_family():
-    """Round-8 window contract (the driver gates the FIRST 50 catalog
-    entries): every entry round 8 changes/adds, the entire r5-vintage
-    cohort (the oldest rows in GATE_AGE.md after the r7 rotation), and
-    an r6-vintage fill; every entry excluded carries an r6/r7-green
-    verdict over an implementation untouched since its verdict
-    (displacement notes in the _GATE_WINDOW comment; ages in
-    GATE_AGE.md)."""
+    """Round-9 window contract (the driver gates the FIRST 50 catalog
+    entries): every entry round 9 changes/adds, the entire r6-vintage
+    cohort (the oldest rows in GATE_AGE.md after the r8 rotation —
+    retiring the r6 vintage completely), and an r7-vintage
+    oldest-alphabetical fill; every entry excluded carries an
+    r7/r8-green verdict over an implementation untouched since its
+    verdict (ages in GATE_AGE.md)."""
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
     window = Q._GATE_WINDOW
@@ -81,61 +81,50 @@ def test_gate_window_covers_every_family():
     assert len(set(window)) == 50
     assert list(Q.CATALOG)[:50] == window
     changed_or_new = {
-        "text_tfidf_topk",             # r7 drift root-cause + tokenizer
-        "cross_source_contamination",  # chunked >62-source path
-        "embed_ann_ivfpq",             # index id_col contract fix
-        "embed_ann_ivfpq_recall",      # index id_col contract fix
-        "embed_ann_ivfpq_fullprobe",   # index id_col contract fix
-        "multimodal_video_frames",     # co64 demux + throughput work
-        "multimodal_video_metadata",   # mp4.py touched (co64)
-        "remote_scan_dsv2",            # shim TRY_CAST + shutdown sweep
-        "dedup_exact_substring",       # differential + plan tests
-        "dedup_minhash_lsh",           # checkpoint-cleanup contract
-        # lambda-free dialect.tokens() — every token consumer changed:
-        "bloom_no_false_negatives",
-        "corpus_top_terms",
-        "dd_array_contains_all",
-        "dd_array_contains_all_fn",
-        "dedup_canonical_corpus",
-        "pipeline_clean_corpus",
-        "string_functions",
-        "text_langid",
-        "text_perplexity",
-        "text_quality",
-        "text_repetition",
-        "text_token_stats",
-        # new round-8 TPC-H entries
-        "q9_product_profit", "q12_priority_shipping",
-        "q13_customer_distribution", "q15_top_supplier",
-        "q16_supplier_cnt", "q17_small_quantity",
-        "q22_sales_opportunity",
-        # new round-8 SemDeDup trio
-        "embed_semantic_dedup", "embed_semantic_dedup_exact",
-        "embed_semantic_dedup_recall",
-        # new round-8 streaming-formulation twins
-        "text_perplexity_static_lm",
-        "dedup_stream_screen",
+        "dedup_exact_substring",       # perf rewrite (r8 directive #2)
+        "embed_semantic_dedup",        # advisor: anchor/spill fixes
+        "embed_semantic_dedup_exact",  # advisor: n_clusters=1 anchor
+        "embed_semantic_dedup_recall",  # advisor: pre-spill oversize
+        "dedup_stream_screen",         # advisor: capped-band recall
+        "text_perplexity_static_lm",   # vocab cap + probe-first guard
+        "embed_knn_bruteforce",        # _collect_query_matrix guard
+        "embed_ann_ivfpq",             # _collect_query_matrix guard
+        "embed_ann_ivfpq_fullprobe",   # _collect_query_matrix guard
+        "embed_ann_ivfpq_recall",      # _collect_query_matrix guard
+        "remote_scan_dsv2",            # canonical shim gate (dir. #6)
     }
-    r5_cohort = {
-        "lineitem_projection", "dd_search_marker", "q6_revenue",
-        "orders_global_aggs", "orders_group_agg", "join_region_rollup",
-        "events_hourly_rollup", "orders_rollup", "supplier_nation_join",
-        "customer_orders_left_join", "q14_promo_effect",
+    r6_cohort = {
+        "bucketed_join_rollup", "cast_matrix", "cte_union_all",
+        "distinct_rows", "embed_ann_ivf_fullprobe",
+        "embed_ann_ivf_probed", "embed_ann_recall", "empty_set_laws",
+        "events_count_distinct", "events_funnel",
+        "events_grouping_sets", "events_json_extract",
+        "events_sessionize", "events_sessionize_native",
+        "events_type_pivot", "events_view_click_attribution",
+        "lineitem_date_filter_count", "lineitem_full_scan",
+        "lineitem_point_filter", "lineitem_sum_orderkey",
+        "multimodal_jpeg_features", "nation_presence_full_join",
+        "order_by_limit", "orders_cube", "part_brand_stats",
+        "q18_large_volume", "q4_order_priority",
+        "scalar_subquery_filter", "semi_anti_join", "simhash_values",
+        "window_topk_per_group",
     }
-    r6_fill = {
-        "events_orders_asof_join", "lineitem_range_filter",
-        "null_laws", "orders_set_ops", "try_cast_matrix",
+    r7_fill = {
+        "dd_version", "dedup_components", "dedup_exact",
+        "dedup_minhash_auto", "dedup_minhash_recall_held",
+        "dedup_simhash", "docs_length_quantiles",
+        "docs_shard_assignment",
     }
     in_window = set(window)
     for group, names in [
         ("changed_or_new", changed_or_new),
-        ("r5_cohort", r5_cohort),
-        ("r6_fill", r6_fill),
+        ("r6_cohort", r6_cohort),
+        ("r7_fill", r7_fill),
     ]:
         missing = names - in_window
         assert not missing, f"{group} entries outside window: {missing}"
     # exhaustive: the three sets ARE the window, no free-floating slots
-    assert in_window == changed_or_new | r5_cohort | r6_fill
+    assert in_window == changed_or_new | r6_cohort | r7_fill
 
 
 def test_gate_age_report_current():
