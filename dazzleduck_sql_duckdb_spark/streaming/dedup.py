@@ -97,8 +97,15 @@ class MinHashIndex:
       than ``max_bucket_docs`` are dropped WHOLE at build (boilerplate
       clusters; the batch pipeline's hot-bucket cap, deterministic).
     - ``detail`` (corpus_id, sh, bkeys): the doc's distinct
-      shingle-hash set (exact verify) and its full band-key array
-      (first-shared-band dedup, below), ONE row per corpus doc.
+      shingle-hash set (exact verify) and its band-key array with
+      CAPPED bands nulled out (first-shared-band dedup, below), ONE
+      row per corpus doc. Nulling matters: the first-shared-band
+      predicate must be computed over SURVIVING bands only — a pair
+      whose first shared band was dropped by ``max_bucket_docs`` has
+      no candidate row at that band, so anchoring on the raw array
+      would silently drop the pair even though a later shared band
+      survives (the batch pipeline loses a pair only if EVERY shared
+      band is oversized, operators/dedup.py:251 — same law here).
 
     Persist both as parquet for the deployed shape; keep the kernel
     params — a screen MUST hash with the index's seeds/bands (asserted
@@ -156,6 +163,39 @@ def build_minhash_index(
         buckets = buckets.join(
             F.broadcast(oversized), ["bkey"], "left_anti"
         )
+        # null the capped bands in detail.bkeys so the screen's
+        # first-shared-band anchor ranges over surviving bands only
+        # (same cap decision as the buckets side, computed once).
+        # Build-time-only reassembly: explode with position, mark
+        # capped via the same broadcast, regroup ordered by band.
+        kept = (
+            staged.select(
+                "corpus_id",
+                F.posexplode("bkeys").alias("band_i", "bkey"),
+            )
+            .join(
+                F.broadcast(oversized.withColumn("capped", F.lit(True))),
+                ["bkey"],
+                "left",
+            )
+            .groupBy("corpus_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("band_i"),
+                                F.when(
+                                    F.col("capped").isNull(), F.col("bkey")
+                                ).alias("kbk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["kbk"],
+                ).alias("bkeys")
+            )
+        )
+        detail = staged.drop("bkeys").join(kept, "corpus_id")
     return MinHashIndex(buckets, detail, a, b, shingle_n, bands)
 
 
@@ -177,10 +217,16 @@ def neardup_screen_stream(
     Why stateless is nontrivial here: a near-dup pair collides in
     MULTIPLE bands, and the batch pipeline dedupes candidates with a
     DISTINCT — unbounded state on a stream. Instead each candidate row
-    keeps BOTH full band-key arrays and survives only if its band is
-    the pair's FIRST shared band (`array_position(zip_with(=), true)`)
+    keeps BOTH band-key arrays and survives only if its band is the
+    pair's FIRST shared band (`array_position(zip_with(=), true)`)
     — a pure per-row predicate, so each verified pair is emitted
-    exactly once per micro-batch with no cross-row coordination.
+    exactly once per micro-batch with no cross-row coordination. The
+    index's detail array has CAPPED bands nulled, so the anchor is the
+    first shared SURVIVING band — candidate rows only exist for
+    surviving buckets, and anchoring on a capped band would silently
+    drop pairs that also share a later surviving band (r9 advisor
+    fix; under a cap the screen now loses a pair only if EVERY shared
+    band is capped, exactly the batch pipeline's law).
     (A pair is per-(incoming doc) — re-arrivals of the same doc_id in
     later micro-batches re-emit, exactly like every stateless filter.)
 

@@ -147,3 +147,67 @@ def test_screen_self_equals_batch_pipeline(spark, docs_dir, index):
         ).collect()
     }
     assert screened == batch and len(batch) > 0
+
+
+def test_screen_capped_first_band_still_found(spark):
+    """r9 advisor fix: the first-shared-band anchor must range over
+    SURVIVING bands only. Fixture: an 8-doc boilerplate cluster plus
+    one variant Y in the corpus; the incoming doc X is IDENTICAL to Y,
+    so the raw first shared band of (X, Y) is band 0 — and the variant
+    is chosen so its band-0 key equals the boilerplate cluster's,
+    making that bucket 9 docs deep and CAPPED at max_bucket_docs=4.
+    Anchoring on the raw array drops the pair (no candidate row at a
+    capped band); anchoring on the kept array finds it via the first
+    surviving shared band. The batch law: a pair is lost only if
+    EVERY shared band is capped."""
+    from pyspark.sql import functions as F
+
+    from dazzleduck_sql_duckdb_spark.operators.dedup import (
+        make_shingle_sig_udf,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain falls mainly on the plain and the band plays on"
+    )
+    kernel = make_shingle_sig_udf(
+        KNOBS["a"], KNOBS["b"], KNOBS["shingle_n"], bands=KNOBS["bands"]
+    )
+    cands = [base + f" tail{i}" for i in range(40)]
+    staged = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([base] + cands)], "id INT, text STRING"
+    ).select("id", kernel(F.col("text")).alias("k"))
+    keys = {r.id: list(r.k.bkeys) for r in staged.collect()}
+    base_keys = keys[0]
+    variant = None
+    for i in range(1, len(cands) + 1):
+        bk = keys[i]
+        if bk[0] == base_keys[0] and any(
+            x != y for x, y in zip(bk, base_keys)
+        ):
+            variant = cands[i - 1]
+            break
+    assert variant is not None, (
+        "no candidate variant keeps band 0 while changing another band"
+        " — widen the candidate pool"
+    )
+    corpus = spark.createDataFrame(
+        [(i, base) for i in range(8)] + [(100, variant)],
+        "doc_id BIGINT, text STRING",
+    )
+    idx = build_minhash_index(corpus, max_bucket_docs=4, **KNOBS)
+    incoming = spark.createDataFrame(
+        [(999, variant)], "doc_id BIGINT, text STRING"
+    )
+    rows = neardup_screen_stream(
+        incoming, idx, threshold_pct=Q.JACCARD_PCT
+    ).collect()
+    pairs = [(r.doc_id, r.corpus_id) for r in rows]
+    assert (999, 100) in pairs, (
+        "pair lost: first-shared-band anchored on a capped band"
+    )
+    assert len(pairs) == len(set(pairs)), "pair emitted more than once"
+    assert [r.jaccard for r in rows if r.corpus_id == 100] == [1.0]
+    # the boilerplate cluster itself is unreachable — every one of its
+    # band buckets is >= 8 deep and capped (the batch law's lost case)
+    assert all(c == 100 for _, c in pairs)
