@@ -134,8 +134,11 @@ def test_substring_bucket_bound_is_exact(spark, tables):
 def test_substring_plan_bounded_and_jvm(spark, tables):
     """Scale contract: no Python eval, no CartesianProduct or
     SortMergeJoin (pairs come from in-bucket explosion, not a self
-    join), the pair source is the HAVING-bounded collect_list, and no
-    exchange carries raw text or window strings (hashes only)."""
+    join), the pair source is the HAVING-bounded collect_set (the r9
+    one-shuffle form: set dedup replaces the former DISTINCT
+    exchange), and no exchange carries raw text or window strings
+    (hashes only — the r9 window hash is a multi-arg xxhash64
+    computed in-stage, pre-exchange)."""
     from dazzleduck_sql_duckdb_spark.session import load_tables
 
     import tests.conftest as C
@@ -146,7 +149,10 @@ def test_substring_plan_bounded_and_jvm(spark, tables):
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
-    assert "collect_list" in p
+    assert "collect_set" in p
+    # ONE aggregation exchange total (the fused dedup+bucket groupBy):
+    # the r8 form had two (DISTINCT, then GROUP BY wh)
+    assert p.count("hashpartitioning(wh") <= 1, p
     ex = [ln for ln in p.splitlines() if "Exchange" in ln]
     assert ex, "grouping by window hash must shuffle"
     assert all("text" not in ln for ln in ex), "raw text in an exchange"
