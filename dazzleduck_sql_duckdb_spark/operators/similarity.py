@@ -178,13 +178,18 @@ def _make_topk_scorer(
 def _collect_query_matrix(
     queries: DataFrame, id_col: str, vec_col: str
 ) -> tuple[np.ndarray, np.ndarray]:
-    rows = queries.select(id_col, vec_col).collect()
-    if len(rows) > MAX_CLOSURE_QUERIES:
+    # probe the cap BEFORE collecting (r9 advisor fix: a guard that
+    # fires after .collect() has already OOMed the driver on a
+    # genuinely unbounded query set isn't a guard; limit(cap+1)
+    # bounds the probe itself)
+    over = queries.select(id_col).limit(MAX_CLOSURE_QUERIES + 1).count()
+    if over > MAX_CLOSURE_QUERIES:
         raise ValueError(
-            f"top-k query set has {len(rows)} rows; this operator ships "
-            f"the queries into the scoring kernel (evaluation-sample "
-            f"contract, <= {MAX_CLOSURE_QUERIES}) — chunk the query set"
+            f"top-k query set exceeds {MAX_CLOSURE_QUERIES} rows; this "
+            f"operator ships the queries into the scoring kernel "
+            f"(evaluation-sample contract) — chunk the query set"
         )
+    rows = queries.select(id_col, vec_col).collect()
     if not rows:
         return np.empty(0, dtype=np.int64), np.empty((0, 1))
     bad = [r[0] for r in rows if r[1] is None]
@@ -999,6 +1004,18 @@ def embed_neardup_pairs_lsh(
     )
 
 
+def default_n_clusters(n: int, target_cell_rows: int = 1_024) -> int:
+    """SemDeDup's default cluster count: sqrt(n) while sqrt cells stay
+    under ``target_cell_rows`` (n <= target^2), then CONSTANT CELL
+    ROWS (ceil(n / target)) — the schedule that keeps within-cell pair
+    scoring linear in the corpus where sqrt sizing would give n^1.5.
+    Equivalent closed form: round(max(sqrt(n), n / target)), capped at
+    65_536 centroids (driver-memory bound on the centroid matrix)."""
+    if n <= 0:
+        return 1
+    return max(1, min(65_536, int(round(max(n ** 0.5, n / target_cell_rows)))))
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     *,
@@ -1027,7 +1044,12 @@ def semantic_dedup_pairs(
     twin, so the exactness anchor hash-gates). Pairs crossing a cluster
     boundary are MISSED by design (the recall trade the paper makes);
     `n_clusters=1` disables pruning and recovers exact brute force —
-    the anchor configuration.
+    the anchor configuration. The anchor scores ONE cell
+    quadratically, so it is an evaluation-scale configuration: past
+    ``max_cluster_rows`` it raises loudly (r9 advisor fix — it used to
+    hit the oversize skip and silently return ZERO pairs) rather than
+    attempt the n^2 the clustered path exists to avoid; raise
+    ``max_cluster_rows`` deliberately to anchor a larger corpus.
 
     ``spill``: SPANN-style boundary replication, the same recall lever
     ann_ivf_topk uses — each vector is indexed in its `spill` nearest
@@ -1039,6 +1061,16 @@ def semantic_dedup_pairs(
     bit-identically in each) collapse in one grouped min — measured
     at the gate corpus (K=8): recall 0.33 (spill=1) -> 0.79
     (spill=2) -> 0.97 (spill=3) -> 1.0 (spill=4).
+
+    The oversize skip is decided on PRE-SPILL (primary-assignment)
+    cell population (r9 advisor fix): spill replication inflates cell
+    rows ~x spill, so a post-spill bound would let RAISING spill tip a
+    cell over the cap and lose its pairs — an anti-monotone recall
+    knob. Primary membership is spill-invariant, so spill is now
+    monotone by construction; the quantizer-collapse guard is intact
+    (a collapsed quantizer concentrates PRIMARY assignments); and the
+    per-cell compute bound relaxes only to (spill * max_cluster_rows)
+    rows scored in a skip-surviving cell.
 
     Scale shape: centroids live on the driver (n_clusters x dim,
     bounded like IVF); assignment is one pandas-UDF matmul pass; the
@@ -1052,19 +1084,25 @@ def semantic_dedup_pairs(
     within-cell scoring costs n * cell_rows * spill, so constant
     cells keep compute linear in the corpus where sqrt sizing gives
     n^1.5 (IVF sizes by sqrt(N) because ITS scale knob is probe
-    count per query; pair scoring has no probe side). The default
-    sqrt sizing here is for small evaluation corpora; the measured
-    exponent at K = n/1024 is e = 1.19 over 25k -> 250k on
-    unstructured random vectors (BENCH_NOTES r8), output-term
-    included. Clusters past max_cluster_rows are SKIPPED whole (the
-    degenerate-centroid twin of MinHash's hot-bucket cap: a cluster
-    holding a meaningful fraction of the corpus means the quantizer
-    collapsed, and scoring it would be the n^2 the method exists to
-    avoid); the skip is deterministic, so reruns hash identically."""
+    count per query; pair scoring has no probe side). This schedule
+    is now the DEFAULT (:func:`default_n_clusters`, r9): sqrt sizing
+    below the crossover where sqrt cells outgrow 1024 rows (n = 1M),
+    constant-1024-row cells past it — i.e. K = max(sqrt(n), n/1024),
+    capped at 65_536 centroids (the driver-memory bound; past n ~ 67M
+    cells grow again and the right move is a second quantizer level,
+    not more driver state). Measured exponents: e = 1.19 over
+    25k -> 250k on adversarial unstructured random vectors (quadratic
+    pair-mass tail, BENCH_NOTES r8); see BENCH_NOTES r9 for the
+    planted-duplicate structured corpus. Clusters past
+    max_cluster_rows are SKIPPED whole (the degenerate-centroid twin
+    of MinHash's hot-bucket cap: a cluster holding a meaningful
+    fraction of the corpus means the quantizer collapsed, and scoring
+    it would be the n^2 the method exists to avoid); the skip is
+    deterministic, so reruns hash identically."""
     if centroids is None:
         if n_clusters is None:
             n = corpus.count()
-            n_clusters = max(1, min(65_536, int(round(n ** 0.5))))
+            n_clusters = default_n_clusters(n)
         centroids = train_centroids(
             corpus, n_clusters, vec_col=vec_col, id_col=id_col,
             iterations=train_iterations, seed=seed,
@@ -1073,17 +1111,37 @@ def semantic_dedup_pairs(
     dim = C.shape[1]
 
     nonnull = corpus.where(F.col(vec_col).isNotNull())
+    if C.shape[0] == 1:
+        # anchor configuration: ONE quadratic cell. Probe the bound
+        # BEFORE doing any work — the oversize skip below used to
+        # swallow this case and silently return zero pairs (r9
+        # advisor fix). limit(cap+1) bounds the probe itself.
+        over = nonnull.limit(max_cluster_rows + 1).count()
+        if over > max_cluster_rows:
+            raise ValueError(
+                f"n_clusters=1 (exact brute-force anchor) scores one"
+                f" cell quadratically and the corpus exceeds"
+                f" max_cluster_rows={max_cluster_rows} — raise"
+                f" max_cluster_rows deliberately for an"
+                f" evaluation-scale anchor, or use clustering"
+            )
     if spill <= 1 or C.shape[0] == 1:
         assign = make_assign_udf(C)
         assigned = nonnull.select(
             F.col(id_col), F.col(vec_col),
             assign(F.col(vec_col)).alias("cell"),
+            F.lit(True).alias("prim"),
         )
     else:
+        # posexplode: the multi-assign array is nearest-first, so
+        # position 0 IS the primary (pre-spill) assignment — the
+        # population the oversize skip is decided on
         multi = make_multi_assign_udf(C, min(spill, C.shape[0]))
         assigned = nonnull.select(
             F.col(id_col), F.col(vec_col),
-            F.explode(multi(F.col(vec_col))).alias("cell"),
+            F.posexplode(multi(F.col(vec_col))).alias("sp", "cell"),
+        ).select(
+            id_col, vec_col, "cell", (F.col("sp") == 0).alias("prim")
         )
 
     itype = corpus.schema[id_col].dataType
@@ -1097,7 +1155,10 @@ def semantic_dedup_pairs(
 
     def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
-        if n < 2 or n > max_cluster_rows:
+        # oversize skip on PRE-SPILL membership: primary count is
+        # spill-invariant, so raising spill can only ADD pairs
+        n_primary = int(pdf["prim"].sum())
+        if n < 2 or n_primary > max_cluster_rows:
             return pd.DataFrame(
                 {"vec_a": [], "vec_b": [], "sim": []}
             ).astype({"sim": "float64"})

@@ -33,7 +33,13 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MAX_LM_VOCAB = 1_000_000
+# sized to what the create_map-literal scoring expression actually
+# supports (r9 advisor fix: ~2 child expressions per vocab entry; the
+# plan/codegen degrades long before 1M entries, so a 1M cap could
+# never fire usefully). Realistic reference LMs sit well under this;
+# past it the right implementation is a broadcast join, not a bigger
+# literal.
+MAX_LM_VOCAB = 100_000
 
 
 @dataclass
@@ -56,13 +62,20 @@ def build_unigram_lm(docs: DataFrame, text_col: str = "text") -> UnigramLM:
     tok = F.explode(
         F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
     ).alias("tok")
-    rows = docs.select(tok).groupBy("tok").count().collect()
-    if len(rows) > MAX_LM_VOCAB:
+    agg = docs.select(tok).groupBy("tok").count()
+    # probe the cap BEFORE collecting (r9 advisor fix): on an
+    # unbounded vocabulary (URLs, numbers at corpus scale) a
+    # post-collect guard OOMs the driver before it fires. The probe
+    # re-runs the aggregation once — acceptable for a train-once
+    # reference-corpus path, and limit(cap+1) bounds the probe.
+    over = agg.limit(MAX_LM_VOCAB + 1).count()
+    if over > MAX_LM_VOCAB:
         raise ValueError(
-            f"unigram vocabulary has {len(rows)} entries"
-            f" (cap {MAX_LM_VOCAB}): not a bounded LM — train on a"
-            " reference sample or raise the cap deliberately"
+            f"unigram vocabulary exceeds {MAX_LM_VOCAB} entries:"
+            " not a bounded LM — train on a reference sample or"
+            " raise the cap deliberately"
         )
+    rows = agg.collect()
     counts = {r["tok"]: int(r["count"]) for r in rows}
     return UnigramLM(counts=counts, n_tokens=sum(counts.values()))
 

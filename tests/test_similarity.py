@@ -537,16 +537,24 @@ def test_semantic_dedup_spill_monotone_and_sound(spark, emb):
 
 def test_semantic_dedup_oversize_cluster_skipped_nulls_dropped(spark, emb):
     """Clusters past max_cluster_rows are skipped whole (deterministic
-    degenerate-centroid cap); NULL vectors never reach the scorer."""
+    degenerate-centroid cap); the n_clusters=1 anchor RAISES past the
+    cap instead of silently returning zero pairs (r9 advisor fix);
+    NULL vectors never reach the scorer."""
+    import pytest as _pt
     from pyspark.sql import functions as F
 
     from dazzleduck_sql_duckdb_spark.operators.similarity import (
         semantic_dedup_pairs,
     )
 
-    # one cluster (n=500) over the cap -> everything skipped
+    # the anchor configuration over the cap must be LOUD, not empty
+    with _pt.raises(ValueError, match="brute-force anchor"):
+        semantic_dedup_pairs(
+            emb, n_clusters=1, threshold=0.4, max_cluster_rows=100
+        ).count()
+    # clustered path: cap 1 skips every >=2-primary cell -> no pairs
     assert semantic_dedup_pairs(
-        emb, n_clusters=1, threshold=0.4, max_cluster_rows=100
+        emb, n_clusters=8, threshold=0.4, max_cluster_rows=1
     ).count() == 0
     withnull = emb.withColumn(
         "embedding",
@@ -557,3 +565,83 @@ def test_semantic_dedup_oversize_cluster_skipped_nulls_dropped(spark, emb):
     out = semantic_dedup_pairs(withnull, n_clusters=8, threshold=0.4)
     bad = out.where("vec_a % 7 = 0 OR vec_b % 7 = 0").count()
     assert bad == 0
+
+
+def test_semantic_dedup_spill_monotone_under_binding_cap(spark, emb):
+    """r9 advisor fix: the oversize skip is decided on PRE-SPILL
+    (primary) cell population. With the cap set EXACTLY at the largest
+    primary cell — binding, so post-spill accounting (~x spill rows
+    per cell) would trip it and LOSE pairs — spill must stay monotone
+    and spill=1 must equal the uncapped spill=1 run (no cell is
+    over-cap pre-spill, so nothing may be skipped)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        make_assign_udf,
+        semantic_dedup_pairs,
+        train_centroids,
+        _normalize,
+    )
+
+    cents = train_centroids(emb, 8, vec_col="embedding", id_col="vec_id",
+                            iterations=2, seed=42)
+    assign = make_assign_udf(_normalize(np.asarray(cents)))
+    prim = (
+        emb.where(F.col("embedding").isNotNull())
+        .select(assign("embedding").alias("cell"))
+        .groupBy("cell").count().collect()
+    )
+    cap = max(r["count"] for r in prim)
+
+    def pairset(df):
+        return {(r.vec_a, r.vec_b) for r in df.collect()}
+
+    base = pairset(semantic_dedup_pairs(
+        emb, threshold=0.4, centroids=cents, spill=1
+    ))
+    capped1 = pairset(semantic_dedup_pairs(
+        emb, threshold=0.4, centroids=cents, spill=1,
+        max_cluster_rows=cap,
+    ))
+    assert capped1 == base, "binding cap skipped an under-cap cell"
+    prev = capped1
+    for sp in (2, 3):
+        got = pairset(semantic_dedup_pairs(
+            emb, threshold=0.4, centroids=cents, spill=sp,
+            max_cluster_rows=cap,
+        ))
+        assert prev <= got, f"raising spill to {sp} LOST pairs"
+        prev = got
+    assert len(prev) > len(base) or prev == base
+
+
+def test_default_n_clusters_schedule():
+    """sqrt below the 1024-row crossover (n = 1M), constant cell rows
+    above it, 65_536 centroid cap."""
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        default_n_clusters,
+    )
+
+    assert default_n_clusters(0) == 1
+    assert default_n_clusters(1) == 1
+    assert default_n_clusters(10_000) == 100          # sqrt regime
+    assert default_n_clusters(1_000_000) == 1_000     # crossover
+    assert default_n_clusters(4_000_000) == 3_906     # n/1024 > sqrt
+    assert default_n_clusters(4_000_000) > int(4_000_000 ** 0.5)
+    assert default_n_clusters(10 ** 9) == 65_536      # cap
+
+
+def test_collect_query_matrix_guards_before_collect(spark, emb, monkeypatch):
+    """r9 advisor fix: the closure-size cap must fire from a bounded
+    limit(cap+1) probe BEFORE .collect() materializes the query set."""
+    import pytest as _pt
+
+    from dazzleduck_sql_duckdb_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "MAX_CLOSURE_QUERIES", 10)
+    with _pt.raises(ValueError, match="chunk the query set"):
+        S._collect_query_matrix(emb.limit(50), "vec_id", "embedding")
+    # under the cap the path is unchanged
+    qids, Q = S._collect_query_matrix(emb.limit(5), "vec_id", "embedding")
+    assert len(qids) == 5 and Q.shape[0] == 5
