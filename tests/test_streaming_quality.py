@@ -97,3 +97,23 @@ def test_multibatch_scores_are_arrival_independent(spark, docs_dir, lm):
     run_stream_to_memory(stream, "ppl_multibatch", output_mode="append")
     batch = perplexity_scores(spark.read.parquet(docs_dir), lm)
     assert _rows(spark.table("ppl_multibatch")) == _rows(batch)
+
+
+def test_build_unigram_lm_cap_probes_before_collect(spark, monkeypatch):
+    """r9 advisor fix: the vocab cap fires from a bounded limit(cap+1)
+    probe BEFORE .collect() — an unbounded vocabulary raises instead
+    of OOMing the driver."""
+    import pytest as _pt
+
+    from dazzleduck_sql_duckdb_spark.streaming import quality as QL
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1000} shared") for i in range(30)],
+        "doc_id BIGINT, text STRING",
+    )
+    monkeypatch.setattr(QL, "MAX_LM_VOCAB", 10)
+    with _pt.raises(ValueError, match="not a bounded LM"):
+        QL.build_unigram_lm(docs)
+    monkeypatch.setattr(QL, "MAX_LM_VOCAB", 100_000)
+    lm = QL.build_unigram_lm(docs)
+    assert lm.vocab_size == 61  # 30 + 30 uniques + "shared"
