@@ -282,3 +282,36 @@ def neardup_screen_stream(
             (inter.cast("double") / uni.cast("double")).alias("jaccard"),
         )
     )
+
+
+def neardup_screen_stream_once(
+    incoming: DataFrame,
+    index: MinHashIndex,
+    *,
+    threshold_pct: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-arrival-only composition of :func:`neardup_screen_stream`:
+    the stateless screen re-emits a doc's matches every time its
+    doc_id re-arrives (correct for a filter, documented there) — real
+    ingest pipelines usually want each doc screened ONCE. This is the
+    screen composed with the native stateful dedup in front: with
+    ``watermark_col`` the seen-set is watermark-bounded
+    (``dropDuplicatesWithinWatermark`` — a re-arrival inside the
+    horizon is dropped, exactly-once per doc_id within it); without
+    one it is exact forever at the cost of state growing with
+    distinct doc_ids. State carries only the dedup KEY column —
+    screening work and the candidate joins run on first arrivals
+    only, so a re-delivery storm costs one state lookup per row, not
+    a kernel pass."""
+    deduped = dedup_stream(
+        incoming, [id_col], watermark_col=watermark_col,
+        watermark=watermark,
+    )
+    return neardup_screen_stream(
+        deduped, index, threshold_pct=threshold_pct,
+        id_col=id_col, text_col=text_col,
+    )

@@ -211,3 +211,53 @@ def test_screen_capped_first_band_still_found(spark):
     # the boilerplate cluster itself is unreachable — every one of its
     # band buckets is >= 8 deep and capped (the batch law's lost case)
     assert all(c == 100 for _, c in pairs)
+
+
+def test_screen_once_drops_rearrivals(spark, tmp_path, index, docs_dir):
+    """neardup_screen_stream_once: a doc_id re-arriving in a later
+    micro-batch is screened exactly once; the plain stateless screen
+    re-emits (its documented filter semantics) — both pinned here."""
+    from dazzleduck_sql_duckdb_spark.streaming.dedup import (
+        neardup_screen_stream_once,
+    )
+
+    docs = spark.read.parquet(docs_dir)
+    one = docs.limit(1).collect()[0]
+    d = tmp_path / "rearrive"
+    d.mkdir()
+    spark.createDataFrame(
+        [(one.doc_id, one.text)], "doc_id BIGINT, text STRING"
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(
+        [(one.doc_id, one.text)], "doc_id BIGINT, text STRING"
+    ).coalesce(1).write.parquet(str(d / "f2"))
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*"))
+    )
+    out = neardup_screen_stream_once(
+        stream, index, threshold_pct=Q.JACCARD_PCT
+    )
+    run_stream_to_memory(out, "screen_once", output_mode="append")
+    once_rows = spark.table("screen_once").collect()
+    self_hits = [
+        r for r in once_rows
+        if r.doc_id == one.doc_id and r.corpus_id == one.doc_id
+    ]
+    assert len(self_hits) == 1, "re-arrival was screened again"
+    # the plain screen re-emits per arrival (stateless filter law)
+    plain = neardup_screen_stream(
+        (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(d / "*"))
+        ),
+        index, threshold_pct=Q.JACCARD_PCT,
+    )
+    run_stream_to_memory(plain, "screen_plain", output_mode="append")
+    plain_hits = [
+        r for r in spark.table("screen_plain").collect()
+        if r.doc_id == one.doc_id and r.corpus_id == one.doc_id
+    ]
+    assert len(plain_hits) == 2
