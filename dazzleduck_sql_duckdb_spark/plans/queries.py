@@ -3107,6 +3107,75 @@ def _build_remote_scan_dsv2(spark, sf_dir: str):
     ).unionByName(split.select(F.lit("split").alias("path"), "*"))
 
 
+@q("remote_scan_dsv2_split_dec")
+def _remote_scan_dsv2_split_dec(d: str) -> str:
+    """Second shim entry family under the driver's hash gate (r8
+    verdict directive #6): the split-mode DECIMAL partial-aggregate
+    path end to end. A `query`-option scan exposes
+    CAST(l_quantity AS DECIMAL(12,2)); Spark's groupBy/sum over the
+    split scan pushes PARTIAL decimal sums per split — the shim emits
+    them as TRY_CAST to Spark's widened DECIMAL(p+10, s) result type
+    (scala/DdArrowShim.scala:359-402: TRY_CAST mirrors Spark's
+    non-ANSI null-on-overflow), Spark merges partials. The pytest
+    plan-asserted twin (tests/test_dsv2_shim.py case 6d) pinned the
+    plan shape; this entry pins the VALUES against the direct-parquet
+    DuckDB oracle. Reference parity: the reference's aggregation
+    pushdown template, src/optimizer/aggregation_pushdown.cpp."""
+    if d == SPARK:
+        raise NotImplementedError("builder-backed; SQL form unused")
+    return (
+        "SELECT l_returnflag,"
+        " CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))"
+        "   AS DECIMAL(38,2)) AS sum_qty,"
+        " CAST(count(*) AS BIGINT) AS n"
+        " FROM lineitem"
+        " GROUP BY l_returnflag"
+    )
+
+
+def _build_remote_scan_dsv2_split_dec(spark, sf_dir: str):
+    import os
+
+    from pyspark.sql import functions as F
+
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jars",
+        "dd_arrow_shim.jar",
+    )
+    if id(spark) not in _DSV2_JAR_ADDED:
+        spark.sql(f"ADD JAR {jar}")
+        _DSV2_JAR_ADDED.add(id(spark))
+    srv = _server_for(sf_dir)
+    scan = (
+        spark.read.format("dd_arrow_dsv2")
+        .option("url", srv.url)
+        .option(
+            "query",
+            "SELECT l_returnflag,"
+            " CAST(l_quantity AS DECIMAL(12,2)) AS qd FROM lineitem",
+        )
+        .option("split", "true")
+        .option("split_size", str(64 * 4000))
+        .load()
+    )
+    df = (
+        scan.groupBy("l_returnflag")
+        .agg(
+            F.sum("qd").cast("decimal(38,2)").alias("sum_qty"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the contracts: decimal partials pushed per split, merged in a
+    # Spark final HashAggregate (never a COMPLETE server aggregate in
+    # split mode)
+    assert "PushedAggregation: true" in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "RemoteSql" in plan, plan
+    return df
+
+
 @q("bucketed_join_rollup")
 def _bucketed_join_rollup(d: str) -> str:
     """S5 sink surface under the hash gate: orders and customer are
@@ -3961,6 +4030,7 @@ SPARK_BUILDERS.update(
         "remote_scan_split_agg": _build_remote_scan_split_agg,
         "remote_scan_filter_pushdown": _build_remote_scan_filter,
         "remote_scan_dsv2": _build_remote_scan_dsv2,
+        "remote_scan_dsv2_split_dec": _build_remote_scan_dsv2_split_dec,
         "remote_splits_plan": _build_remote_splits,
         "remote_login_scan": _build_remote_login_scan,
         "bucketed_join_rollup": _build_bucketed_join_rollup,
@@ -4145,6 +4215,7 @@ _GATE_WINDOW = [
     "embed_ann_ivfpq_fullprobe",
     "embed_ann_ivfpq_recall",
     "remote_scan_dsv2",
+    "remote_scan_dsv2_split_dec",
     # -- (b) the full r6-vintage cohort (oldest in GATE_AGE.md)
     "bucketed_join_rollup",
     "cast_matrix",
@@ -4185,7 +4256,6 @@ _GATE_WINDOW = [
     "dedup_minhash_recall_held",
     "dedup_simhash",
     "docs_length_quantiles",
-    "docs_shard_assignment",
 ]
 
 

@@ -92,6 +92,7 @@ def test_gate_window_covers_every_family():
         "embed_ann_ivfpq_fullprobe",   # _collect_query_matrix guard
         "embed_ann_ivfpq_recall",      # _collect_query_matrix guard
         "remote_scan_dsv2",            # canonical shim gate (dir. #6)
+        "remote_scan_dsv2_split_dec",  # NEW: split decimal partials
     }
     r6_cohort = {
         "bucketed_join_rollup", "cast_matrix", "cte_union_all",
@@ -113,7 +114,6 @@ def test_gate_window_covers_every_family():
         "dd_version", "dedup_components", "dedup_exact",
         "dedup_minhash_auto", "dedup_minhash_recall_held",
         "dedup_simhash", "docs_length_quantiles",
-        "docs_shard_assignment",
     }
     in_window = set(window)
     for group, names in [
