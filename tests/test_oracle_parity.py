@@ -164,3 +164,21 @@ def test_gate_window_round_ratchet():
         f" latest driver verdict is round {max(rounds)} — re-derive"
         " _GATE_WINDOW for the new round (plans/queries.py gate order)"
     )
+
+
+def test_gate_age_staleness_bound():
+    """The inverse of the rotation policy (r8 verdict directive #7):
+    once an entry has EVER been driver-green, its last-green round may
+    trail the latest driver round by at most 3 — the window rotation
+    must keep the tail fresh, and this assert turns silent decay into
+    a suite failure. (Never-gated entries are the documented
+    ORACLE_SKIP/no-oracle set, covered by their twin entries.)"""
+    import gate_age
+
+    ages, latest = gate_age.last_green_rounds()
+    assert ages and latest >= 8
+    stale = {n: r for n, r in ages.items() if latest - r > 3}
+    assert not stale, (
+        f"entries last green more than 3 rounds ago (latest r{latest}):"
+        f" {stale} — rotate them into _GATE_WINDOW"
+    )
