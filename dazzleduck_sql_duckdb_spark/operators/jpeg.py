@@ -115,63 +115,124 @@ _STD_AC_CHROMA = (
 
 
 class _HuffTable:
-    """Canonical Huffman decoder: the T.81 F.2.2.3 DECODE procedure
-    (MINCODE/MAXCODE/VALPTR per code length) — O(code length) per
-    symbol, no giant lookup allocs per image."""
+    """Table-driven Huffman decoder: one 2^16-entry lookup per symbol
+    (the flat-LUT form of T.81 F.2.2.3 — every 16-bit window whose
+    prefix is a code maps to (length << 8) | symbol). r9 rewrite: the
+    previous per-bit MINCODE/MAXCODE walk dominated realistic-frame
+    decode (~90% of wall in decode/read_bit/receive, cProfile 256x256
+    q8); the LUT does one list index + one bit-skip per symbol. The
+    LUT is built lazily on first decode (one numpy slice-fill pass,
+    shared across every block of the image) and decoded symbols are
+    bit-identical by construction."""
+
+    # LUTs cached by table CONTENT across images: virtually every JPEG
+    # stream reuses the T.81 Annex K standard tables, and the build
+    # (a 65536-entry fill + tolist) costs ~2 ms/table — per-frame
+    # builds would dominate small-frame (MJPEG) decode. Bounded:
+    # cleared wholesale past _LUT_CACHE_MAX distinct tables.
+    _LUT_CACHE: dict[tuple, list[int]] = {}
+    _LUT_CACHE_MAX = 16
 
     def __init__(self, bits: list[int], values: list[int]):
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
+        self.bits = list(bits)
         self.values = values
+        self._lut: list[int] | None = None
+
+    def _build_lut(self) -> list[int]:
+        key = (tuple(self.bits), tuple(self.values))
+        cached = _HuffTable._LUT_CACHE.get(key)
+        if cached is not None:
+            self._lut = cached
+            return cached
+        lut = np.zeros(1 << 16, np.int32)  # 0 = invalid prefix
         code = 0
         k = 0
         for ln in range(1, 17):
-            self.valptr[ln] = k
-            self.mincode[ln] = code
-            code += bits[ln - 1]
-            k += bits[ln - 1]
-            self.maxcode[ln] = code - 1
+            for _ in range(self.bits[ln - 1]):
+                lo = code << (16 - ln)
+                hi = (code + 1) << (16 - ln)
+                lut[lo:hi] = (ln << 8) | self.values[k]
+                code += 1
+                k += 1
             code <<= 1
+        self._lut = lut.tolist()  # python list: faster scalar indexing
+        if len(_HuffTable._LUT_CACHE) >= _HuffTable._LUT_CACHE_MAX:
+            _HuffTable._LUT_CACHE.clear()
+        _HuffTable._LUT_CACHE[key] = self._lut
+        return self._lut
 
     def decode(self, br: "_BitReader") -> int:
-        code = br.read_bit()
-        ln = 1
-        while code > self.maxcode[ln]:
-            ln += 1
-            if ln > 16:
-                raise ValueError("corrupt JPEG: huffman code > 16 bits")
-            code = (code << 1) | br.read_bit()
-        return self.values[self.valptr[ln] + code - self.mincode[ln]]
+        lut = self._lut
+        if lut is None:
+            lut = self._build_lut()
+        entry = lut[br.peek16()]
+        if entry == 0:
+            raise ValueError("corrupt JPEG: invalid huffman code")
+        br.skip(entry >> 8)
+        return entry & 0xFF
+
+
+_ACC_MASK = (1 << 40) - 1  # fill never buffers past 23+8 bits
 
 
 class _BitReader:
-    """MSB-first bit reader over byte-unstuffed scan data."""
+    """MSB-first bit reader over byte-unstuffed scan data, with a
+    multi-byte accumulator so the LUT decoder can PEEK 16 bits at
+    once. Peeking may extend past the data end with virtual zero
+    bits; CONSUMING past the end still raises (the old per-bit
+    reader's exhaustion contract)."""
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0
+        self.limit = len(data) * 8
+        self.pos = 0        # next real byte to load
+        self.acc = 0
+        self.nbits = 0      # buffered, unconsumed bits
+        self.overrun = 0    # virtual zero bits loaded past the end
+
+    def seek_byte(self, byte_pos: int) -> None:
+        self.pos = byte_pos
         self.acc = 0
         self.nbits = 0
+        self.overrun = 0
+
+    def _fill(self, need: int) -> None:
+        data, n = self.data, len(self.data)
+        while self.nbits < need:
+            if self.pos < n:
+                self.acc = ((self.acc << 8) | data[self.pos]) & _ACC_MASK
+                self.pos += 1
+            else:
+                self.acc = (self.acc << 8) & _ACC_MASK
+                self.overrun += 8
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        if self.pos * 8 + self.overrun - self.nbits > self.limit:
+            raise ValueError("corrupt JPEG: scan data exhausted")
 
     def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("corrupt JPEG: scan data exhausted")
-            self.acc = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        return self.receive(1)
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.skip(n)
         return v
 
     def align(self) -> None:
-        self.nbits = 0
+        rem = (self.pos * 8 + self.overrun - self.nbits) & 7
+        if rem:
+            self.skip(8 - rem)
 
 
 def _extend(v: int, n: int) -> int:
@@ -298,7 +359,19 @@ def _decode_scan(frame, qt, huff, scan_tabs, scan, restart_interval):
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     data, seg_starts = _unstuff(scan)
-    br = _BitReader(data)
+
+    # ---- inlined entropy decode (r9): the bit/huffman layer is the
+    # wall-clock of realistic-frame decode and it is CALL-BOUND in
+    # pure Python (cProfile: ~640k function calls per 256x256 frame
+    # through decode/peek/skip/receive). The LUT tables (_HuffTable)
+    # plus bit state held in LOCALS drop it to a handful of local int
+    # ops per coefficient — same symbols, bit-identical pixels. The
+    # _BitReader class stays as the readable reference implementation
+    # (and the seek/align contract documentation).
+    dlen = len(data)
+    limit = dlen * 8
+    acc = nbits = pos = overrun = 0
+    luts = {key: (t._lut or t._build_lut()) for key, t in huff.items()}
 
     # per-component coefficient planes (MCU-padded)
     planes = {
@@ -310,46 +383,132 @@ def _decode_scan(frame, qt, huff, scan_tabs, scan, restart_interval):
     pred = {c["id"]: 0 for c in comps}
     seg = 1
     n_mcu = mcux * mcuy
+    # phase-1 outputs: all zigzag coefficient vectors (one row per
+    # block, decode order) + per-component block placement, so the
+    # dequant + 2D IDCT runs ONCE as a batched (B, 8, 8) matmul in
+    # phase 2 instead of 2 tiny matmuls per block (r9: the per-block
+    # numpy was ~half the decode wall after the entropy inlining)
+    blocks_per_mcu = sum(c["h"] * c["v"] for c in comps)
+    zz_all = np.zeros((n_mcu * blocks_per_mcu, 64), np.int32)
+    placement = {c["id"]: ([], [], []) for c in comps}  # (bi, y0, x0)
+    bi = 0
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
-            br.align()
-            if seg < len(seg_starts):
-                br.pos, br.nbits = seg_starts[seg], 0
+            if seg < len(seg_starts):  # align + seek to next segment
+                pos, acc, nbits, overrun = seg_starts[seg], 0, 0, 0
                 seg += 1
+            else:  # align to the next byte boundary
+                rem = (pos * 8 + overrun - nbits) & 7
+                if rem:
+                    nbits -= 8 - rem
             pred = {c["id"]: 0 for c in comps}
         my, mx = divmod(m, mcux)
         for c in comps:
-            dc_t = huff[(0, scan_tabs[c["id"]][0])]
-            ac_t = huff[(1, scan_tabs[c["id"]][1])]
-            q = qt[c["tq"]]
+            cid = c["id"]
+            dc_lut = luts[(0, scan_tabs[cid][0])]
+            ac_lut = luts[(1, scan_tabs[cid][1])]
+            place = placement[cid]
             for by in range(c["v"]):
                 for bx in range(c["h"]):
-                    zz = np.zeros(64, np.int32)
-                    t = dc_t.decode(br)
-                    diff = _extend(br.receive(t), t)
-                    pred[c["id"]] += diff
-                    zz[0] = pred[c["id"]]
+                    zz = [0] * 64
+                    # -- DC coefficient
+                    while nbits < 16:
+                        if pos < dlen:
+                            acc = ((acc << 8) | data[pos]) & _ACC_MASK
+                            pos += 1
+                        else:
+                            acc = (acc << 8) & _ACC_MASK
+                            overrun += 8
+                        nbits += 8
+                    entry = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                    if entry == 0:
+                        raise ValueError(
+                            "corrupt JPEG: invalid huffman code"
+                        )
+                    s = entry & 0xFF
+                    nbits -= entry >> 8
+                    if s:
+                        while nbits < s:
+                            if pos < dlen:
+                                acc = ((acc << 8) | data[pos]) & _ACC_MASK
+                                pos += 1
+                            else:
+                                acc = (acc << 8) & _ACC_MASK
+                                overrun += 8
+                            nbits += 8
+                        v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                        nbits -= s
+                        pred[cid] += (
+                            v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        )
+                    zz[0] = pred[cid]
+                    # -- AC run-length coefficients
                     k = 1
                     while k < 64:
-                        rs = ac_t.decode(br)
-                        r, s = rs >> 4, rs & 0x0F
+                        while nbits < 16:
+                            if pos < dlen:
+                                acc = ((acc << 8) | data[pos]) & _ACC_MASK
+                                pos += 1
+                            else:
+                                acc = (acc << 8) & _ACC_MASK
+                                overrun += 8
+                            nbits += 8
+                        entry = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                        if entry == 0:
+                            raise ValueError(
+                                "corrupt JPEG: invalid huffman code"
+                            )
+                        rs = entry & 0xFF
+                        nbits -= entry >> 8
+                        s = rs & 0x0F
                         if s == 0:
-                            if r == 15:  # ZRL
+                            if rs == 0xF0:  # ZRL
                                 k += 16
                                 continue
                             break  # EOB
-                        k += r
+                        k += rs >> 4
                         if k > 63:
                             raise ValueError("corrupt JPEG: AC overrun")
-                        zz[k] = _extend(br.receive(s), s)
+                        while nbits < s:
+                            if pos < dlen:
+                                acc = ((acc << 8) | data[pos]) & _ACC_MASK
+                                pos += 1
+                            else:
+                                acc = (acc << 8) & _ACC_MASK
+                                overrun += 8
+                            nbits += 8
+                        v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                        nbits -= s
+                        zz[k] = (
+                            v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        )
                         k += 1
-                    coef = np.zeros((8, 8), np.float64)
-                    coef[_ZZ_ROWS, _ZZ_COLS] = zz
-                    coef *= q
-                    blk = _M.T @ coef @ _M + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = blk
+                    # consuming past the data end is corruption (the
+                    # exhaustion contract, checked per block — peeks
+                    # legitimately extend past the end with zero bits)
+                    if pos * 8 + overrun - nbits > limit:
+                        raise ValueError(
+                            "corrupt JPEG: scan data exhausted"
+                        )
+                    zz_all[bi] = zz
+                    place[0].append(bi)
+                    place[1].append((my * c["v"] + by) * 8)
+                    place[2].append((mx * c["h"] + bx) * 8)
+                    bi += 1
+
+    # phase 2: batched dequant + 2D IDCT per component, then scatter
+    for c in comps:
+        cid = c["id"]
+        bis, y0s, x0s = placement[cid]
+        if not bis:
+            continue
+        coef = np.zeros((len(bis), 8, 8), np.float64)
+        coef[:, _ZZ_ROWS, _ZZ_COLS] = zz_all[bis]
+        coef *= qt[c["tq"]]
+        blks = _M.T @ coef @ _M + 128.0
+        plane = planes[cid]
+        for j, (y0, x0) in enumerate(zip(y0s, x0s)):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blks[j]
 
     out_planes = []
     for c in comps:

@@ -4216,6 +4216,7 @@ _GATE_WINDOW = [
     "embed_ann_ivfpq_recall",
     "remote_scan_dsv2",
     "remote_scan_dsv2_split_dec",
+    "multimodal_video_frames",
     # -- (b) the full r6-vintage cohort (oldest in GATE_AGE.md)
     "bucketed_join_rollup",
     "cast_matrix",
@@ -4255,7 +4256,6 @@ _GATE_WINDOW = [
     "dedup_minhash_auto",
     "dedup_minhash_recall_held",
     "dedup_simhash",
-    "docs_length_quantiles",
 ]
 
 

@@ -93,6 +93,7 @@ def test_gate_window_covers_every_family():
         "embed_ann_ivfpq_recall",      # _collect_query_matrix guard
         "remote_scan_dsv2",            # canonical shim gate (dir. #6)
         "remote_scan_dsv2_split_dec",  # NEW: split decimal partials
+        "multimodal_video_frames",     # jpeg.py LUT entropy decoder
     }
     r6_cohort = {
         "bucketed_join_rollup", "cast_matrix", "cte_union_all",
@@ -113,7 +114,7 @@ def test_gate_window_covers_every_family():
     r7_fill = {
         "dd_version", "dedup_components", "dedup_exact",
         "dedup_minhash_auto", "dedup_minhash_recall_held",
-        "dedup_simhash", "docs_length_quantiles",
+        "dedup_simhash",
     }
     in_window = set(window)
     for group, names in [

@@ -89,6 +89,53 @@ def gen_documents(n: int, out: str, seed: int = 42) -> None:
     pq.write_table(tbl, out)
 
 
+def gen_embeddings_structured(
+    n: int, out: str, dim: int = 64, seed: int = 7,
+    n_concepts: int = 256, alpha: float = 0.5,
+) -> None:
+    """Embeddings with REAL-CORPUS structure (r8 verdict directive #4:
+    the unstructured random corpus makes threshold pair mass itself
+    quadratic — the adversarial case; this generator is the
+    bounded-duplicate-density case the semdedup docstring claims is
+    assignment-bound). Discipline mirrors gen_documents: vectors live
+    on a concept manifold (alpha * concept + sqrt(1-alpha^2) * noise;
+    same-concept baseline cosine ~ alpha^2 = 0.25, far below any
+    dedup threshold), with planted duplicate structure at the
+    driver-testdata density — ~0.2% exact-dup pairs and ~0.4%
+    near-dup pairs (small perturbation, cosine ~0.97). Pair mass at a
+    SemDeDup-regime threshold (0.9 — the paper screens at cosine
+    ~0.95+) is therefore LINEAR in n by construction."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_concepts, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    cid = rng.integers(0, n_concepts, size=n)
+    noise = rng.standard_normal((n, dim))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    V = alpha * C[cid] + math.sqrt(1.0 - alpha * alpha) * noise
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    n_exact, n_near = max(1, n // 500), max(1, n // 250)
+    for _ in range(n_exact):
+        a, b = rng.integers(0, n, size=2)
+        V[b] = V[a]
+    for _ in range(n_near):
+        a, b = rng.integers(0, n, size=2)
+        w = V[a] + 0.15 * rng.standard_normal(dim) / math.sqrt(dim)
+        V[b] = w / np.linalg.norm(w)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in V],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(
+                rng.integers(0, 10, size=n).astype(np.int32), pa.int32()
+            ),
+        }
+    )
+    pq.write_table(tbl, out)
+
+
 def gen_embeddings(n: int, out: str, dim: int = 64, seed: int = 7) -> None:
     rng = np.random.default_rng(seed)
     V = rng.standard_normal((n, dim))
@@ -161,6 +208,32 @@ PIPELINES = [
 # semantic_dedup_pairs docstring; exactly why IVF sizes by sqrt(N)
 # [probe count] and SemDeDup must not).
 SEMDEDUP_PIPELINE = "embed_semantic_dedup"
+SEMDEDUP_STRUCTURED = "embed_semantic_dedup (structured)"
+
+
+def _proof_semdedup_structured(spark, sf_dir: str):
+    """The structured-corpus twin (r8 directive #4): constant-cell
+    K = n/1024, spill=3, threshold at the SemDeDup screening regime
+    (0.9) over the concept-manifold corpus with planted duplicate
+    density — the linear-pair-mass case the semdedup docstring argues
+    real corpora present."""
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings_structured.parquet")
+    )
+    n = emb.count()
+    k = max(4, n // 1024)
+    print(
+        f"# {SEMDEDUP_STRUCTURED}: n={n} -> n_clusters={k}"
+        " (spill=3, threshold=0.9)",
+        file=sys.stderr,
+    )
+    return semantic_dedup_pairs(
+        emb, n_clusters=k, threshold=0.9, spill=3
+    )
 
 
 def _proof_semdedup(spark, sf_dir: str):
@@ -581,6 +654,9 @@ def main() -> int:
             gen_documents(n, docs)
         if not os.path.exists(embs):
             gen_embeddings(max(n // 2, 100), embs)
+        embs_s = os.path.join(d, "embeddings_structured.parquet")
+        if not os.path.exists(embs_s):
+            gen_embeddings_structured(max(n // 2, 100), embs_s)
         dirs[label] = d
 
     from dazzleduck_sql_duckdb_spark.session import get_spark
@@ -592,6 +668,7 @@ def main() -> int:
     runners = {n: _proof_dedup(n) for n in DEDUP_PIPELINES}
     runners.update({n: queries[n] for n in PIPELINES})
     runners[SEMDEDUP_PIPELINE] = _proof_semdedup
+    runners[SEMDEDUP_STRUCTURED] = _proof_semdedup_structured
     t_small = run_at(spark, dirs["small"], runners=runners)
     t_big = run_at(spark, dirs["big"], runners=runners)
 
@@ -607,7 +684,10 @@ def main() -> int:
     }
     print(f"\n| pipeline | t({small}) s | t({big}) s | exponent |")
     print("|---|---|---|---|")
-    for name in [*DEDUP_PIPELINES, *PIPELINES, SEMDEDUP_PIPELINE]:
+    for name in [
+        *DEDUP_PIPELINES, *PIPELINES, SEMDEDUP_PIPELINE,
+        SEMDEDUP_STRUCTURED,
+    ]:
         a, b = t_small[name], t_big[name]
         if name.startswith("embed_ann"):
             a, b = a / n_queries["small"], b / n_queries["big"]
