@@ -61,3 +61,85 @@ def write_partitioned(
         else list(partition_cols)
     )
     df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def zorder_value(
+    cols: list,
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 16,
+):
+    """Morton (Z-order) key for up to 4 columns as a pure JVM Column
+    expression: each column is quantized to ``bits`` levels over its
+    [min, max] range, then the quantized integers are bit-interleaved
+    (column 0 owns the most-significant lane). Sorting/range-
+    partitioning by this key clusters rows that are close in EVERY
+    dimension into the same parquet row groups, so min/max stats
+    prune multi-column predicates — the layout move for a 100 TB
+    fact table queried on several independent columns (single-column
+    sort keys only skip on their leading column).
+
+    Engine-added (the reference is a read-only scanner); the
+    construction mirrors the Z-ordering of lakehouse table formats.
+    Deterministic arithmetic only (floor + bit ops), so the DuckDB
+    oracle computes the identical key. NULLs quantize to bucket 0
+    (sorts first, the usual stats-friendly choice)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_value supports 1..4 columns")
+    if bits * len(cols) > 63:
+        raise ValueError("bits * n_cols must fit a signed 64-bit key")
+    n = len(cols)
+    levels = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for ci, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        col = c if isinstance(c, Column) else F.col(c)
+        span = float(hi) - float(lo)
+        qf = (col.cast("double") - float(lo)) / F.lit(
+            span if span > 0 else 1.0
+        )
+        q = F.least(
+            F.lit(levels),
+            F.greatest(F.lit(0), F.floor(qf * levels).cast("long")),
+        )
+        q = F.coalesce(q, F.lit(0))
+        # interleave: bit b of column ci lands at position b*n + (n-1-ci)
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)),
+                b * n + (n - 1 - ci),
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_cols: list[str],
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 16,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist parquet Z-ordered on ``zorder_cols``: range-partition by
+    the Morton key (balanced output files via range sampling), sort
+    within each partition, drop the key. Every output row group then
+    covers a small hyper-rectangle of the key space, and a filter on
+    ANY subset of the z-columns prunes row groups by min/max stats
+    (measured in tests/test_storage.py: the row-group-level skip rate
+    vs the same data written in arrival order)."""
+    from pyspark.sql import functions as F
+
+    z = zorder_value(zorder_cols, mins, maxs, bits=bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

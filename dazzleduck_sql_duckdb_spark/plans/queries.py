@@ -3176,6 +3176,64 @@ def _build_remote_scan_dsv2_split_dec(spark, sf_dir: str):
     return df
 
 
+def _zorder_sql(d: str, cols_ranges, bits: int) -> str:
+    """Morton key as portable SQL (operators/storage.py zorder_value
+    mirrored in both dialects): quantize each column over a FIXED
+    [lo, hi] range, interleave bits. Pure integer/floor arithmetic on
+    identical doubles, so both engines compute identical keys."""
+    n = len(cols_ranges)
+    levels = (1 << bits) - 1
+    terms = []
+    for ci, (col, lo, hi) in enumerate(cols_ranges):
+        span = float(hi) - float(lo)
+        q = (
+            f"coalesce(least(CAST({levels} AS BIGINT), greatest("
+            f"CAST(0 AS BIGINT), CAST(floor((CAST({col} AS DOUBLE)"
+            f" - {float(lo)!r}) / {span!r} * {levels}) AS BIGINT))),"
+            f" CAST(0 AS BIGINT))"
+        )
+        for b in range(bits):
+            pos = b * n + (n - 1 - ci)
+            if d == SPARK:
+                terms.append(
+                    f"shiftleft(shiftright({q}, {b}) & 1, {pos})"
+                )
+            else:
+                terms.append(f"((({q} >> {b}) & 1) << {pos})")
+    return " + ".join(terms)
+
+
+@q("layout_zorder")
+def _layout_zorder(d: str) -> str:
+    """Z-order (Morton) layout key over (l_quantity, l_extendedprice)
+    — the multi-column clustering move for 100 TB fact tables: sort/
+    range-partition by this key and parquet row-group min/max stats
+    prune predicates on ANY of the z-columns (a single-column sort
+    only skips on its leading column). Engine-added (the reference is
+    a read-only scanner); operators/storage.py write_zordered is the
+    sink, tests/test_storage.py measures the actual row-group skip
+    rate vs arrival order. This entry hash-gates the KEY ARITHMETIC
+    itself: per-z-bucket row counts + orderkey sums cover every row's
+    interleaved key in both engines."""
+    z = _zorder_sql(
+        d, [("l_quantity", 1.0, 50.0), ("l_extendedprice", 900.0, 105000.0)],
+        bits=8,
+    )
+    return f"""
+SELECT CAST(zv DIV 16 AS BIGINT) AS z_bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
+FROM (SELECT ({z}) AS zv, l_orderkey FROM lineitem) t
+GROUP BY 1
+""" if d == SPARK else f"""
+SELECT CAST(zv // 16 AS BIGINT) AS z_bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
+FROM (SELECT ({z}) AS zv, l_orderkey FROM lineitem) t
+GROUP BY 1
+"""
+
+
 @q("bucketed_join_rollup")
 def _bucketed_join_rollup(d: str) -> str:
     """S5 sink surface under the hash gate: orders and customer are
@@ -4217,6 +4275,7 @@ _GATE_WINDOW = [
     "remote_scan_dsv2",
     "remote_scan_dsv2_split_dec",
     "multimodal_video_frames",
+    "layout_zorder",
     # -- (b) the full r6-vintage cohort (oldest in GATE_AGE.md)
     "bucketed_join_rollup",
     "cast_matrix",
@@ -4255,7 +4314,6 @@ _GATE_WINDOW = [
     "dedup_exact",
     "dedup_minhash_auto",
     "dedup_minhash_recall_held",
-    "dedup_simhash",
 ]
 
 

@@ -84,3 +84,88 @@ def test_partitioned_write_prunes(spark, tables, tmp_path):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
     n_direct = spark.table("orders").where("o_orderstatus = 'F'").count()
     assert df.count() == n_direct
+
+
+def test_zorder_value_locality_and_bounds(spark):
+    """Key arithmetic laws: z in [0, 4^bits); the four corners of the
+    2-D domain land in the four key quadrants (interleaving, not
+    concatenation); NULL quantizes to bucket 0."""
+    from pyspark.sql import functions as F
+
+    from dazzleduck_sql_duckdb_spark.operators.storage import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 0.0, 100.0), (2, 100.0, 0.0),
+         (3, 100.0, 100.0), (4, None, 100.0)],
+        "id INT, a DOUBLE, b DOUBLE",
+    )
+    z = zorder_value(["a", "b"], [0.0, 0.0], [100.0, 100.0], bits=8)
+    got = {r.id: r.z for r in df.select("id", z.alias("z")).collect()}
+    hi = 1 << 16
+    assert all(0 <= v < hi for v in got.values())
+    assert got[0] == 0
+    assert got[3] == hi - 1
+    # corner (a=0,b=max): only b's (LSB-lane) bits set -> key 0b0101..
+    # corner (a=max,b=0): only a's (MSB-lane) bits set -> key 0b1010..
+    assert got[1] == sum(1 << (2 * k) for k in range(8))
+    assert got[2] == sum(1 << (2 * k + 1) for k in range(8))
+    assert got[4] == got[1], "NULL must quantize to bucket 0"
+
+
+def test_zorder_write_skips_row_groups(spark, tmp_path):
+    """The layout's entire point, measured: a 2-D box predicate over
+    z-ordered parquet must prune MORE row groups by min/max stats
+    than the same rows written in arrival order — and on BOTH
+    dimensions, which a single-column sort cannot do."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dazzleduck_sql_duckdb_spark.operators.storage import (
+        write_zordered,
+    )
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 197).cast("double").alias("x"),
+        ((F.col("id") * 7919) % 211).cast("double").alias("y"),
+    )
+    nat, zord = str(tmp_path / "nat"), str(tmp_path / "zord")
+    df.repartition(8).write.parquet(nat)
+    write_zordered(
+        df, zord, zorder_cols=["x", "y"],
+        mins=[0.0, 0.0], maxs=[196.0, 210.0], bits=8, n_files=8,
+    )
+
+    def surviving(path, lo_x, hi_x, lo_y, hi_y):
+        import glob as g
+
+        total = kept = 0
+        for f in g.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                total += 1
+                sx = md.row_group(rg).column(cols["x"]).statistics
+                sy = md.row_group(rg).column(cols["y"]).statistics
+                if (sx.min <= hi_x and sx.max >= lo_x
+                        and sy.min <= hi_y and sy.max >= lo_y):
+                    kept += 1
+        return kept, total
+
+    kn, tn = surviving(nat, 10, 30, 10, 30)
+    kz, tz = surviving(zord, 10, 30, 10, 30)
+    assert kn == tn, "arrival order should prune ~nothing on this box"
+    assert kz < tz, "z-order pruned no row groups"
+    assert kz / tz <= 0.5, f"z-order skip rate too weak: {kz}/{tz}"
+    # and correctness: both layouts return identical matching rows
+    got_n = spark.read.parquet(nat).where(
+        "x between 10 and 30 and y between 10 and 30"
+    ).count()
+    got_z = spark.read.parquet(zord).where(
+        "x between 10 and 30 and y between 10 and 30"
+    ).count()
+    assert got_n == got_z > 0
