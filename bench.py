@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "docs_length_quantiles",
     "docs_shard_assignment",
     "cross_source_contamination",
+    "layout_zorder",
 ]
 
 

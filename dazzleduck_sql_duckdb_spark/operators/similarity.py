@@ -270,16 +270,38 @@ def train_centroids(
     id_col: str = "vec_id",
     iterations: int = 2,
     seed: int = 42,
+    max_train_rows: int | None = None,
 ) -> np.ndarray:
     """Coarse quantizer: deterministic corpus sample as seeds, then
     `iterations` distributed Lloyd steps (assignment is a numpy UDF pass;
     the mean-update is a posexplode + groupBy — one bounded shuffle of
     n_rows*dim scalars, never the vectors to the driver).
 
+    ``max_train_rows`` bounds the LLOYD PASSES to a deterministic
+    hash-ordered sample (r9): each iteration assigns the training set
+    to K centroids — n x K work, and when the caller sizes K
+    proportionally to n (the SemDeDup constant-cell schedule) full-
+    corpus training is QUADRATIC. Measured at 250k vectors / K=244:
+    training was 170s of the 204s pipeline (e=1.23 vs scoring's 0.68,
+    .scale/probe_semdedup_stages.json). Quantizer quality needs a
+    representative sample, not the corpus — the standard IVF/SemDeDup
+    deployment trains on a bounded sample and assigns everything once.
+
     NULL vectors have no defined cell: they are excluded from both the
     seed sample and the Lloyd passes (previously a NULL draw crashed
     the seed vstack — the scoring kernels already dropped NULLs)."""
     corpus = corpus.where(F.col(vec_col).isNotNull())
+    if max_train_rows is not None:
+        corpus = (
+            corpus.select(id_col, vec_col)
+            .orderBy(
+                F.pmod(
+                    F.xxhash64(F.col(id_col)) + seed + 1,
+                    F.lit(2**31 - 1),
+                )
+            )
+            .limit(max_train_rows)
+        )
     sample = (
         corpus.select(vec_col)
         .orderBy(F.pmod(F.xxhash64(F.col(id_col)) + seed, F.lit(2**31 - 1)))
@@ -1029,6 +1051,7 @@ def semantic_dedup_pairs(
     score_block: int = 1_024,
     train_iterations: int = 2,
     seed: int = 42,
+    max_train_rows: int = 65_536,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, 'SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication'): cluster the
@@ -1100,12 +1123,21 @@ def semantic_dedup_pairs(
     it would be the n^2 the method exists to avoid); the skip is
     deterministic, so reruns hash identically."""
     if centroids is None:
+        n = corpus.count()
         if n_clusters is None:
-            n = corpus.count()
             n_clusters = default_n_clusters(n)
+        # bound the Lloyd passes to a sample PAST max_train_rows (r9):
+        # with the constant-cell schedule K ~ n/1024, full-corpus
+        # training is n*K = quadratic — measured 170s of the 204s
+        # pipeline at 250k vectors. Below the bound the sampling path
+        # is bypassed entirely, so evaluation-scale runs (and the
+        # driver's gate corpora) are bit-identical to r8.
         centroids = train_centroids(
             corpus, n_clusters, vec_col=vec_col, id_col=id_col,
             iterations=train_iterations, seed=seed,
+            max_train_rows=(
+                max_train_rows if n > max_train_rows else None
+            ),
         )
     C = _normalize(np.asarray(centroids, dtype=np.float64))
     dim = C.shape[1]
@@ -1197,4 +1229,51 @@ def semantic_dedup_pairs(
     # each (same fold over the same vectors) — min() == the value
     return pairs.groupBy("vec_a", "vec_b").agg(
         F.min("sim").alias("sim")
+    )
+
+
+# ------------------------------------------------- index persistence (r9)
+
+
+def save_ivfpq_index(index: IvfPqIndex, path: str) -> None:
+    """Persist the encode-once artifact across SESSIONS: the (id,
+    cell, codes) table as parquet at <path>/encoded, the tiny model
+    state (coarse centroids, PQ codebooks, spill, id_col) as JSON at
+    <path>/meta.json. Ingest writes this once; every later query
+    session loads it and never re-encodes (or rescans the float
+    vectors outside the bounded exact rerank)."""
+    import json
+    import os
+
+    index.encoded.write.mode("overwrite").parquet(
+        os.path.join(path, "encoded")
+    )
+    meta = {
+        "format": "ivfpq-v1",
+        "centroids": np.asarray(index.centroids, np.float64).tolist(),
+        "codebooks": np.asarray(index.codebooks, np.float64).tolist(),
+        "spill": int(index.spill),
+        "id_col": index.id_col,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_ivfpq_index(spark, path: str) -> IvfPqIndex:
+    """Rebuild a saved IVF-PQ index; queries against the loaded index
+    are bit-identical to the in-memory one (the codebooks round-trip
+    as exact float64 JSON repr, tests/test_similarity.py)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != "ivfpq-v1":
+        raise ValueError(f"not an ivfpq-v1 index dir: {path}")
+    return IvfPqIndex(
+        centroids=np.asarray(meta["centroids"], np.float64),
+        codebooks=np.asarray(meta["codebooks"], np.float64),
+        encoded=spark.read.parquet(os.path.join(path, "encoded")),
+        spill=int(meta["spill"]),
+        id_col=meta["id_col"],
     )

@@ -315,3 +315,45 @@ def neardup_screen_stream_once(
         deduped, index, threshold_pct=threshold_pct,
         id_col=id_col, text_col=text_col,
     )
+
+
+def save_minhash_index(index: MinHashIndex, path: str) -> None:
+    """Persist the screening index across sessions: buckets + detail
+    as parquet, the kernel params (seeds, shingle width, band count —
+    a screen MUST hash with the index's own params) as meta.json."""
+    import json
+    import os
+
+    index.buckets.write.mode("overwrite").parquet(
+        os.path.join(path, "buckets")
+    )
+    index.detail.write.mode("overwrite").parquet(
+        os.path.join(path, "detail")
+    )
+    meta = {
+        "format": "minhash-index-v1",
+        "a": list(index.a),
+        "b": list(index.b),
+        "shingle_n": index.shingle_n,
+        "bands": index.bands,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_minhash_index(spark, path: str) -> MinHashIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != "minhash-index-v1":
+        raise ValueError(f"not a minhash-index-v1 dir: {path}")
+    return MinHashIndex(
+        buckets=spark.read.parquet(os.path.join(path, "buckets")),
+        detail=spark.read.parquet(os.path.join(path, "detail")),
+        a=meta["a"],
+        b=meta["b"],
+        shingle_n=meta["shingle_n"],
+        bands=meta["bands"],
+    )

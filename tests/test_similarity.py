@@ -645,3 +645,34 @@ def test_collect_query_matrix_guards_before_collect(spark, emb, monkeypatch):
     # under the cap the path is unchanged
     qids, Q = S._collect_query_matrix(emb.limit(5), "vec_id", "embedding")
     assert len(qids) == 5 and Q.shape[0] == 5
+
+
+def test_ivfpq_index_save_load_roundtrip(spark, emb, tmp_path):
+    """The deployed encode-once/query-many shape across SESSIONS:
+    queries against a saved+loaded index are identical to the
+    in-memory index (centroids/codebooks round-trip exact via JSON
+    float64 repr; the encoded table via parquet)."""
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        build_ivfpq_index,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    idx = build_ivfpq_index(
+        emb, n_centroids=8, m_subspaces=8, n_codes=16,
+    )
+    save_ivfpq_index(idx, str(tmp_path / "ivfpq"))
+    idx2 = load_ivfpq_index(spark, str(tmp_path / "ivfpq"))
+    assert np.array_equal(idx.centroids, idx2.centroids)
+    assert np.array_equal(idx.codebooks, idx2.codebooks)
+    queries = emb.where("vec_id % 100 = 0")
+    a = ann_ivfpq_topk(emb, queries, index=idx, k=5, n_probe=4).collect()
+    b = ann_ivfpq_topk(emb, queries, index=idx2, k=5, n_probe=4).collect()
+    assert _topk_sets(a) == _topk_sets(b)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ivfpq-v1"):
+        (tmp_path / "bad").mkdir()
+        (tmp_path / "bad" / "meta.json").write_text('{"format": "x"}')
+        load_ivfpq_index(spark, str(tmp_path / "bad"))

@@ -261,3 +261,26 @@ def test_screen_once_drops_rearrivals(spark, tmp_path, index, docs_dir):
         if r.doc_id == one.doc_id and r.corpus_id == one.doc_id
     ]
     assert len(plain_hits) == 2
+
+
+def test_minhash_index_save_load_roundtrip(spark, docs_dir, index, tmp_path):
+    """Screening against a saved+loaded index finds exactly the same
+    pairs as the in-memory one (parquet tables + JSON kernel params)."""
+    from dazzleduck_sql_duckdb_spark.streaming.dedup import (
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    save_minhash_index(index, str(tmp_path / "mh"))
+    idx2 = load_minhash_index(spark, str(tmp_path / "mh"))
+    assert (idx2.a, idx2.b, idx2.shingle_n, idx2.bands) == (
+        index.a, index.b, index.shingle_n, index.bands,
+    )
+    docs = spark.read.parquet(docs_dir).limit(50)
+    a = neardup_screen_stream(
+        docs, index, threshold_pct=Q.JACCARD_PCT
+    ).collect()
+    b = neardup_screen_stream(
+        docs, idx2, threshold_pct=Q.JACCARD_PCT
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
