@@ -1418,6 +1418,46 @@ def _build_stream_screen(spark):
     )
 
 
+@q("dedup_substring_screen")
+def _dedup_substring_screen(d: str) -> str:
+    """The streaming exact-substring SCREEN's values under the hash
+    gate (streaming/dedup.py substring_screen_stream): incoming docs
+    screened against a static window index — the passage-dedup twin
+    of dedup_stream_screen (does this new doc share a >=12-token
+    passage with the training set?). STATELESS: the incoming doc's
+    distinct window-hash array is a per-row expression, candidates
+    are stream-static equi-joins on the 8-byte window hash, and the
+    first-shared-window anchor (wh == array_min(array_intersect(
+    in_whs, whs)) — a pure per-row predicate) emits each pair exactly
+    once with the FULL intersection size as its count. Self-screening
+    the corpus (kept at in_id < corpus_id) must equal the batch
+    dedup_exact_substring pipeline exactly — pairs, counts, and the
+    64-doc boilerplate-cap semantics — so the oracle IS that entry's
+    DuckDB formulation. Stream lifecycle (stream==batch, arrival
+    independence, min_shared) pinned in
+    tests/test_streaming_substring.py."""
+    if d == SPARK:
+        raise NotImplementedError  # builder-backed (SQL form unused)
+    return _exact_substring(d)
+
+
+def _build_substring_screen(spark):
+    from pyspark.sql import functions as F
+
+    from ..streaming.dedup import (
+        build_substring_index, substring_screen_stream,
+    )
+
+    docs = spark.table("documents")
+    index = build_substring_index(docs)
+    out = substring_screen_stream(docs, index)
+    return out.where(F.col("doc_id") < F.col("corpus_id")).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("corpus_id").alias("doc_b"),
+        "shared_windows",
+    )
+
+
 @q("dedup_minhash_auto")
 def _minhash_auto(d: str) -> str:
     """dedup_minhash_lsh's contract under the PRODUCTION knobs: the
@@ -4104,6 +4144,7 @@ SPARK_BUILDERS.update(
         "embed_semantic_dedup": _build_semdedup,
         "text_perplexity_static_lm": _build_perplexity_static,
         "dedup_stream_screen": _build_stream_screen,
+        "dedup_substring_screen": _build_substring_screen,
         "embed_semantic_dedup_exact": _build_semdedup_exact,
         "embed_semantic_dedup_recall": _build_semdedup_recall,
         "embed_ann_ivfpq": _build_ann_ivfpq,
@@ -4276,6 +4317,7 @@ _GATE_WINDOW = [
     "remote_scan_dsv2_split_dec",
     "multimodal_video_frames",
     "layout_zorder",
+    "dedup_substring_screen",
     # -- (b) the full r6-vintage cohort (oldest in GATE_AGE.md)
     "bucketed_join_rollup",
     "cast_matrix",
@@ -4313,7 +4355,6 @@ _GATE_WINDOW = [
     "dedup_components",
     "dedup_exact",
     "dedup_minhash_auto",
-    "dedup_minhash_recall_held",
 ]
 
 

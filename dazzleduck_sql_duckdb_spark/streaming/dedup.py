@@ -357,3 +357,141 @@ def load_minhash_index(spark, path: str) -> MinHashIndex:
         shingle_n=meta["shingle_n"],
         bands=meta["bands"],
     )
+
+
+# -------------------------------------- exact-substring screen vs an index
+
+
+class SubstringIndex:
+    """Static exact-substring (Lee et al. 2021 passage-dedup) index of
+    a reference corpus, for screening an incoming document stream:
+    "does this new doc share a >=12-token passage with the training
+    set, and how many windows?"
+
+    - ``buckets`` (corpus_id, wh): one row per (corpus doc, KEPT
+      window) — kept = the window's corpus bucket holds at most
+      ``max_bucket_docs`` docs (the batch pipeline's boilerplate cap;
+      singleton buckets stay, because a bucket of one corpus doc plus
+      one incoming doc IS a pair).
+    - ``detail`` (corpus_id, whs): each doc's kept distinct window
+      hashes as ONE array row — the per-row exact verify and the
+      first-shared-window anchor below."""
+
+    def __init__(self, buckets: DataFrame, detail: DataFrame,
+                 window_tokens: int):
+        self.buckets = buckets
+        self.detail = detail
+        self.window_tokens = window_tokens
+
+
+def build_substring_index(
+    corpus: DataFrame,
+    *,
+    window_tokens: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_docs: int = 64,
+) -> SubstringIndex:
+    """Index with the SAME window hashing as the batch
+    `dedup_exact_substring` entry (multi-arg xxhash64 over the
+    window's tokens — equality-based bucketing, plans/queries.py), so
+    a SELF-screen of the corpus finds exactly the batch pipeline's
+    pairs (pinned in tests/test_streaming_neardup.py)."""
+    from pyspark.sql import functions as F
+
+    staged = _doc_windows(corpus, id_col, text_col, window_tokens)
+    sizes = staged.groupBy("wh").agg(F.count(F.lit(1)).alias("n"))
+    oversized = sizes.where(
+        F.col("n") > max_bucket_docs
+    ).select("wh")
+    buckets = staged.join(F.broadcast(oversized), ["wh"], "left_anti")
+    detail = buckets.groupBy("corpus_id").agg(
+        F.sort_array(F.collect_set("wh")).alias("whs")
+    )
+    return SubstringIndex(buckets, detail, window_tokens)
+
+
+def _doc_windows(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(corpus_id, wh): DISTINCT hashed n-token windows per doc — the
+    batch entry's window production as a DataFrame helper."""
+    from pyspark.sql import functions as F
+
+    elems = ", ".join(f"tks[pos + {k}]" for k in range(n))
+    tks = F.array_remove(
+        F.split(F.lower(F.col(text_col)), r"\s+"), ""
+    )
+    return (
+        docs.select(F.col(id_col).alias("corpus_id"), tks.alias("tks"))
+        .select(
+            "corpus_id",
+            F.posexplode("tks").alias("pos", "tok"),
+            F.col("tks"),
+        )
+        .where(F.col("pos") + n <= F.size("tks"))
+        .select("corpus_id", F.expr(f"xxhash64({elems})").alias("wh"))
+        .distinct()
+    )
+
+
+def substring_screen_stream(
+    incoming: DataFrame,
+    index: SubstringIndex,
+    *,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Screen a document stream against the static substring index:
+    emit (doc_id, corpus_id, shared_windows) for every incoming doc
+    sharing >= min_shared exact windows with a corpus doc — STATELESS
+    (append mode, no watermark, no state store), the passage-dedup
+    twin of :func:`neardup_screen_stream`.
+
+    Exactly-once pair emission without state: a pair sharing W
+    windows produces W candidate rows from the bucket join; each row
+    carries BOTH window sets, and only the row whose window equals
+    ``array_min(array_intersect(in_whs, whs))`` — the pair's FIRST
+    shared kept window, a pure per-row predicate — survives.
+    ``shared_windows`` is the same intersection's size, so the count
+    covers all shared windows even though one row emits. The index
+    arrays hold KEPT windows only, so capped (boilerplate) buckets
+    can neither anchor nor count — a self-screen equals the batch
+    pipeline's pairs exactly, including its cap semantics.
+
+    The incoming doc's window-hash array is a PER-ROW expression
+    (transform over window start positions — a doc's windows derive
+    from its own text alone), not a streaming aggregation: append
+    mode stays legal with zero state, the same discipline as the
+    MinHash screen's per-row kernel."""
+    from pyspark.sql import functions as F
+
+    n = index.window_tokens
+    elems = ", ".join(f"tks[i + {k}]" for k in range(n))
+    in_whs = F.expr(
+        f"CASE WHEN size(tks) >= {n} THEN array_distinct("
+        f"transform(sequence(0, size(tks) - {n}),"
+        f" i -> xxhash64({elems}))) ELSE array() END"
+    )
+    staged = incoming.select(
+        F.col(id_col).alias("in_id"),
+        F.array_remove(
+            F.split(F.lower(F.col(text_col)), r"\s+"), ""
+        ).alias("tks"),
+    ).select("in_id", in_whs.alias("in_whs"))
+    cand = (
+        staged.select("in_id", "in_whs", F.explode("in_whs").alias("wh"))
+        .join(index.buckets, "wh")
+        .join(index.detail, "corpus_id")
+    )
+    inter = F.array_intersect("in_whs", "whs")
+    return (
+        cand.where(F.col("wh") == F.array_min(inter))
+        .where(F.size(inter) >= min_shared)
+        .select(
+            F.col("in_id").alias(id_col),
+            "corpus_id",
+            F.size(inter).cast("long").alias("shared_windows"),
+        )
+    )

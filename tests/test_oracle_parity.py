@@ -95,6 +95,7 @@ def test_gate_window_covers_every_family():
         "remote_scan_dsv2_split_dec",  # NEW: split decimal partials
         "multimodal_video_frames",     # jpeg.py LUT entropy decoder
         "layout_zorder",               # NEW: Morton layout key
+        "dedup_substring_screen",      # NEW: passage-dedup screen
     }
     r6_cohort = {
         "bucketed_join_rollup", "cast_matrix", "cte_union_all",
@@ -114,7 +115,7 @@ def test_gate_window_covers_every_family():
     }
     r7_fill = {
         "dd_version", "dedup_components", "dedup_exact",
-        "dedup_minhash_auto", "dedup_minhash_recall_held",
+        "dedup_minhash_auto",
     }
     in_window = set(window)
     for group, names in [
