@@ -1458,6 +1458,48 @@ def _build_substring_screen(spark):
     )
 
 
+@q("embed_semantic_screen")
+def _embed_semantic_screen(d: str) -> str:
+    """The streaming SEMANTIC screen's values under the hash gate
+    (streaming/dedup.py semantic_screen_stream): incoming embeddings
+    screened against a static SemDeDup-style cell index — the third
+    member of the screen family (MinHash near-dup, exact-substring
+    passage, semantic redundancy), all sharing the stateless
+    first-shared-anchor construction. This entry gates the EXACTNESS
+    anchor (single-cell index == brute force, the
+    embed_semantic_dedup_exact discipline) through the screen's
+    join-based per-row fold scoring — a genuinely different physical
+    path from the batch applyInPandas blocked scorer, against the
+    same brute-force oracle. Production configs (clustered, spilled,
+    capped) are pinned bit-exact vs semantic_dedup_pairs in
+    tests/test_streaming_semantic.py."""
+    if d == SPARK:
+        raise NotImplementedError  # builder-backed (SQL form unused)
+    dot = _dot("a.embedding", "b.embedding", d)
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot} AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {dot} >= {_SEMDEDUP_T}
+"""
+
+
+def _build_semantic_screen(spark):
+    from pyspark.sql import functions as F
+
+    from ..streaming.dedup import (
+        build_semantic_index, semantic_screen_stream,
+    )
+
+    emb = spark.table("embeddings")
+    index = build_semantic_index(emb, n_clusters=1, spill=1)
+    out = semantic_screen_stream(emb, index, threshold=_SEMDEDUP_T)
+    return out.where(F.col("vec_id") < F.col("corpus_id")).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("corpus_id").alias("vec_b"),
+        "sim",
+    )
+
+
 @q("dedup_minhash_auto")
 def _minhash_auto(d: str) -> str:
     """dedup_minhash_lsh's contract under the PRODUCTION knobs: the
@@ -4145,6 +4187,7 @@ SPARK_BUILDERS.update(
         "text_perplexity_static_lm": _build_perplexity_static,
         "dedup_stream_screen": _build_stream_screen,
         "dedup_substring_screen": _build_substring_screen,
+        "embed_semantic_screen": _build_semantic_screen,
         "embed_semantic_dedup_exact": _build_semdedup_exact,
         "embed_semantic_dedup_recall": _build_semdedup_recall,
         "embed_ann_ivfpq": _build_ann_ivfpq,
@@ -4290,7 +4333,9 @@ def oracle_sql_for(name: str) -> str:
 # second shim family: split-mode decimal partials),
 # multimodal_video_frames (the jpeg.py LUT entropy decoder flows
 # into its MJPEG frame decode), layout_zorder (Morton layout key),
-# and dedup_substring_screen (streaming passage-dedup screen);
+# dedup_substring_screen (streaming passage-dedup screen), and
+# embed_semantic_screen (streaming semantic screen — the screen
+# family's third member, exactness anchor gated);
 # (b) the ENTIRE r6-vintage cohort — 31 entries, the oldest rows in
 # GATE_AGE.md after the r8 rotation, which retires the r6 vintage
 # completely: after this round no entry is older than r7;
@@ -4300,7 +4345,7 @@ def oracle_sql_for(name: str) -> str:
 # in GATE_AGE.md).
 #
 # END-OF-ROUND AFFIRMATION (round 9): every entry this round changed
-# or added is inside the window (15 changed/new + 31 r6 cohort + 4
+# or added is inside the window (16 changed/new + 31 r6 cohort + 3
 # r7 fill = 50). Validation record on final code: the ENTIRE
 # 50-entry window replicated at sf0.01 — the driver's gate scale —
 # in two halves, 47 hash-green + 3 by-design rows-only
@@ -4340,6 +4385,7 @@ _GATE_WINDOW = [
     "multimodal_video_frames",
     "layout_zorder",
     "dedup_substring_screen",
+    "embed_semantic_screen",
     # -- (b) the full r6-vintage cohort (oldest in GATE_AGE.md)
     "bucketed_join_rollup",
     "cast_matrix",
@@ -4376,7 +4422,6 @@ _GATE_WINDOW = [
     "dd_version",
     "dedup_components",
     "dedup_exact",
-    "dedup_minhash_auto",
 ]
 
 

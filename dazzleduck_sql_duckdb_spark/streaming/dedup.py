@@ -495,3 +495,166 @@ def substring_screen_stream(
             F.size(inter).cast("long").alias("shared_windows"),
         )
     )
+
+
+# ------------------------------------ semantic screen vs a static cell index
+
+
+class SemanticIndex:
+    """Static SemDeDup-style cell index of a reference EMBEDDING
+    corpus, for screening an incoming embedding stream ("is this new
+    item semantically redundant against the training set?"). Holds
+    the tiny quantizer (centroids, driver-side) and the
+    spill-replicated ``members`` table: one row per (cell, corpus_id)
+    with the corpus vector and the doc's kept-cells array."""
+
+    def __init__(self, centroids, members: DataFrame, spill: int,
+                 vec_col: str):
+        self.centroids = centroids
+        self.members = members
+        self.spill = spill
+        self.vec_col = vec_col
+
+
+def build_semantic_index(
+    corpus: DataFrame,
+    *,
+    n_clusters: int | None = None,
+    centroids=None,
+    spill: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iterations: int = 2,
+    seed: int = 42,
+    max_train_rows: int = 65_536,
+    max_cell_rows: int | None = None,
+) -> SemanticIndex:
+    """Index with the SAME quantizer discipline as
+    operators/similarity.py semantic_dedup_pairs (sample-bounded
+    Lloyd training, nearest-first multi-assign spill), so a
+    SELF-screen of the corpus finds exactly the batch pipeline's
+    pairs. ``max_cell_rows`` mirrors the batch oversize skip: cells
+    whose PRE-SPILL (primary) population exceeds it are dropped WHOLE
+    at build — and their ids nulled from every kept-cells array, so
+    the screen's first-shared-cell anchor ranges over surviving cells
+    only (the same law the MinHash screen learned in r9)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import (
+        _normalize,
+        default_n_clusters,
+        make_multi_assign_udf,
+        train_centroids,
+    )
+
+    nonnull = corpus.where(F.col(vec_col).isNotNull())
+    if centroids is None:
+        n = nonnull.count()
+        if n_clusters is None:
+            n_clusters = default_n_clusters(n)
+        centroids = train_centroids(
+            nonnull, n_clusters, vec_col=vec_col, id_col=id_col,
+            iterations=train_iterations, seed=seed,
+            max_train_rows=(
+                max_train_rows if n > max_train_rows else None
+            ),
+        )
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    multi = make_multi_assign_udf(C, min(spill, C.shape[0]))
+    staged = nonnull.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cvec"),
+        multi(F.col(vec_col)).alias("ccells"),
+    )
+    capped: list[int] = []
+    if max_cell_rows is not None:
+        primary = staged.select(
+            F.element_at("ccells", 1).alias("cell")
+        ).groupBy("cell").count()
+        capped = sorted(
+            int(r["cell"])
+            for r in primary.where(
+                F.col("count") > max_cell_rows
+            ).collect()
+        )
+    if capped:
+        cap_arr = F.array(*[F.lit(c) for c in capped])
+        staged = staged.withColumn(
+            "ccells",
+            F.array_except("ccells", cap_arr),
+        )
+    members = staged.select(
+        "corpus_id", "cvec", "ccells",
+        F.explode("ccells").alias("cell"),
+    )
+    idx = SemanticIndex(C, members, spill, vec_col)
+    idx.capped_cells = capped
+    return idx
+
+
+def semantic_screen_stream(
+    incoming: DataFrame,
+    index: SemanticIndex,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str | None = None,
+) -> DataFrame:
+    """Screen an embedding stream against the static cell index: emit
+    (vec_id, corpus_id, sim) for every incoming vector whose fold-dot
+    cosine with a corpus vector clears ``threshold`` and that
+    CO-OCCURS with it in at least one surviving cell — STATELESS
+    (append mode, no state store), the embedding twin of
+    :func:`neardup_screen_stream` / :func:`substring_screen_stream`.
+
+    Exactly-once pair emission without state: the incoming vector's
+    cells come from one per-row multi-assign kernel pass; candidates
+    are stream-static equi-joins on the cell id; a pair sharing
+    several spill cells keeps only the row whose cell equals
+    ``array_min(array_intersect(in_cells, ccells))`` — the first
+    shared surviving cell. Sims use the SAME sequential-fold double
+    semantics as the batch scorer and the SQL oracle (`zip_with` +
+    left fold), so a self-screen is BIT-IDENTICAL to
+    semantic_dedup_pairs (pinned in tests)."""
+    import numpy as np  # noqa: F401  (index.centroids is ndarray)
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import make_multi_assign_udf
+
+    vec_col = vec_col or index.vec_col
+    multi = make_multi_assign_udf(
+        index.centroids, min(index.spill, index.centroids.shape[0])
+    )
+    staged = incoming.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("in_id"),
+        F.col(vec_col).alias("ivec"),
+        multi(F.col(vec_col)).alias("in_cells"),
+    )
+    capped = getattr(index, "capped_cells", [])
+    if capped:
+        cap_arr = F.array(*[F.lit(c) for c in capped])
+        staged = staged.withColumn(
+            "in_cells", F.array_except("in_cells", cap_arr)
+        )
+    cand = staged.select(
+        "in_id", "ivec", "in_cells",
+        F.explode("in_cells").alias("cell"),
+    ).join(index.members, "cell")
+    sim = F.expr(
+        "aggregate(zip_with(ivec, cvec,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    first_shared = F.array_min(
+        F.array_intersect("in_cells", "ccells")
+    )
+    return (
+        cand.where(F.col("cell") == first_shared)
+        .where(sim >= threshold)
+        .select(
+            F.col("in_id").alias(id_col),
+            "corpus_id",
+            sim.alias("sim"),
+        )
+    )

@@ -96,6 +96,7 @@ def test_gate_window_covers_every_family():
         "multimodal_video_frames",     # jpeg.py LUT entropy decoder
         "layout_zorder",               # NEW: Morton layout key
         "dedup_substring_screen",      # NEW: passage-dedup screen
+        "embed_semantic_screen",       # NEW: semantic screen anchor
     }
     r6_cohort = {
         "bucketed_join_rollup", "cast_matrix", "cte_union_all",
@@ -115,7 +116,6 @@ def test_gate_window_covers_every_family():
     }
     r7_fill = {
         "dd_version", "dedup_components", "dedup_exact",
-        "dedup_minhash_auto",
     }
     in_window = set(window)
     for group, names in [
