@@ -143,3 +143,54 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_mb: int = 256,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_mb`` each — the housekeeping move every incremental
+    ingest needs at scale (a 100 TB table fed by streaming
+    micro-batches accretes millions of KB-sized files; scan planning,
+    file listing, and row-group stats all degrade long before I/O
+    does). File count = ceil(current_bytes / target_mb), derived from
+    the source listing, so the rewrite is ONE shuffle-free coalesce
+    when shrinking (or a repartition when ``sort_cols`` asks for
+    clustering — sorted compaction re-establishes min/max stat
+    locality as a bonus). Returns {files_before, files_after,
+    bytes_before} for observability; row fidelity is asserted in
+    tests/test_storage.py."""
+    import glob as g
+    import math
+    import os
+
+    files = [
+        f for f in g.glob(os.path.join(src_path, "**", "*.parquet"),
+                          recursive=True)
+    ]
+    if not files:
+        raise ValueError(f"no parquet files under {src_path}")
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols)
+        out = out.sortWithinPartitions(*sort_cols)
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode(mode).parquet(dst_path)
+    after = len(
+        g.glob(os.path.join(dst_path, "**", "*.parquet"),
+               recursive=True)
+    )
+    return {
+        "files_before": len(files),
+        "files_after": after,
+        "bytes_before": total,
+    }

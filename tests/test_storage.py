@@ -169,3 +169,57 @@ def test_zorder_write_skips_row_groups(spark, tmp_path):
         "x between 10 and 30 and y between 10 and 30"
     ).count()
     assert got_n == got_z > 0
+
+
+def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
+    """64 micro-batch-sized files -> a handful; rows identical; sorted
+    compaction re-establishes min/max locality on the sort column."""
+    from pyspark.sql import functions as F
+
+    from dazzleduck_sql_duckdb_spark.operators.storage import (
+        compact_parquet,
+    )
+
+    src, dst, dsts = (
+        str(tmp_path / "src"), str(tmp_path / "dst"),
+        str(tmp_path / "dsts"),
+    )
+    df = spark.range(20_000).select(
+        "id", (F.col("id") % 937).alias("k")
+    )
+    df.repartition(64).write.parquet(src)
+    stats = compact_parquet(spark, src, dst, target_mb=1)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 64
+    assert spark.read.parquet(dst).count() == 20_000
+    assert sorted(
+        r.id for r in spark.read.parquet(dst).collect()
+    ) == list(range(20_000))
+    # sorted compaction: every output file covers a disjoint id range
+    stats2 = compact_parquet(
+        spark, src, dsts, target_mb=1, sort_cols=["id"]
+    )
+    assert stats2["files_after"] >= 1
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in g.glob(dsts + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        lo = min(
+            md.row_group(r).column(cols["id"]).statistics.min
+            for r in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(r).column(cols["id"]).statistics.max
+            for r in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2, "sorted compaction produced overlapping files"
