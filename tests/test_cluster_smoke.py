@@ -42,6 +42,8 @@ CLUSTER_ENTRIES = [
     "multimodal_video_frames",  # mjpeg mux/demux + per-frame decode
     "text_perplexity",  # broadcast vocab counts over worker JVMs
     "embed_semantic_dedup",  # centroid closure + applyInPandas cells
+    "embed_semantic_screen",  # r9: screen kernel via worker JVMs
+    "dedup_substring_screen",  # r9: per-row window-hash expression
     "q1_pricing_summary",
 ]
 
