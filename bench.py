@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "text_tfidf_topk",
     "text_repetition",
     "text_perplexity",
+    "text_perplexity_bigram",
     "docs_length_quantiles",
     "docs_shard_assignment",
     "cross_source_contamination",

@@ -97,6 +97,7 @@ def test_gate_window_covers_every_family():
         "layout_zorder",               # NEW: Morton layout key
         "dedup_substring_screen",      # NEW: passage-dedup screen
         "embed_semantic_screen",       # NEW: semantic screen anchor
+        "text_perplexity_bigram",      # NEW: bigram-LM train/score
     }
     r6_cohort = {
         "bucketed_join_rollup", "cast_matrix", "cte_union_all",
@@ -115,7 +116,7 @@ def test_gate_window_covers_every_family():
         "window_topk_per_group",
     }
     r7_fill = {
-        "dd_version", "dedup_components", "dedup_exact",
+        "dd_version", "dedup_components",
     }
     in_window = set(window)
     for group, names in [
