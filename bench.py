@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q16_supplier_cnt",
     "q17_small_quantity",
     "q18_large_volume",
+    "q21_suppliers_waiting",
     "q22_sales_opportunity",
     "orders_group_agg",
     "join_region_rollup",
@@ -73,6 +74,8 @@ BENCH_QUERIES = [
     "text_perplexity",
     "text_perplexity_bigram",
     "docs_length_quantiles",
+    "sketch_distinct_bounds",
+    "sketch_quantile_bounds",
     "docs_shard_assignment",
     "cross_source_contamination",
     "layout_zorder",

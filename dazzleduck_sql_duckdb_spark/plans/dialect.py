@@ -193,3 +193,24 @@ def epoch_us(e: str, dialect: str) -> str:
     if dialect == SPARK:
         return f"unix_micros({e})"
     return f"epoch_us({e})"
+
+
+def approx_distinct(e: str, dialect: str) -> str:
+    """HyperLogLog distinct-count sketch. Spark takes a relative
+    standard deviation knob (HLL++, Heule et al. 2013); DuckDB's HLL
+    has a fixed ~0.4% error. The ESTIMATES differ across engines by
+    construction — catalog entries must gate the error-bound CONTRACT
+    (|approx - exact| within tolerance), never the estimate value."""
+    if dialect == SPARK:
+        return f"approx_count_distinct({e}, 0.01)"
+    return f"approx_count_distinct({e})"
+
+
+def approx_quantile(e: str, frac: str, dialect: str) -> str:
+    """Mergeable quantile sketch: Greenwald-Khanna in Spark
+    (approx_percentile, rank error <= 1/accuracy), t-digest in DuckDB
+    (approx_quantile). Same contract as approx_distinct: gate the
+    rank-error bound, not the (engine-specific) estimate."""
+    if dialect == SPARK:
+        return f"approx_percentile({e}, {frac}, 10000)"
+    return f"approx_quantile({e}, {frac})"

@@ -1200,6 +1200,114 @@ GROUP BY n.n_name
 """
 
 
+@q("q21_suppliers_waiting")
+def _q21(d: str) -> str:
+    """TPC-H Q21 (suppliers who kept orders waiting): the hardest
+    join shape in the kit — an EXISTS and a NOT EXISTS, both
+    correlated SELF-joins of the fact table with an inequality on the
+    correlated column (another supplier's line exists; no OTHER
+    supplier's line is also late). Spark decorrelates to a left-semi
+    + left-anti pair on l_orderkey with the `l_suppkey <>` residual
+    as the join condition — at scale both sides shuffle on the SAME
+    key (l_orderkey), so the pair costs one co-partitioned exchange,
+    not two. Adaptations for the corpus schema (no commit/receipt
+    dates — the q12 precedent): the 'kept waiting' line marker is
+    l_returnflag = 'R', and the nation gate is a group (q7/q8
+    precedent: single-nation under-selects the uniform corpus).
+    Completes the TPC-H suite over this schema: q2/q11/q20 need the
+    nonexistent partsupp table; all other 19 are in the catalog."""
+    return """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+  AND n.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
+
+# ------------------------------------------------ sketch contracts
+# At 100 TB, exact count(DISTINCT) and exact percentiles are the
+# queries that fall over first: both need every distinct value (or
+# every value) through a shuffle. The production answer is mergeable
+# sketches — HyperLogLog for cardinality, GK/t-digest for quantiles —
+# whose partials combine associatively, so they aggregate map-side
+# and ship O(sketch) bytes per partition instead of O(data).
+# Spark and DuckDB implement DIFFERENT sketches (HLL++ vs HLL,
+# GK vs t-digest), so the estimates cannot be hash-compared across
+# engines. These entries gate what IS portable: the accuracy
+# CONTRACT. Each emits the exact answer (hashable) plus booleans
+# asserting the engine's own sketch landed within the documented
+# error bound — the same exactness-anchor discipline as the ANN
+# recall-floor twins.
+
+
+@q("sketch_distinct_bounds")
+def _sketch_distinct(d: str) -> str:
+    """HLL cardinality contract: per-event-type exact distinct users
+    (the anchor values) + a boolean pinning the engine's HLL estimate
+    within 5% relative + 5 absolute (the absolute slack covers tiny
+    groups, where both engines' sparse HLL modes are exact anyway).
+    Spark side runs rsd=0.01 (dialect.approx_distinct), so the 5%
+    gate has 5-sigma headroom — deterministic, not flaky: HLL
+    register hashes are fixed per engine."""
+    ad = D.approx_distinct("user_id", d)
+    return f"""
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+  CAST(abs(CAST({ad} AS DOUBLE) - count(DISTINCT user_id))
+       <= 0.05 * count(DISTINCT user_id) + 5 AS BOOLEAN) AS hll_within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
+@q("sketch_quantile_bounds")
+def _sketch_quantile(d: str) -> str:
+    """Quantile-sketch contract: per-language p50/p95 of document
+    length from the engine's mergeable sketch, gated by the RANK
+    definition of an eps-approximate quantile (Greenwald-Khanna):
+    q_hat is a valid phi-quantile at rank error eps iff
+    count(v < q_hat) <= (phi+eps)*n and count(v <= q_hat) >= (phi-eps)*n.
+    The two-sided <=/< split makes the bound tie-safe, and it holds
+    for interpolating sketches (t-digest) too; +-1 row of absolute
+    slack covers integer rank rounding on small groups. eps = 0.02,
+    vastly above Spark's 1/10000 accuracy and t-digest's tail error.
+    The exact n per group anchors the hash."""
+    p50 = D.approx_quantile("n_chars", "0.5", d)
+    p95 = D.approx_quantile("n_chars", "0.95", d)
+    return f"""
+WITH s AS (
+  SELECT lang, {p50} AS am, {p95} AS a95, count(*) AS n
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+  CAST(max(s.n) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN d.n_chars <  s.am THEN 1 ELSE 0 END)
+       <= 0.52 * max(s.n) + 1 AS BOOLEAN) AS p50_upper_ok,
+  CAST(sum(CASE WHEN d.n_chars <= s.am THEN 1 ELSE 0 END)
+       >= 0.48 * max(s.n) - 1 AS BOOLEAN) AS p50_lower_ok,
+  CAST(sum(CASE WHEN d.n_chars <  s.a95 THEN 1 ELSE 0 END)
+       <= 0.97 * max(s.n) + 1 AS BOOLEAN) AS p95_upper_ok,
+  CAST(sum(CASE WHEN d.n_chars <= s.a95 THEN 1 ELSE 0 END)
+       >= 0.93 * max(s.n) - 1 AS BOOLEAN) AS p95_lower_ok
+FROM documents d JOIN s ON d.lang = s.lang
+GROUP BY d.lang
+"""
+
+
 @q("events_sessionize_native")
 def _sessionize_native(d: str) -> str:
     """Oracle for the native session_window operator (streaming/pipeline
@@ -4418,6 +4526,8 @@ def oracle_sql_for(name: str) -> str:
 # oracle IS the batch entry's SQL and it hash-passes, as do
 # embed_semantic_screen's single-cell anchor and the new
 # text_perplexity_bigram at both sf0.001 and sf0.01); the full suite
+# (affirmation superseded by the session-2 amendment below — the
+# final one for this round is at the end of this comment)
 # ran green ON THE FINAL TREE (331 passed, 2 documented skips, 0
 # failed — including the sf0.001 full-catalog parity gate over all
 # 121 entries, the gate-window structure/ratchet/age/staleness
@@ -4427,6 +4537,23 @@ def oracle_sql_for(name: str) -> str:
 # dedup_exact_substring 1.10x (directive #2's gate was <=1.5x; the
 # mid-round regeneration read 1.02x / 1.03x — same code for that
 # entry, session noise), text_perplexity_bigram 1.49x.
+#
+# AMENDED (round-9 session 2): three entries added late in the round
+# — q21_suppliers_waiting (the last TPC-H query expressible over the
+# corpus schema: EXISTS + NOT EXISTS correlated self-joins),
+# sketch_distinct_bounds and sketch_quantile_bounds (the mergeable-
+# sketch accuracy contracts: HLL cardinality + GK/t-digest quantiles,
+# gated on the error bound rather than the engine-specific estimate).
+# All three enter the window per policy (a). Displacements: the two
+# r7-vintage fills (dd_version — trivial constant probe, r7-green;
+# dedup_components — r7-green, pointer-doubling pinned by its own
+# randomized-differential pytest) and ONE r6-cohort entry with an
+# in-window kin on the same code path: events_type_pivot (pivot
+# pinned by pytest; orders_cube in-window covers grouping analytics —
+# the identical displacement r8 used). events_type_pivot stays
+# r6-vintage into round 10 (age 3 — still inside the suite's
+# staleness bound) and MUST rotate into the r10 window. New totals:
+# 20 changed/new + 30 r6 cohort = 50.
 #
 # Staleness ratchet: _GATE_WINDOW_ROUND below must equal (max round in
 # the committed CORRECTNESS_r files) + 1 — enforced by
@@ -4455,6 +4582,9 @@ _GATE_WINDOW = [
     "dedup_substring_screen",
     "embed_semantic_screen",
     "text_perplexity_bigram",
+    "q21_suppliers_waiting",
+    "sketch_distinct_bounds",
+    "sketch_quantile_bounds",
     # -- (b) the full r6-vintage cohort (oldest in GATE_AGE.md)
     "bucketed_join_rollup",
     "cast_matrix",
@@ -4470,7 +4600,6 @@ _GATE_WINDOW = [
     "events_json_extract",
     "events_sessionize",
     "events_sessionize_native",
-    "events_type_pivot",
     "events_view_click_attribution",
     "lineitem_date_filter_count",
     "lineitem_full_scan",
@@ -4487,9 +4616,6 @@ _GATE_WINDOW = [
     "semi_anti_join",
     "simhash_values",
     "window_topk_per_group",
-    # -- (c) r7-vintage fill (oldest-alphabetical in GATE_AGE.md)
-    "dd_version",
-    "dedup_components",
 ]
 
 

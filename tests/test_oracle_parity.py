@@ -68,12 +68,11 @@ def test_prepare_pins_utc_session_timezone(spark):
 
 def test_gate_window_covers_every_family():
     """Round-9 window contract (the driver gates the FIRST 50 catalog
-    entries): every entry round 9 changes/adds, the entire r6-vintage
-    cohort (the oldest rows in GATE_AGE.md after the r8 rotation —
-    retiring the r6 vintage completely), and an r7-vintage
-    oldest-alphabetical fill; every entry excluded carries an
-    r7/r8-green verdict over an implementation untouched since its
-    verdict (ages in GATE_AGE.md)."""
+    entries): every entry round 9 changes/adds and the r6-vintage
+    cohort (the oldest rows in GATE_AGE.md after the r8 rotation),
+    minus the session-2 displacements documented below; every entry
+    excluded carries an r7/r8-green verdict over an implementation
+    untouched since its verdict (ages in GATE_AGE.md)."""
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
     window = Q._GATE_WINDOW
@@ -98,6 +97,9 @@ def test_gate_window_covers_every_family():
         "dedup_substring_screen",      # NEW: passage-dedup screen
         "embed_semantic_screen",       # NEW: semantic screen anchor
         "text_perplexity_bigram",      # NEW: bigram-LM train/score
+        "q21_suppliers_waiting",       # NEW (session 2): TPC-H q21
+        "sketch_distinct_bounds",      # NEW (session 2): HLL contract
+        "sketch_quantile_bounds",      # NEW (session 2): GK/t-digest
     }
     r6_cohort = {
         "bucketed_join_rollup", "cast_matrix", "cte_union_all",
@@ -106,7 +108,7 @@ def test_gate_window_covers_every_family():
         "events_count_distinct", "events_funnel",
         "events_grouping_sets", "events_json_extract",
         "events_sessionize", "events_sessionize_native",
-        "events_type_pivot", "events_view_click_attribution",
+        "events_view_click_attribution",
         "lineitem_date_filter_count", "lineitem_full_scan",
         "lineitem_point_filter", "lineitem_sum_orderkey",
         "multimodal_jpeg_features", "nation_presence_full_join",
@@ -115,19 +117,22 @@ def test_gate_window_covers_every_family():
         "scalar_subquery_filter", "semi_anti_join", "simhash_values",
         "window_topk_per_group",
     }
-    r7_fill = {
-        "dd_version", "dedup_components",
-    }
+    # session-2 amendment: the three late additions displaced both
+    # r7-vintage fills (dd_version, dedup_components — each r7-green
+    # over untouched code, components pinned by its own randomized
+    # differential) and one r6-cohort entry with an in-window kin
+    # (events_type_pivot — pivot pinned by pytest, orders_cube
+    # in-window; the identical displacement r8 used). It MUST rotate
+    # into the r10 window (staleness bound hits age 4 at r10+1).
     in_window = set(window)
     for group, names in [
         ("changed_or_new", changed_or_new),
         ("r6_cohort", r6_cohort),
-        ("r7_fill", r7_fill),
     ]:
         missing = names - in_window
         assert not missing, f"{group} entries outside window: {missing}"
-    # exhaustive: the three sets ARE the window, no free-floating slots
-    assert in_window == changed_or_new | r6_cohort | r7_fill
+    # exhaustive: the two sets ARE the window, no free-floating slots
+    assert in_window == changed_or_new | r6_cohort
 
 
 def test_gate_age_report_current():
