@@ -200,9 +200,17 @@ def approx_distinct(e: str, dialect: str) -> str:
     standard deviation knob (HLL++, Heule et al. 2013); DuckDB's HLL
     has a fixed ~0.4% error. The ESTIMATES differ across engines by
     construction — catalog entries must gate the error-bound CONTRACT
-    (|approx - exact| within tolerance), never the estimate value."""
+    (|approx - exact| within tolerance), never the estimate value.
+
+    rsd choice (measured at sf0.1, BENCH_NOTES round 9): 0.01 costs
+    ~2.4x the default's wall-clock (p=14 dense registers) and 0.05
+    VIOLATES a 5% gate on this corpus (estimate 1400 vs exact 1500);
+    0.02 reads 0.4% error at sf0.1 and exact (sparse mode) at the
+    gate SFs, at ~1/3 the 0.01 cost. The estimate is merge-order
+    invariant (register max), so a verified bound is stable, not
+    flaky."""
     if dialect == SPARK:
-        return f"approx_count_distinct({e}, 0.01)"
+        return f"approx_count_distinct({e}, 0.02)"
     return f"approx_count_distinct({e})"
 
 

@@ -1260,16 +1260,31 @@ def _sketch_distinct(d: str) -> str:
     (the anchor values) + a boolean pinning the engine's HLL estimate
     within 5% relative + 5 absolute (the absolute slack covers tiny
     groups, where both engines' sparse HLL modes are exact anyway).
-    Spark side runs rsd=0.01 (dialect.approx_distinct), so the 5%
-    gate has 5-sigma headroom — deterministic, not flaky: HLL
-    register hashes are fixed per engine."""
+    Spark side runs rsd=0.02 (dialect.approx_distinct — the measured
+    sweet spot: 0.4% actual error at sf0.1, exact below; 0.05 would
+    BREAK this gate, see the dialect docstring). HLL estimates are
+    merge-order invariant, so the verified booleans are stable.
+
+    Plan shape (A/B-measured at sf0.1, BENCH_NOTES round 9): dedup
+    FIRST — GROUP BY (type, user) partial-aggregates map-side, one
+    shuffle of distinct pairs, then count(*) = the exact cardinality
+    and the HLL runs over the already-distinct stream (HLL is
+    duplicate-insensitive, so the estimate is identical to the
+    fused form by construction). 1.9s fused-Expand -> 0.40s: the
+    fused plan Expands the raw stream and drags HLL partials through
+    it; the exact anchor forces the distinct shuffle either way, so
+    dedup-first is strictly better here AND at 100 TB. (Sketch-ONLY
+    production queries skip the anchor and the shuffle entirely —
+    that single-scan map-side-merge path is what approx_distinct
+    exists for.)"""
     ad = D.approx_distinct("user_id", d)
     return f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
 SELECT event_type,
-  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-  CAST(abs(CAST({ad} AS DOUBLE) - count(DISTINCT user_id))
-       <= 0.05 * count(DISTINCT user_id) + 5 AS BOOLEAN) AS hll_within_5pct
-FROM events
+  CAST(count(*) AS BIGINT) AS exact_users,
+  CAST(abs(CAST({ad} AS DOUBLE) - count(*))
+       <= 0.05 * count(*) + 5 AS BOOLEAN) AS hll_within_5pct
+FROM d
 GROUP BY event_type
 """
 
