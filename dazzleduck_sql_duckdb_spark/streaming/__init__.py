@@ -26,6 +26,7 @@ from .quality import (
     perplexity_scores,
     quality_filter_stream,
 )
+from .monitor import quality_monitor
 
 __all__ = [
     "read_events_stream",
@@ -40,4 +41,5 @@ __all__ = [
     "MinHashIndex",
     "build_minhash_index",
     "neardup_screen_stream",
+    "quality_monitor",
 ]
