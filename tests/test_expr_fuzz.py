@@ -35,6 +35,19 @@ import pytest
 
 # ------------------------------------------------------------ fixture
 
+ROWS_B = [
+    # (id, k, m, u) — the join partner; k/m overlap ROWS' i/j value
+    # ranges so equi-joins hit, and carry NULLs (never match)
+    (0, 3, None, "alpha"),
+    (1, 3, 2, "zulu"),
+    (2, None, -2, "Bravo"),
+    (3, -4, 0, None),
+    (4, 5, 5, "echo"),
+    (5, 0, None, ""),
+    (6, 2, -5, "yankee"),
+    (7, 2, 1, "GOLF"),
+]
+
 ROWS = [
     # (id, i, j, s)  — j and s carry NULLs; strings mix case/len
     (0, 3, 5, "alpha"),
@@ -55,12 +68,18 @@ def _spark_view(spark):
         ROWS, schema="id BIGINT, i BIGINT, j BIGINT, s STRING"
     )
     df.createOrReplaceTempView("fuzz_t")
+    df_b = spark.createDataFrame(
+        ROWS_B, schema="id BIGINT, k BIGINT, m BIGINT, u STRING"
+    )
+    df_b.createOrReplaceTempView("fuzz_b")
 
 
 def _duck_table():
     con = duckdb.connect()
     con.execute("CREATE TABLE fuzz_t (id BIGINT, i BIGINT, j BIGINT, s VARCHAR)")
     con.executemany("INSERT INTO fuzz_t VALUES (?, ?, ?, ?)", ROWS)
+    con.execute("CREATE TABLE fuzz_b (id BIGINT, k BIGINT, m BIGINT, u VARCHAR)")
+    con.executemany("INSERT INTO fuzz_b VALUES (?, ?, ?, ?)", ROWS_B)
     return con
 
 
@@ -224,3 +243,74 @@ def test_aggregate_expression_fuzz(engines):
         sql = agg_select(rng)
         got, want = _run_both(engines, sql)
         assert got == want, f"aggregate divergence at batch #{idx}:\n{sql}\nspark={got}\nduck={want}"
+
+
+# -------------------------------------------------------- join fuzz
+#
+# Random equi-joins (inner/left/right/full) with NULL-bearing keys and
+# generated residual predicates, plus correlated EXISTS / NOT EXISTS —
+# NULL-key non-matching, outer-side NULL fill, and three-valued
+# residual evaluation are the classic cross-engine divergence spots.
+# Semi/anti run as EXISTS (ANSI shared) — Spark's LEFT SEMI/ANTI
+# keywords aren't DuckDB syntax; the planner lowers EXISTS to the same
+# semi/anti joins (pinned by the catalog's q4/q21/q22 plan evidence).
+
+_A_INT = ["a.i", "a.j", "a.id"]
+_B_INT = ["b.k", "b.m", "b.id"]
+
+
+def _qual_cmp(rng: random.Random) -> str:
+    op = rng.choice(["<", "<=", "=", "<>", ">", ">="])
+    lhs = rng.choice(_A_INT + [str(rng.randint(-3, 3))])
+    rhs = rng.choice(_B_INT + [str(rng.randint(-3, 3))])
+    return f"({lhs} {op} {rhs})"
+
+
+def _residual(rng: random.Random) -> str:
+    parts = [_qual_cmp(rng) for _ in range(rng.randint(1, 2))]
+    glue = rng.choice([" AND ", " OR "])
+    body = glue.join(parts)
+    if rng.random() < 0.3:
+        col = rng.choice(_A_INT + _B_INT)
+        body += f" AND ({col} IS NOT NULL)"
+    return f"({body})"
+
+
+def join_select(rng: random.Random) -> str:
+    jt = rng.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+    on = f"a.{rng.choice(['i', 'j'])} = b.{rng.choice(['k', 'm'])}"
+    if rng.random() < 0.5:
+        on += f" AND {_residual(rng)}"
+    return (
+        "SELECT a.id AS aid, b.id AS bid, a.i, a.j, b.k, b.m"
+        f" FROM fuzz_t a {jt} fuzz_b b ON {on}"
+    )
+
+
+def exists_select(rng: random.Random) -> str:
+    neg = rng.choice(["EXISTS", "NOT EXISTS"])
+    corr = f"b.{rng.choice(['k', 'm'])} = a.{rng.choice(['i', 'j'])}"
+    extra = ""
+    if rng.random() < 0.6:
+        # correlated inequality (the q4/q21 decorrelation shape)
+        extra = f" AND {_qual_cmp(rng)}"
+    return (
+        "SELECT a.id, a.i, a.j FROM fuzz_t a"
+        f" WHERE {neg} (SELECT 1 FROM fuzz_b b WHERE {corr}{extra})"
+    )
+
+
+def test_join_fuzz(engines):
+    rng = random.Random(0x7E57DA7A)
+    for idx in range(25):
+        sql = join_select(rng)
+        got, want = _run_both(engines, sql)
+        assert got == want, f"join divergence at #{idx}:\n{sql}\nspark={got}\nduck={want}"
+
+
+def test_exists_fuzz(engines):
+    rng = random.Random(0xACC01ADE)
+    for idx in range(15):
+        sql = exists_select(rng)
+        got, want = _run_both(engines, sql)
+        assert got == want, f"exists divergence at #{idx}:\n{sql}\nspark={got}\nduck={want}"
