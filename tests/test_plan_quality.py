@@ -266,3 +266,28 @@ def test_q13_outer_join_keeps_zero_order_bucket(plans):
     (an inner rewrite would silently drop the c_count=0 bucket)."""
     p = plans("q13_customer_distribution")
     assert "LeftOuter" in p
+
+
+def test_q21_double_decorrelation_semi_anti_pair(plans):
+    """Q21's correlated EXISTS + NOT EXISTS must decorrelate to a
+    LeftSemi + LeftAnti pair on l_orderkey (each one pass over its
+    lineitem subset, the `l_suppkey <>` residual as join condition) —
+    never a per-line subquery re-execution or a nested-loop join."""
+    p = plans("q21_suppliers_waiting")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_sketch_entries_single_scan_jvm(plans):
+    """The sketch contracts stay whole-stage JVM (the HLL/GK partials
+    merge map-side — the property that makes sketches the 100 TB
+    answer) and never expand to a per-row Python evaluation."""
+    for name in ("sketch_distinct_bounds", "sketch_quantile_bounds"):
+        p = plans(name)
+        assert "EvalPython" not in p, name
+        assert "partial_" in p, name
+    # dedup-first HLL: no Expand — the exact anchor comes from the
+    # distinct GROUP BY, not a fused two-phase distinct aggregate
+    assert "Expand" not in plans("sketch_distinct_bounds")
