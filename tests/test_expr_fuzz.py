@@ -300,6 +300,62 @@ def exists_select(rng: random.Random) -> str:
     )
 
 
+# ------------------------------------------------------ window fuzz
+#
+# Frame semantics (ROWS bounds), rank functions, and lag/lead defaults
+# over NULL-bearing partitions. ORDER BY the unique id keeps every
+# window total-ordered, so results are deterministic in both engines
+# (ties under a non-unique ORDER BY would make row_number legitimately
+# engine-dependent — that is a real dialect boundary, same reason the
+# catalog's window entries always order by a key suffix).
+
+_FRAMES = [
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+]
+
+_PARTS = ["(i > 0)", "(j IS NULL)", "(s IS NULL)", "(id >= 5)"]
+
+
+def win_column(rng: random.Random, alias: str) -> str:
+    part = rng.choice(_PARTS)
+    over = f"OVER (PARTITION BY {part} ORDER BY id"
+    pick = rng.randrange(4)
+    if pick == 0:
+        agg = rng.choice(["sum", "min", "max", "count"])
+        body = int_expr(rng, rng.randint(1, 2))
+        frame = rng.choice(_FRAMES)
+        return f"CAST({agg}({body}) {over} {frame}) AS BIGINT) AS {alias}"
+    if pick == 1:
+        fn = rng.choice(["row_number()", "rank()", "dense_rank()"])
+        return f"CAST({fn} {over}) AS BIGINT) AS {alias}"
+    if pick == 2:
+        fn = rng.choice(["lag", "lead"])
+        body = int_expr(rng, 1)
+        off = rng.randint(1, 2)
+        return f"CAST({fn}({body}, {off}) {over}) AS BIGINT) AS {alias}"
+    body = int_expr(rng, 1)
+    return (
+        f"CAST(first_value({body}) {over}"
+        f" {rng.choice(_FRAMES)}) AS BIGINT) AS {alias}"
+    )
+
+
+def win_select(rng: random.Random, width: int = 4) -> str:
+    cols = ", ".join(win_column(rng, f"v{k}") for k in range(width))
+    return f"SELECT id, {cols} FROM fuzz_t"
+
+
+def test_window_fuzz(engines):
+    rng = random.Random(0xF1A5C0DE)
+    for idx in range(10):  # x4-wide = 40 window expressions
+        sql = win_select(rng)
+        got, want = _run_both(engines, sql)
+        assert got == want, f"window divergence at batch #{idx}:\n{sql}\nspark={got}\nduck={want}"
+
+
 def test_join_fuzz(engines):
     rng = random.Random(0x7E57DA7A)
     for idx in range(25):
