@@ -18,6 +18,7 @@ from .pipeline import (
 from .dedup import (
     MinHashIndex,
     build_minhash_index,
+    extend_minhash_index,
     neardup_screen_stream,
 )
 from .quality import (
@@ -40,6 +41,7 @@ __all__ = [
     "quality_filter_stream",
     "MinHashIndex",
     "build_minhash_index",
+    "extend_minhash_index",
     "neardup_screen_stream",
     "quality_monitor",
 ]

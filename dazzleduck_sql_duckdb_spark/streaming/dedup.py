@@ -109,16 +109,28 @@ class MinHashIndex:
 
     Persist both as parquet for the deployed shape; keep the kernel
     params — a screen MUST hash with the index's seeds/bands (asserted
-    in :func:`neardup_screen_stream`)."""
+    in :func:`neardup_screen_stream`).
+
+    ``capped`` (bkey) records WHICH buckets the cap dropped — required
+    by :func:`extend_minhash_index`: a capped bucket's membership is
+    gone from ``buckets``, so without the record an extension would
+    see only the new arrivals in that bucket, resurrect it under the
+    cap, and emit new-new pairs the full rebuild would have dropped.
+    ``max_bucket_docs`` is an index property (not a per-call knob) for
+    the same reason: every extension must re-apply the same policy."""
 
     def __init__(self, buckets: DataFrame, detail: DataFrame,
-                 a: list[int], b: list[int], shingle_n: int, bands: int):
+                 a: list[int], b: list[int], shingle_n: int, bands: int,
+                 max_bucket_docs: int | None = None,
+                 capped: DataFrame | None = None):
         self.buckets = buckets
         self.detail = detail
         self.a = list(a)
         self.b = list(b)
         self.shingle_n = shingle_n
         self.bands = bands
+        self.max_bucket_docs = max_bucket_docs
+        self.capped = capped
 
 
 def build_minhash_index(
@@ -153,6 +165,7 @@ def build_minhash_index(
     buckets = staged.select(
         "corpus_id", F.explode("bkeys").alias("bkey")
     )
+    capped = None
     if max_bucket_docs is not None:
         oversized = (
             buckets.groupBy("bkey")
@@ -165,38 +178,134 @@ def build_minhash_index(
         )
         # null the capped bands in detail.bkeys so the screen's
         # first-shared-band anchor ranges over surviving bands only
-        # (same cap decision as the buckets side, computed once).
-        # Build-time-only reassembly: explode with position, mark
-        # capped via the same broadcast, regroup ordered by band.
-        kept = (
-            staged.select(
-                "corpus_id",
-                F.posexplode("bkeys").alias("band_i", "bkey"),
-            )
-            .join(
-                F.broadcast(oversized.withColumn("capped", F.lit(True))),
-                ["bkey"],
-                "left",
-            )
-            .groupBy("corpus_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("band_i"),
-                                F.when(
-                                    F.col("capped").isNull(), F.col("bkey")
-                                ).alias("kbk"),
-                            )
-                        )
-                    ),
-                    lambda s: s["kbk"],
-                ).alias("bkeys")
-            )
+        # (same cap decision as the buckets side, computed once) —
+        # shared reassembly with extend_minhash_index
+        detail = _renull_capped_bands(staged, oversized)
+        capped = oversized.distinct()
+    return MinHashIndex(buckets, detail, a, b, shingle_n, bands,
+                        max_bucket_docs=max_bucket_docs, capped=capped)
+
+
+def _renull_capped_bands(detail: DataFrame, capped: DataFrame) -> DataFrame:
+    """Null every band entry of ``detail.bkeys`` whose bucket is in
+    ``capped`` — the same ordered posexplode/regroup reassembly
+    build_minhash_index uses. Already-null entries pass through (a
+    null bkey equi-joins nothing)."""
+    from pyspark.sql import functions as F
+
+    kept = (
+        detail.select(
+            "corpus_id", F.posexplode_outer("bkeys").alias("band_i", "bkey")
         )
-        detail = staged.drop("bkeys").join(kept, "corpus_id")
-    return MinHashIndex(buckets, detail, a, b, shingle_n, bands)
+        .join(
+            F.broadcast(capped.withColumn("capped", F.lit(True))),
+            ["bkey"],
+            "left",
+        )
+        .groupBy("corpus_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("band_i"),
+                            F.when(
+                                F.col("capped").isNull(), F.col("bkey")
+                            ).alias("kbk"),
+                        )
+                    )
+                ),
+                lambda s: s["kbk"],
+            ).alias("bkeys")
+        )
+    )
+    return detail.drop("bkeys").join(kept, "corpus_id")
+
+
+def extend_minhash_index(
+    index: MinHashIndex,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> MinHashIndex:
+    """Append newly admitted documents to an existing screening index
+    WITHOUT re-hashing the reference corpus — the ingest loop's third
+    step (screen -> admit -> index), closing the cycle the static
+    screens leave open.
+
+    Exactness law (pinned by tests/test_index_extend.py):
+    ``extend(build(A), B) == build(A | B)`` — identical buckets,
+    detail arrays, and screen results. The law holds because the
+    hot-bucket cap is MONOTONE in corpus growth: a bucket the old
+    index capped (count > cap over A) can only be larger over A|B, so
+    staying capped is exactly the rebuild's decision; and every
+    not-yet-capped bucket still has its full membership in
+    ``buckets``, so the recount over (old buckets + new arrivals)
+    equals the rebuild's count. The ``capped`` record is what keeps
+    dropped buckets from resurfacing with partial membership (see
+    MinHashIndex). Cost: the minhash KERNEL (the dominant term — text
+    shingling + signatures) runs over the new docs only; the cap
+    recount and the detail band re-null are int64 array/shuffle work
+    over bucket keys.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import make_shingle_sig_udf
+
+    if index.max_bucket_docs is not None and index.capped is None:
+        raise ValueError(
+            "index has a bucket cap but no capped-bucket record "
+            "(legacy persisted index?) — rebuild it with this version's "
+            "build_minhash_index before extending"
+        )
+    kernel = make_shingle_sig_udf(
+        index.a, index.b, index.shingle_n, bands=index.bands
+    )
+    staged_new = new_docs.select(
+        F.col(id_col).alias("corpus_id"),
+        kernel(F.col(text_col)).alias("k"),
+    ).select(
+        "corpus_id",
+        F.col("k.sh").alias("sh"),
+        F.col("k.bkeys").alias("bkeys"),
+    )
+    new_buckets = staged_new.select(
+        "corpus_id", F.explode("bkeys").alias("bkey")
+    )
+    cap = index.max_bucket_docs
+    if cap is None:
+        return MinHashIndex(
+            index.buckets.unionByName(new_buckets),
+            index.detail.unionByName(staged_new),
+            index.a, index.b, index.shingle_n, index.bands,
+        )
+    old_capped = index.capped.select("bkey")
+    # once capped, always capped (counts only grow): new arrivals in an
+    # already-capped bucket are dropped like the old members were
+    new_buckets = new_buckets.join(
+        F.broadcast(old_capped), ["bkey"], "left_anti"
+    )
+    all_buckets = index.buckets.unionByName(new_buckets)
+    newly_oversized = (
+        all_buckets.groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > cap)
+        .select("bkey")
+    )
+    buckets = all_buckets.join(
+        F.broadcast(newly_oversized), ["bkey"], "left_anti"
+    )
+    capped = old_capped.unionByName(newly_oversized).distinct()
+    # old detail rows already have old-capped bands nulled (no-op under
+    # the full set); newly-capped bands get nulled in old AND new rows
+    detail = _renull_capped_bands(
+        index.detail.unionByName(staged_new), capped
+    )
+    return MinHashIndex(
+        buckets, detail, index.a, index.b, index.shingle_n, index.bands,
+        max_bucket_docs=cap, capped=capped,
+    )
 
 
 def neardup_screen_stream(
@@ -330,12 +439,18 @@ def save_minhash_index(index: MinHashIndex, path: str) -> None:
     index.detail.write.mode("overwrite").parquet(
         os.path.join(path, "detail")
     )
+    if index.capped is not None:
+        index.capped.write.mode("overwrite").parquet(
+            os.path.join(path, "capped")
+        )
     meta = {
         "format": "minhash-index-v1",
         "a": list(index.a),
         "b": list(index.b),
         "shingle_n": index.shingle_n,
         "bands": index.bands,
+        "max_bucket_docs": index.max_bucket_docs,
+        "has_capped": index.capped is not None,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -349,6 +464,9 @@ def load_minhash_index(spark, path: str) -> MinHashIndex:
         meta = json.load(f)
     if meta.get("format") != "minhash-index-v1":
         raise ValueError(f"not a minhash-index-v1 dir: {path}")
+    capped = None
+    if meta.get("has_capped"):
+        capped = spark.read.parquet(os.path.join(path, "capped"))
     return MinHashIndex(
         buckets=spark.read.parquet(os.path.join(path, "buckets")),
         detail=spark.read.parquet(os.path.join(path, "detail")),
@@ -356,6 +474,10 @@ def load_minhash_index(spark, path: str) -> MinHashIndex:
         b=meta["b"],
         shingle_n=meta["shingle_n"],
         bands=meta["bands"],
+        # pre-capped-record indexes (meta lacks the key): cap unknown
+        # -> extend_minhash_index refuses with a rebuild message
+        max_bucket_docs=meta.get("max_bucket_docs"),
+        capped=capped,
     )
 
 
