@@ -497,13 +497,22 @@ class SubstringIndex:
       one incoming doc IS a pair).
     - ``detail`` (corpus_id, whs): each doc's kept distinct window
       hashes as ONE array row — the per-row exact verify and the
-      first-shared-window anchor below."""
+      first-shared-window anchor below.
+
+    ``capped``/``max_bucket_docs``: the dropped-bucket record and the
+    cap policy, carried for :func:`extend_substring_index` (same
+    rationale as MinHashIndex — without the record an extension would
+    resurrect a capped bucket with only its new members)."""
 
     def __init__(self, buckets: DataFrame, detail: DataFrame,
-                 window_tokens: int):
+                 window_tokens: int,
+                 max_bucket_docs: int | None = None,
+                 capped: DataFrame | None = None):
         self.buckets = buckets
         self.detail = detail
         self.window_tokens = window_tokens
+        self.max_bucket_docs = max_bucket_docs
+        self.capped = capped
 
 
 def build_substring_index(
@@ -530,7 +539,60 @@ def build_substring_index(
     detail = buckets.groupBy("corpus_id").agg(
         F.sort_array(F.collect_set("wh")).alias("whs")
     )
-    return SubstringIndex(buckets, detail, window_tokens)
+    return SubstringIndex(buckets, detail, window_tokens,
+                          max_bucket_docs=max_bucket_docs,
+                          capped=oversized.distinct())
+
+
+def extend_substring_index(
+    index: SubstringIndex,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> SubstringIndex:
+    """Append newly admitted documents to a substring screening index
+    without re-hashing the reference corpus — the passage-dedup twin
+    of :func:`extend_minhash_index`, exact by the same cap-
+    monotonicity law (test-pinned: extend(build(A), B) == build(A|B)).
+    The window-hash kernel runs over the new docs only; `detail` is
+    re-derived from the merged buckets (pure int64 aggregation — it
+    is a projection of buckets by construction, so equality of
+    buckets implies equality of detail)."""
+    from pyspark.sql import functions as F
+
+    if index.capped is None:
+        raise ValueError(
+            "index has no capped-bucket record (legacy persisted "
+            "index?) — rebuild it with this version's "
+            "build_substring_index before extending"
+        )
+    staged_new = _doc_windows(
+        new_docs, id_col, text_col, index.window_tokens
+    )
+    old_capped = index.capped.select("wh")
+    # once capped, always capped: bucket counts only grow
+    staged_new = staged_new.join(
+        F.broadcast(old_capped), ["wh"], "left_anti"
+    )
+    all_buckets = index.buckets.unionByName(staged_new)
+    newly_oversized = (
+        all_buckets.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > index.max_bucket_docs)
+        .select("wh")
+    )
+    buckets = all_buckets.join(
+        F.broadcast(newly_oversized), ["wh"], "left_anti"
+    )
+    detail = buckets.groupBy("corpus_id").agg(
+        F.sort_array(F.collect_set("wh")).alias("whs")
+    )
+    return SubstringIndex(
+        buckets, detail, index.window_tokens,
+        max_bucket_docs=index.max_bucket_docs,
+        capped=old_capped.unionByName(newly_oversized).distinct(),
+    )
 
 
 def _doc_windows(
@@ -628,14 +690,27 @@ class SemanticIndex:
     item semantically redundant against the training set?"). Holds
     the tiny quantizer (centroids, driver-side) and the
     spill-replicated ``members`` table: one row per (cell, corpus_id)
-    with the corpus vector and the doc's kept-cells array."""
+    with the corpus vector and the doc's kept-cells array.
+
+    ``primary_counts``/``capped_cells``/``max_cell_rows`` record the
+    cap state for :func:`extend_semantic_index`: the oversize skip is
+    decided on PRE-SPILL primary populations, which are no longer
+    derivable from ``members`` once a cell is dropped (its rows are
+    gone and the survivors' ccells arrays were rewritten) — K-bounded
+    driver-side ints, the same size class as the centroids."""
 
     def __init__(self, centroids, members: DataFrame, spill: int,
-                 vec_col: str):
+                 vec_col: str,
+                 max_cell_rows: int | None = None,
+                 primary_counts: dict[int, int] | None = None,
+                 capped_cells: list[int] | None = None):
         self.centroids = centroids
         self.members = members
         self.spill = spill
         self.vec_col = vec_col
+        self.max_cell_rows = max_cell_rows
+        self.primary_counts = primary_counts
+        self.capped_cells = list(capped_cells or [])
 
 
 def build_semantic_index(
@@ -690,15 +765,16 @@ def build_semantic_index(
         multi(F.col(vec_col)).alias("ccells"),
     )
     capped: list[int] = []
+    primary_counts: dict[int, int] | None = None
     if max_cell_rows is not None:
         primary = staged.select(
             F.element_at("ccells", 1).alias("cell")
         ).groupBy("cell").count()
+        primary_counts = {
+            int(r["cell"]): int(r["count"]) for r in primary.collect()
+        }
         capped = sorted(
-            int(r["cell"])
-            for r in primary.where(
-                F.col("count") > max_cell_rows
-            ).collect()
+            c for c, n in primary_counts.items() if n > max_cell_rows
         )
     if capped:
         cap_arr = F.array(*[F.lit(c) for c in capped])
@@ -710,9 +786,94 @@ def build_semantic_index(
         "corpus_id", "cvec", "ccells",
         F.explode("ccells").alias("cell"),
     )
-    idx = SemanticIndex(C, members, spill, vec_col)
-    idx.capped_cells = capped
-    return idx
+    return SemanticIndex(C, members, spill, vec_col,
+                         max_cell_rows=max_cell_rows,
+                         primary_counts=primary_counts,
+                         capped_cells=capped)
+
+
+def extend_semantic_index(
+    index: SemanticIndex,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str | None = None,
+) -> SemanticIndex:
+    """Append newly admitted embeddings to a semantic screening index
+    with the quantizer FIXED — the standard IVF deployment shape
+    (centroids are trained once on a bounded sample; assignment of
+    new vectors does not retrain them), so exactness is against a
+    rebuild WITH THE SAME CENTROIDS:
+    ``extend(build(A, centroids=C), B) == build(A|B, centroids=C)``
+    (test-pinned). The oversize skip stays exact through the
+    persisted pre-spill primary counts: counts only grow, so an
+    old-capped cell stays capped, and a cell pushed over the cap by
+    the new arrivals is dropped whole — its member rows removed and
+    its id rewritten out of every kept-cells array, old and new."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import make_multi_assign_udf
+
+    vec_col = vec_col or index.vec_col
+    if index.max_cell_rows is not None and index.primary_counts is None:
+        raise ValueError(
+            "index has a cell cap but no primary-count record — "
+            "rebuild it with this version's build_semantic_index "
+            "before extending"
+        )
+    C = np.asarray(index.centroids, dtype=np.float64)
+    multi = make_multi_assign_udf(C, min(index.spill, C.shape[0]))
+    staged_new = new_vectors.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cvec"),
+        multi(F.col(vec_col)).alias("ccells"),
+    )
+    if index.max_cell_rows is None:
+        members = index.members.unionByName(
+            staged_new.select(
+                "corpus_id", "cvec", "ccells",
+                F.explode("ccells").alias("cell"),
+            )
+        )
+        return SemanticIndex(index.centroids, members, index.spill,
+                             index.vec_col)
+    new_primary = {
+        int(r["cell"]): int(r["n"])
+        for r in staged_new.select(
+            F.element_at("ccells", 1).alias("cell")
+        ).groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    counts = dict(index.primary_counts)
+    for c, n in new_primary.items():
+        counts[c] = counts.get(c, 0) + n
+    capped = sorted(
+        c for c, n in counts.items() if n > index.max_cell_rows
+    )
+    newly = [c for c in capped if c not in set(index.capped_cells)]
+    old_members = index.members
+    if newly:
+        newly_arr = F.array(*[F.lit(c) for c in newly])
+        old_members = (
+            old_members.where(~F.col("cell").isin(newly))
+            .withColumn("ccells", F.array_except("ccells", newly_arr))
+        )
+    if capped:
+        cap_arr = F.array(*[F.lit(c) for c in capped])
+        staged_new = staged_new.withColumn(
+            "ccells", F.array_except("ccells", cap_arr)
+        )
+    members = old_members.unionByName(
+        staged_new.select(
+            "corpus_id", "cvec", "ccells",
+            F.explode("ccells").alias("cell"),
+        )
+    )
+    return SemanticIndex(index.centroids, members, index.spill,
+                         index.vec_col,
+                         max_cell_rows=index.max_cell_rows,
+                         primary_counts=counts,
+                         capped_cells=capped)
 
 
 def semantic_screen_stream(

@@ -1,9 +1,12 @@
-"""extend_minhash_index exactness law: extend(build(A), B) must equal
-build(A | B) — buckets, detail arrays, screen results — including
-under an aggressive hot-bucket cap where the interesting transitions
-happen (old-capped stays capped; a bucket crossing the cap ONLY
-because of the new arrivals is dropped whole, with its band entries
-re-nulled in OLD detail rows too)."""
+"""Index-extension exactness laws, one per screen family:
+extend(build(A), B) must equal build(A | B) — buckets, detail arrays,
+and screen results — including under an aggressive cap where the
+interesting transitions happen (old-capped stays capped by count
+monotonicity; a bucket/cell crossing the cap ONLY because of the new
+arrivals is dropped whole, with its entries re-nulled/rewritten in
+OLD detail rows too). The semantic family's law is against a rebuild
+WITH THE SAME CENTROIDS (the quantizer is fixed at extension — the
+standard IVF deployment shape)."""
 
 from __future__ import annotations
 
@@ -11,13 +14,22 @@ import os
 
 import pytest
 
+from dazzleduck_sql_duckdb_spark.operators.similarity import (
+    train_centroids,
+)
 from dazzleduck_sql_duckdb_spark.plans import queries as Q
 from dazzleduck_sql_duckdb_spark.streaming.dedup import (
     build_minhash_index,
+    build_semantic_index,
+    build_substring_index,
     extend_minhash_index,
+    extend_semantic_index,
+    extend_substring_index,
     load_minhash_index,
     neardup_screen_stream,
     save_minhash_index,
+    semantic_screen_stream,
+    substring_screen_stream,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
@@ -105,6 +117,89 @@ def test_extend_after_save_load_roundtrip(spark, corpora, tmp_path):
     full = build_minhash_index(docs, max_bucket_docs=2, **KNOBS)
     assert _bucket_rows(ext) == _bucket_rows(full)
     assert _capped_rows(ext) == _capped_rows(full)
+
+
+@pytest.mark.parametrize("cap", [2, 64])
+def test_extend_substring_equals_rebuild(spark, corpora, cap):
+    docs, old, new = corpora
+    ext = extend_substring_index(
+        build_substring_index(old, max_bucket_docs=cap), new
+    )
+    full = build_substring_index(docs, max_bucket_docs=cap)
+    assert sorted(
+        (r["corpus_id"], r["wh"]) for r in ext.buckets.collect()
+    ) == sorted((r["corpus_id"], r["wh"]) for r in full.buckets.collect())
+    assert {
+        r["corpus_id"]: list(r["whs"]) for r in ext.detail.collect()
+    } == {r["corpus_id"]: list(r["whs"]) for r in full.detail.collect()}
+    probe = docs.limit(60)
+    got = sorted(map(tuple, substring_screen_stream(
+        probe, ext, min_shared=1
+    ).collect()))
+    want = sorted(map(tuple, substring_screen_stream(
+        probe, full, min_shared=1
+    ).collect()))
+    assert got == want and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def emb_corpora(spark):
+    emb = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    return emb, emb.where("vec_id % 3 != 0"), emb.where("vec_id % 3 = 0")
+
+
+@pytest.mark.parametrize("capped_case", [False, True])
+def test_extend_semantic_equals_rebuild_same_centroids(
+    spark, emb_corpora, capped_case
+):
+    emb, old, new = emb_corpora
+    cents = train_centroids(old, 8, iterations=2, seed=42)
+    cap = None
+    if capped_case:
+        # adaptive cap: one notch under the fullest cell's FULL-corpus
+        # primary population, so exactly the cell(s) pushed past it BY
+        # THE NEW ARRIVALS cap during extension while others survive —
+        # the transition the law is about (a fixed cap either caps
+        # everything or nothing on this small fixture)
+        probe_old = build_semantic_index(
+            old, centroids=cents, spill=3, max_cell_rows=10**9
+        ).primary_counts
+        probe_full = build_semantic_index(
+            emb, centroids=cents, spill=3, max_cell_rows=10**9
+        ).primary_counts
+        cap = max(probe_full.values()) - 1
+        hot = max(probe_full, key=probe_full.get)
+        assert probe_old.get(hot, 0) <= cap, "no new arrivals in hot cell"
+        assert min(probe_full.values()) <= cap, "cap would cap every cell"
+    ext = extend_semantic_index(
+        build_semantic_index(
+            old, centroids=cents, spill=3, max_cell_rows=cap
+        ),
+        new,
+    )
+    full = build_semantic_index(
+        emb, centroids=cents, spill=3, max_cell_rows=cap
+    )
+    def members(ix):
+        return sorted(
+            (r["corpus_id"], r["cell"], tuple(r["ccells"]))
+            for r in ix.members.collect()
+        )
+    assert members(ext) == members(full) and len(members(full)) > 0
+    if cap is not None:
+        assert ext.capped_cells == full.capped_cells
+        # the cap must have actually fired somewhere in the transition
+        assert full.capped_cells, "adaptive cap never fired"
+        assert ext.primary_counts == full.primary_counts
+    got = sorted(map(tuple, semantic_screen_stream(
+        emb.limit(80), ext, threshold=0.4
+    ).collect()))
+    want = sorted(map(tuple, semantic_screen_stream(
+        emb.limit(80), full, threshold=0.4
+    ).collect()))
+    assert got == want and len(got) > 0
 
 
 def test_extend_refuses_capless_record(spark, corpora):
