@@ -639,6 +639,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
     train_iterations: int = 2,
     pq_train_sample: int = 16_384,
     seed: int = 42,
@@ -648,7 +649,12 @@ def build_ivfpq_index(
     the ingest-time half of IVF-PQ (all stages deterministic: seeded
     samples, fixed Lloyd iterations, first-index argmin ties). The
     returned index's `encoded` DataFrame is lazy; write it to parquet
-    to pin the encode cost once."""
+    to pin the encode cost once.
+
+    Pass prebuilt ``centroids``/``codebooks`` to encode a corpus with
+    an EXISTING model (the extend_ivfpq_index law's rebuild side) —
+    codebooks are otherwise trained on a corpus-dependent sample, so
+    rebuilds over different corpora would not share a model."""
     if centroids is None:
         if n_centroids is None:
             n = corpus.count()
@@ -659,22 +665,27 @@ def build_ivfpq_index(
         )
     C = _normalize(np.asarray(centroids, dtype=np.float64))
 
-    # PQ training sample: deterministic xxhash64-ordered draw (the
-    # train_centroids discipline), residualized driver-side against
-    # the coarse centroids.
-    sample_rows = (
-        corpus.select(vec_col)
-        .where(F.col(vec_col).isNotNull())
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col)) + seed + 1,
-                        F.lit(2**31 - 1)))
-        .limit(pq_train_sample)
-        .collect()
-    )
-    S = _normalize(
-        np.vstack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
-    )
-    res = S - C[(S @ C.T).argmax(axis=1)]
-    books = train_pq_codebooks(res, m_subspaces, n_codes, seed=seed + 2)
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+    else:
+        # PQ training sample: deterministic xxhash64-ordered draw (the
+        # train_centroids discipline), residualized driver-side against
+        # the coarse centroids.
+        sample_rows = (
+            corpus.select(vec_col)
+            .where(F.col(vec_col).isNotNull())
+            .orderBy(F.pmod(F.xxhash64(F.col(id_col)) + seed + 1,
+                            F.lit(2**31 - 1)))
+            .limit(pq_train_sample)
+            .collect()
+        )
+        S = _normalize(
+            np.vstack(
+                [np.asarray(r[0], dtype=np.float64) for r in sample_rows]
+            )
+        )
+        res = S - C[(S @ C.T).argmax(axis=1)]
+        books = train_pq_codebooks(res, m_subspaces, n_codes, seed=seed + 2)
 
     encode = make_pq_encode_udf(C, books, spill=spill)
     encoded = corpus.select(
@@ -1233,6 +1244,45 @@ def semantic_dedup_pairs(
 
 
 # ------------------------------------------------- index persistence (r9)
+
+
+def extend_ivfpq_index(
+    index: IvfPqIndex,
+    new_vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> IvfPqIndex:
+    """Append newly ingested vectors to an IVF-PQ index with the model
+    FIXED — FAISS's ``add()`` semantics: quantizers are trained once
+    at build (on a bounded sample) and later arrivals are only
+    ENCODED, one pandas-UDF pass over the new vectors. Exactness law
+    (test-pinned): ``extend(build(A), B).encoded`` row-equals
+    ``build(A|B, centroids=ix.centroids, codebooks=ix.codebooks)
+    .encoded``, and ANN queries against the two indexes return
+    identical rows — encoding is per-vector (cell assignment + code
+    argmins depend on the vector and the frozen model alone), so
+    union IS the rebuild. No cap state exists here (oversized cells
+    degrade recall via n_probe, they are not dropped), which is why
+    this extension needs no capped record, unlike the screen
+    families (streaming/dedup.py)."""
+    encode = make_pq_encode_udf(
+        np.asarray(index.centroids, np.float64),
+        np.asarray(index.codebooks, np.float64),
+        spill=index.spill,
+    )
+    new_encoded = new_vectors.select(
+        F.col(index.id_col),
+        F.explode(encode(F.col(vec_col))).alias("e"),
+    ).select(
+        index.id_col,
+        F.col("e.cell").alias("cell"),
+        F.col("e.codes").alias("codes"),
+    )
+    return IvfPqIndex(
+        index.centroids, index.codebooks,
+        index.encoded.unionByName(new_encoded),
+        spill=index.spill, id_col=index.id_col,
+    )
 
 
 def save_ivfpq_index(index: IvfPqIndex, path: str) -> None:

@@ -202,6 +202,43 @@ def test_extend_semantic_equals_rebuild_same_centroids(
     assert got == want and len(got) > 0
 
 
+def test_extend_ivfpq_equals_rebuild_same_model(spark, emb_corpora):
+    """FAISS add() semantics: the quantizers are frozen at build and
+    new arrivals are only encoded, so the extension's encoded table —
+    and ANN queries through it — must row-equal a rebuild over the
+    full corpus with the SAME centroids + codebooks."""
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        build_ivfpq_index,
+        extend_ivfpq_index,
+    )
+
+    emb, old, new = emb_corpora
+    kw = dict(n_centroids=8, m_subspaces=8, n_codes=16, spill=2)
+    ix = build_ivfpq_index(old, **kw)
+    ext = extend_ivfpq_index(ix, new)
+    full = build_ivfpq_index(
+        emb, centroids=ix.centroids, codebooks=ix.codebooks, **kw
+    )
+
+    def rows(i):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"]))
+            for r in i.encoded.collect()
+        )
+
+    assert rows(ext) == rows(full) and len(rows(full)) > 0
+    queries = emb.where("vec_id % 100 = 0")
+    qkw = dict(k=3, n_probe=4, refine=8)
+    got = sorted(map(tuple, ann_ivfpq_topk(
+        emb, queries, index=ext, **qkw
+    ).collect()))
+    want = sorted(map(tuple, ann_ivfpq_topk(
+        emb, queries, index=full, **qkw
+    ).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_extend_refuses_capless_record(spark, corpora):
     """A capped index without the capped-bucket record cannot be
     extended exactly — the guard must refuse loudly, not resurrect
