@@ -248,6 +248,12 @@ def extend_minhash_index(
     shingling + signatures) runs over the new docs only; the cap
     recount and the detail band re-null are int64 array/shuffle work
     over bucket keys.
+
+    Extensions are APPEND-ONLY by design: removal cannot be exact,
+    because a capped bucket's membership is discarded — deleting a
+    doc could take a bucket back under the cap, and its dropped
+    members are unrecoverable. Deletions mean a rebuild (same as
+    every LSH index that drops hot buckets).
     """
     from pyspark.sql import functions as F
 

@@ -239,6 +239,17 @@ def test_extend_ivfpq_equals_rebuild_same_model(spark, emb_corpora):
     assert got == want and len(got) > 0
 
 
+def test_extend_with_empty_batch_is_identity(spark, corpora):
+    """An empty micro-batch must extend to the identical index —
+    the degenerate case an always-on ingest loop hits constantly."""
+    docs, old, _ = corpora
+    ix = build_minhash_index(old, max_bucket_docs=2, **KNOBS)
+    ext = extend_minhash_index(ix, docs.limit(0))
+    assert _bucket_rows(ext) == _bucket_rows(ix)
+    assert _detail_rows(ext) == _detail_rows(ix)
+    assert _capped_rows(ext) == _capped_rows(ix)
+
+
 def test_extend_refuses_capless_record(spark, corpora):
     """A capped index without the capped-bucket record cannot be
     extended exactly — the guard must refuse loudly, not resurrect
