@@ -356,6 +356,39 @@ def test_window_fuzz(engines):
         assert got == want, f"window divergence at batch #{idx}:\n{sql}\nspark={got}\nduck={want}"
 
 
+# ------------------------------------------------------ order fuzz
+#
+# ORDER BY + LIMIT compared ORDER-SENSITIVELY (the other tests sort
+# before comparing; top-k selection semantics only show up if the
+# order itself is checked). NULLS FIRST/LAST is always explicit: the
+# DEFAULTS genuinely diverge (Spark ASC puts NULLs first, DuckDB
+# last) — that is a documented dialect boundary the catalog's ORDER
+# BY entries bridge the same way, not a fuzzable shared behavior.
+# The unique id suffix totalizes every ordering.
+
+
+def order_select(rng: random.Random) -> str:
+    body = int_expr(rng, rng.randint(1, 3))
+    dir1 = rng.choice(["ASC", "DESC"])
+    nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    dir2 = rng.choice(["ASC", "DESC"])
+    k = rng.randint(1, len(ROWS))
+    return (
+        f"SELECT id, CAST({body} AS BIGINT) AS v FROM fuzz_t"
+        f" ORDER BY v {dir1} {nulls}, id {dir2} LIMIT {k}"
+    )
+
+
+def test_order_by_limit_fuzz(engines):
+    spark, con = engines
+    rng = random.Random(0x0DDBA11)
+    for idx in range(30):
+        sql = order_select(rng)
+        got = [tuple(r) for r in spark.sql(sql).collect()]
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert got == want, f"order divergence at #{idx}:\n{sql}\nspark={got}\nduck={want}"
+
+
 def test_join_fuzz(engines):
     rng = random.Random(0x7E57DA7A)
     for idx in range(25):
