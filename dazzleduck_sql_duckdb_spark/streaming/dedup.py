@@ -487,6 +487,112 @@ def load_minhash_index(spark, path: str) -> MinHashIndex:
     )
 
 
+def save_substring_index(index: "SubstringIndex", path: str) -> None:
+    """Persist the passage-screening index across sessions — the same
+    layout discipline as save_minhash_index (tables as parquet, kernel
+    params + cap policy as meta.json, the capped record included so a
+    loaded index stays extendable)."""
+    import json
+    import os
+
+    index.buckets.write.mode("overwrite").parquet(
+        os.path.join(path, "buckets")
+    )
+    index.detail.write.mode("overwrite").parquet(
+        os.path.join(path, "detail")
+    )
+    if index.capped is not None:
+        index.capped.write.mode("overwrite").parquet(
+            os.path.join(path, "capped")
+        )
+    meta = {
+        "format": "substring-index-v1",
+        "window_tokens": index.window_tokens,
+        "max_bucket_docs": index.max_bucket_docs,
+        "has_capped": index.capped is not None,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_substring_index(spark, path: str) -> "SubstringIndex":
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != "substring-index-v1":
+        raise ValueError(f"not a substring-index-v1 dir: {path}")
+    capped = None
+    if meta.get("has_capped"):
+        capped = spark.read.parquet(os.path.join(path, "capped"))
+    return SubstringIndex(
+        buckets=spark.read.parquet(os.path.join(path, "buckets")),
+        detail=spark.read.parquet(os.path.join(path, "detail")),
+        window_tokens=meta["window_tokens"],
+        max_bucket_docs=meta.get("max_bucket_docs"),
+        capped=capped,
+    )
+
+
+def save_semantic_index(index: "SemanticIndex", path: str) -> None:
+    """Persist the semantic screening index: members as parquet, the
+    tiny model state (normalized centroids, spill, cap policy,
+    pre-spill primary counts — required to extend a loaded index) as
+    JSON. Centroids round-trip as exact float64 JSON repr, the
+    save_ivfpq_index discipline, so screens against the loaded index
+    are bit-identical."""
+    import json
+    import os
+
+    import numpy as np
+
+    index.members.write.mode("overwrite").parquet(
+        os.path.join(path, "members")
+    )
+    meta = {
+        "format": "semantic-index-v1",
+        "centroids": np.asarray(index.centroids, np.float64).tolist(),
+        "spill": int(index.spill),
+        "vec_col": index.vec_col,
+        "max_cell_rows": index.max_cell_rows,
+        "primary_counts": (
+            {str(k): v for k, v in index.primary_counts.items()}
+            if index.primary_counts is not None
+            else None
+        ),
+        "capped_cells": list(index.capped_cells),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_semantic_index(spark, path: str) -> "SemanticIndex":
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != "semantic-index-v1":
+        raise ValueError(f"not a semantic-index-v1 dir: {path}")
+    counts = meta.get("primary_counts")
+    return SemanticIndex(
+        centroids=np.asarray(meta["centroids"], np.float64),
+        members=spark.read.parquet(os.path.join(path, "members")),
+        spill=int(meta["spill"]),
+        vec_col=meta["vec_col"],
+        max_cell_rows=meta.get("max_cell_rows"),
+        primary_counts=(
+            {int(k): int(v) for k, v in counts.items()}
+            if counts is not None
+            else None
+        ),
+        capped_cells=[int(c) for c in meta.get("capped_cells", [])],
+    )
+
+
 # -------------------------------------- exact-substring screen vs an index
 
 

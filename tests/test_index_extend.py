@@ -26,8 +26,12 @@ from dazzleduck_sql_duckdb_spark.streaming.dedup import (
     extend_semantic_index,
     extend_substring_index,
     load_minhash_index,
+    load_semantic_index,
+    load_substring_index,
     neardup_screen_stream,
     save_minhash_index,
+    save_semantic_index,
+    save_substring_index,
     semantic_screen_stream,
     substring_screen_stream,
 )
@@ -200,6 +204,51 @@ def test_extend_semantic_equals_rebuild_same_centroids(
         emb.limit(80), full, threshold=0.4
     ).collect()))
     assert got == want and len(got) > 0
+
+
+def test_substring_semantic_save_load_then_extend(
+    spark, corpora, emb_corpora, tmp_path
+):
+    """Persistence round-trips for the two families that lacked it:
+    a loaded index screens identically AND stays extendable (the cap
+    record / primary counts survive the round-trip)."""
+    docs, old, new = corpora
+    save_substring_index(
+        build_substring_index(old, max_bucket_docs=2),
+        str(tmp_path / "sub"),
+    )
+    lsub = load_substring_index(spark, str(tmp_path / "sub"))
+    assert lsub.max_bucket_docs == 2 and lsub.capped is not None
+    ext = extend_substring_index(lsub, new)
+    full = build_substring_index(docs, max_bucket_docs=2)
+    assert sorted(
+        (r["corpus_id"], r["wh"]) for r in ext.buckets.collect()
+    ) == sorted((r["corpus_id"], r["wh"]) for r in full.buckets.collect())
+
+    emb, eold, enew = emb_corpora
+    cents = train_centroids(eold, 8, iterations=2, seed=42)
+    six = build_semantic_index(
+        eold, centroids=cents, spill=3, max_cell_rows=10**9
+    )
+    save_semantic_index(six, str(tmp_path / "sem"))
+    lsem = load_semantic_index(spark, str(tmp_path / "sem"))
+    assert lsem.primary_counts == six.primary_counts
+    assert lsem.max_cell_rows == six.max_cell_rows
+    probe = emb.limit(40)
+    got = sorted(map(tuple, semantic_screen_stream(
+        probe, lsem, threshold=0.4
+    ).collect()))
+    want = sorted(map(tuple, semantic_screen_stream(
+        probe, six, threshold=0.4
+    ).collect()))
+    assert got == want and len(got) > 0
+    eext = extend_semantic_index(lsem, enew)
+    efull = build_semantic_index(
+        emb, centroids=cents, spill=3, max_cell_rows=10**9
+    )
+    assert sorted(
+        (r["corpus_id"], r["cell"]) for r in eext.members.collect()
+    ) == sorted((r["corpus_id"], r["cell"]) for r in efull.members.collect())
 
 
 def test_extend_ivfpq_equals_rebuild_same_model(spark, emb_corpora):
