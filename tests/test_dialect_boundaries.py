@@ -1,0 +1,114 @@
+"""The dialect boundaries, asserted as facts.
+
+The fuzzer grammar (test_expr_fuzz.py) EXCLUDES constructs where the
+engines genuinely diverge, and dialect.py bridges them; this file
+pins that each documented divergence is real — so if an engine
+upgrade erases one (e.g. DuckDB changes its NULL ordering default or
+division-by-zero behavior), the suite flags it and the fuzz grammar
+/ dialect helper can be widened or simplified instead of silently
+guarding against nothing."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE b (x BIGINT)")
+    con.execute("INSERT INTO b VALUES (1), (NULL), (2)")
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def sview(spark):
+    spark.createDataFrame(
+        [(1,), (None,), (2,)], schema="x BIGINT"
+    ).createOrReplaceTempView("b")
+    return spark
+
+
+def test_null_ordering_defaults_diverge(sview, duck):
+    """Spark ASC default: NULLS FIRST. DuckDB ASC default: NULLS LAST.
+    This is why every catalog ORDER BY with a nullable key — and the
+    order fuzz — spells the NULLS placement explicitly."""
+    sql = "SELECT x FROM b ORDER BY x"
+    got_spark = [r["x"] for r in sview.sql(sql).collect()]
+    got_duck = [r[0] for r in duck.execute(sql).fetchall()]
+    assert got_spark == [None, 1, 2]
+    assert got_duck == [1, 2, None]
+
+
+def test_division_by_zero_diverges(sview, duck):
+    """Measured, not folklore: Spark 4 defaults ANSI ON, so 1/0
+    RAISES; DuckDB returns NULL (for /, //, %, and float division
+    alike). Opposite roles from the pre-ANSI-default lore (Spark
+    NULL, DuckDB error) — either way, a random zero divisor makes
+    generated SQL non-comparable, which is why the fuzz grammar has
+    no division. Spark's try_divide is the NULL-returning spelling
+    that matches DuckDB, the bridge a dialect helper would use."""
+    sql = "SELECT 1/0 AS v"
+    with pytest.raises(Exception):
+        sview.sql(sql).collect()
+    assert duck.execute(sql).fetchall() == [(None,)]
+    assert sview.sql("SELECT try_divide(1, 0) AS v").collect()[0][
+        "v"
+    ] is None
+
+
+def test_integer_sum_types_diverge(sview, duck):
+    """DuckDB sum(BIGINT) -> HUGEINT (DECIMAL(38,0) at the driver);
+    Spark sum(BIGINT) -> LONG. This is why dialect.bigsum casts both
+    sides to BIGINT, and every money aggregate runs the decimal
+    round-then-double discipline."""
+    sql = "SELECT sum(x) AS s FROM b"
+    spark_type = dict(sview.sql(sql).dtypes)["s"]
+    duck_type = str(duck.execute(sql).description[0][1])
+    assert spark_type == "bigint"
+    assert duck_type.upper() in ("NUMBER", "HUGEINT", "INT128")
+
+
+def test_int_overflow_raises_in_both(sview, duck):
+    """Under Spark 4's ANSI default, int64 overflow raises in BOTH
+    engines (pre-ANSI Spark silently wrapped — the folklore reason
+    fuzzers bound operands). The bound is still required: an
+    overflowing random expression aborts the comparison in both
+    engines, and ansi.enabled=false deployments bring the silent
+    wrap back."""
+    big = 9_223_372_036_854_775_807  # int64 max
+    sql = f"SELECT CAST({big} AS BIGINT) + CAST(1 AS BIGINT) AS v"
+    with pytest.raises(Exception):
+        sview.sql(sql).collect()
+    with pytest.raises(duckdb.Error):
+        duck.execute(sql).fetchall()
+
+
+def test_approx_sketches_diverge_but_bounds_hold(sview, duck):
+    """The sketch contracts' premise: approx_count_distinct estimates
+    are engine-specific (HLL++ vs HLL register layouts), so the
+    catalog gates the error bound, never the estimate. On a corpus
+    where they happen to agree this test would vacuously pass the
+    first assert — so it only requires agreement-or-not plus the
+    bound, which is the exact contract sketch_distinct_bounds gates."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    pq = os.path.join(sf, "events.parquet")
+    duck2 = duckdb.connect()
+    d_est, d_exact = duck2.execute(
+        "SELECT approx_count_distinct(user_id),"
+        f" count(DISTINCT user_id) FROM '{pq}'"
+    ).fetchall()[0]
+    duck2.close()
+    row = sview.sql(
+        "SELECT approx_count_distinct(user_id, 0.02) AS e,"
+        " count(DISTINCT user_id) AS x FROM"
+        f" parquet.`{pq}`"
+    ).collect()[0]
+    s_est, s_exact = row["e"], row["x"]
+    assert d_exact == s_exact
+    assert abs(d_est - d_exact) <= 0.05 * d_exact + 5
+    assert abs(s_est - s_exact) <= 0.05 * s_exact + 5

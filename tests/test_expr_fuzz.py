@@ -11,16 +11,24 @@ collation difference) fails the suite even if no catalog entry
 happens to exercise that corner.
 
 Grammar restrictions are the documented dialect boundary, not
-laziness — each is a place the engines genuinely DIVERGE and the
-catalog must (and does) avoid or bridge with dialect.py helpers:
-  * no division / modulo   (x/0: Spark NULL, DuckDB error)
-  * no unbounded products  (overflow: Spark wraps, DuckDB raises;
+laziness — each is a place where generated SQL stops being comparable
+across engines (asserted as executable facts in
+test_dialect_boundaries.py):
+  * no division / modulo   (x/0: Spark 4's ANSI default RAISES,
+                            DuckDB returns NULL — a random zero
+                            divisor is a hard divergence)
+  * no unbounded products  (int64 overflow raises in BOTH under
+                            ANSI — aborting the comparison — and
+                            Spark wraps silently with ANSI off;
                             operands here are bounded so every
                             intermediate fits comfortably in int64)
   * no float arithmetic    (hash/repr instability; catalog bridges
                             via the DECIMAL round-then-DOUBLE rule)
   * no sum() over the int fixture without CAST (HUGEINT vs LONG —
                             dialect.bigsum exists for exactly this)
+  * NULLS FIRST/LAST always explicit in ORDER BY (the defaults
+                            genuinely diverge: Spark ASC puts NULLs
+                            first, DuckDB last)
 
 Seed is FIXED: the suite is deterministic and a failure is
 reproducible by expression index. 120 scalar + 40 aggregate trees.
