@@ -49,11 +49,22 @@ def tokens(e: str, dialect: str) -> str:
     whole-stage codegen, while the higher-order filter evaluates its
     lambda per token interpreted until C2 warms up. Measured at sf0.1:
     ~40% faster both cold and warm (BENCH_NOTES r8), which is what the
-    driver's single-run bench sees on every text query."""
+    driver's single-run bench sees on every text query.
+
+    The DuckDB side has NO trim(): DuckDB's trim strips unicode
+    whitespace (NBSP included) while neither engine's regex \\s
+    matches NBSP, so a leading/trailing NBSP would be token content
+    on the Spark side and silently eaten by the oracle — caught by
+    the adversarial-string property fuzz
+    (tests/test_dialect_hash_property.py). The empty-string filter
+    already covers everything trim was there for (edge splits on
+    ASCII whitespace). Residual documented boundary: Java \\s
+    includes vertical tab \\x0B, RE2's does not — corpus text has
+    neither NBSP nor VT, and the property fuzz pins the rest."""
     if dialect == SPARK:
         return f"array_remove(split(lower({e}), '\\\\s+'), '')"
     return (
-        f"list_filter(regexp_split_to_array(lower(trim({e})), '\\s+'),"
+        f"list_filter(regexp_split_to_array(lower({e}), '\\s+'),"
         " t -> t <> '')"
     )
 

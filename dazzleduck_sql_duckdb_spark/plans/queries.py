@@ -4570,6 +4570,18 @@ def oracle_sql_for(name: str) -> str:
 # staleness bound) and MUST rotate into the r10 window. New totals:
 # 20 changed/new + 30 r6 cohort = 50.
 #
+# ORACLE-SIDE-ONLY FIX (session 2, outside the window-change policy
+# by construction): dialect.tokens() dropped the DuckDB-side trim()
+# after the adversarial-string property fuzz caught it eating a
+# leading NBSP that the Spark side (and both engines' regex \s)
+# treats as token content. The SPARK SQL of every entry is byte-
+# identical before and after — no engine behavior changed, the
+# ORACLE became more faithful — so the ~15 token-consuming entries
+# are not pulled into the window; instead all 124 entries were
+# re-validated hash-green at sf0.001 and the 12 token consumers at
+# sf0.01 on the fixed oracle (value-neutral on corpus text, which
+# contains no NBSP).
+#
 # FINAL AFFIRMATION (round-9 session 2, end of session): every entry
 # this round changed or added is inside the window. Validation record
 # on final code: the ENTIRE 50-entry window replicated at sf0.01 (the
