@@ -118,9 +118,22 @@ def seq(lo: str, hi: str, dialect: str) -> str:
     return f"range({lo}, ({hi}) + 1)"
 
 
+def strim(e: str, dialect: str) -> str:
+    """Space-only trim, identical in both engines. Spark's trim()
+    strips ONLY 0x20 (measured — tabs and NBSP survive); DuckDB's
+    one-arg trim() strips UNICODE whitespace, NBSP included, so the
+    bare spelling silently diverges on NBSP-edged strings (the same
+    class of oracle bug the tokens() fuzz caught). DuckDB's two-arg
+    form pins the charset. The python MinHash kernel's .strip(' ')
+    (operators/dedup.py) matches this exactly."""
+    if dialect == SPARK:
+        return f"trim({e})"
+    return f"trim({e}, ' ')"
+
+
 def shingles(e: str, n: int, dialect: str) -> str:
     """Character n-gram (shingle) set of a lowercased string."""
-    base = f"lower(trim({e}))"
+    base = f"lower({strim(e, dialect)})"
     idx = seq("1", f"greatest(length({base}) - {n - 1}, 1)", dialect)
     gram = f"i -> substr({base}, i, {n})"
     return ldistinct(ltransform(idx, gram, dialect), dialect)

@@ -2451,7 +2451,7 @@ def _build_perplexity_static(spark):
 @q("text_fingerprint")
 def _fingerprint(d: str) -> str:
     norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')" if d == SPARK \
-        else "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+        else "regexp_replace(lower(trim(text, ' ')), '\\s+', ' ', 'g')"
     sh = D.shingles("text", SHINGLE_N, d)
     minsh = D.lmin(D.ltransform(sh, f"s -> {D.hash60('s', d)}", d), d)
     # Spark: widen the single-task parquet scan before the per-shingle
@@ -2596,7 +2596,7 @@ def _clean_corpus(d: str) -> str:
     aggregates on source. Nothing carries `text` past the scan stage —
     the exchanges move (fp, doc_id, source) triples only."""
     norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')" if d == SPARK \
-        else "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+        else "regexp_replace(lower(trim(text, ' ')), '\\s+', ' ', 'g')"
     alpha = (
         "length(regexp_replace(lower(text), '[^a-z]', ''))"
         if d == SPARK
@@ -4580,7 +4580,13 @@ def oracle_sql_for(name: str) -> str:
 # are not pulled into the window; instead all 124 entries were
 # re-validated hash-green at sf0.001 and the 12 token consumers at
 # sf0.01 on the fixed oracle (value-neutral on corpus text, which
-# contains no NBSP).
+# contains no NBSP). The same fuzz then caught the same class of bug
+# in shingles()/the fingerprint norm: DuckDB's ONE-ARG trim strips
+# unicode whitespace while Spark's strips only 0x20 — fixed with
+# dialect.strim() (two-arg DuckDB trim pinning the charset), again
+# oracle-side only (Spark SQL byte-identical; the python MinHash
+# kernel's .strip(' ') always matched the Spark side), re-validated
+# at sf0.001 (all 124) + the 9 shingle consumers at sf0.01.
 #
 # FINAL AFFIRMATION (round-9 session 2, end of session): every entry
 # this round changed or added is inside the window. Validation record

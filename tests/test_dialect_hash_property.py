@@ -112,6 +112,28 @@ def test_hash60_salted_bit_identical(hengines):
     assert got == want
 
 
+def test_shingles_identical_on_adversarial_strings(hengines):
+    """Shingle-set law for the MinHash/SimHash/fingerprint families:
+    same char n-gram sets in both engines. This is the test that
+    forced dialect.strim() — DuckDB's one-arg trim strips NBSP while
+    Spark's strips only 0x20, so the bare spelling diverged on
+    NBSP-edged strings exactly like tokens() did."""
+    spark, con = hengines
+    got = {
+        r["id"]: sorted(r["g"])
+        for r in spark.sql(
+            f"SELECT id, {D.shingles('s', 5, D.SPARK)} AS g FROM hfuzz"
+        ).collect()
+    }
+    want = {
+        i: sorted(g)
+        for i, g in con.execute(
+            f"SELECT id, {D.shingles('s', 5, D.DUCK)} AS g FROM hfuzz"
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_tokens_identical_on_adversarial_strings(hengines):
     """The tokenizer law the text entries assume: same token arrays,
     for whatever '\\s' means in Java regex vs DuckDB's RE2 — if the
