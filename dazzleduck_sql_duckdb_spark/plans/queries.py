@@ -4596,10 +4596,13 @@ def oracle_sql_for(name: str) -> str:
 # `embed_semantic_dedup`, each with hash-green exactness/recall twins
 # adjacent in the window); the full-catalog sf0.001 parity gate over
 # all 124 entries ran green; the full suite ran green ON THE FINAL
-# TREE: 354 passed, 2 documented skips, 0 failed — including the
-# three fuzz suites (scalar/aggregate/window/join/EXISTS/order-by,
-# 230 random trees vs DuckDB), the four index-extension law files,
-# the ingest-gate loop integration test, and the streaming monitor's
+# TREE: 364 passed, 2 documented skips, 0 failed — including the
+# differential fuzz suites (scalar/aggregate/window/join/EXISTS/
+# order-by: 230 random trees vs DuckDB; + the adversarial-string
+# hash60/tokens/shingles property fuzz that caught and fixed the two
+# oracle-side NBSP-trim bugs above), the dialect-boundary facts file,
+# the index-extension law tests across all four families, the
+# ingest-gate loop integration test, and the streaming monitor's
 # rank-contract tests.
 # BENCH_REPORT regenerated on this session's code over the grown
 # 47-query headline set: 1.20x ex-n^2, weak-query list EMPTY
