@@ -86,6 +86,50 @@ def test_int_overflow_raises_in_both(sview, duck):
         duck.execute(sql).fetchall()
 
 
+def test_duckdb_correlated_exists_null_inequality_bug(sview, duck):
+    """Found by the deep fuzz sweep (round 9): DuckDB 1.0.0's
+    DECORRELATION of `EXISTS(.. b.m = a.i AND a.j <> b.k)` returns
+    the outer row even when a.j IS NULL — though its own uncorrelated
+    scalar form of the same predicate correctly says false, and Spark
+    matches hand-computed three-valued semantics. Spark is RIGHT
+    here; the ORACLE engine is wrong. Consequences pinned by this
+    test: (1) the exists fuzz grammar keeps nullable outer columns
+    out of correlated inequalities, (2) no catalog entry is exposed —
+    every gated EXISTS correlation (q4/q21/q22/semi_anti_join)
+    compares non-null corpus columns. If a DuckDB upgrade fixes this,
+    this test fails and both restrictions can be lifted."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta (id INT, i INT, j INT)")
+    con.execute("INSERT INTO ta VALUES (5, 2, NULL)")
+    con.execute("CREATE TABLE tb (k INT, m INT)")
+    con.execute("INSERT INTO tb VALUES (3, 2), (-5, 2)")
+    # its own uncorrelated scalar form: correctly false
+    assert con.execute(
+        "SELECT EXISTS(SELECT 1 FROM tb b WHERE b.m = 2 AND (NULL <> b.k))"
+    ).fetchall() == [(False,)]
+    # the correlated form: wrongly returns the row (the pinned bug)
+    assert con.execute(
+        "SELECT id FROM ta a WHERE EXISTS"
+        " (SELECT 1 FROM tb b WHERE b.m = a.i AND (a.j <> b.k))"
+    ).fetchall() == [(5,)]
+    con.close()
+    # Spark agrees with three-valued semantics: NULL <> k is NULL,
+    # never true, so no b witnesses the EXISTS
+    sview.createDataFrame(
+        [(5, 2, None)], schema="id INT, i INT, j INT"
+    ).createOrReplaceTempView("ta_s")
+    sview.createDataFrame(
+        [(3, 2), (-5, 2)], schema="k INT, m INT"
+    ).createOrReplaceTempView("tb_s")
+    assert (
+        sview.sql(
+            "SELECT id FROM ta_s a WHERE EXISTS"
+            " (SELECT 1 FROM tb_s b WHERE b.m = a.i AND (a.j <> b.k))"
+        ).collect()
+        == []
+    )
+
+
 def test_approx_sketches_diverge_but_bounds_hold(sview, duck):
     """The sketch contracts' premise: approx_count_distinct estimates
     are engine-specific (HLL++ vs HLL register layouts), so the

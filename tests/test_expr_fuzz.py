@@ -295,13 +295,26 @@ def join_select(rng: random.Random) -> str:
     )
 
 
+def _exists_cmp(rng: random.Random) -> str:
+    """Like _qual_cmp but outer-side references are NON-NULL columns
+    only (a.i, a.id — never a.j): DuckDB 1.0.0's decorrelation
+    mishandles a NULL outer column in a correlated inequality (it
+    returns the row where three-valued logic says no witness exists
+    — Spark is right). The bug is pinned, with the lift condition, in
+    test_dialect_boundaries.py; found by this fuzzer's deep sweep."""
+    op = rng.choice(["<", "<=", "=", "<>", ">", ">="])
+    lhs = rng.choice(["a.i", "a.id", str(rng.randint(-3, 3))])
+    rhs = rng.choice(_B_INT + [str(rng.randint(-3, 3))])
+    return f"({lhs} {op} {rhs})"
+
+
 def exists_select(rng: random.Random) -> str:
     neg = rng.choice(["EXISTS", "NOT EXISTS"])
     corr = f"b.{rng.choice(['k', 'm'])} = a.{rng.choice(['i', 'j'])}"
     extra = ""
     if rng.random() < 0.6:
         # correlated inequality (the q4/q21 decorrelation shape)
-        extra = f" AND {_qual_cmp(rng)}"
+        extra = f" AND {_exists_cmp(rng)}"
     return (
         "SELECT a.id, a.i, a.j FROM fuzz_t a"
         f" WHERE {neg} (SELECT 1 FROM fuzz_b b WHERE {corr}{extra})"
