@@ -4596,7 +4596,12 @@ def oracle_sql_for(name: str) -> str:
 # `embed_semantic_dedup`, each with hash-green exactness/recall twins
 # adjacent in the window); the full-catalog sf0.001 parity gate over
 # all 124 entries ran green; the full suite ran green ON THE FINAL
-# TREE: 364 passed, 2 documented skips, 0 failed — including the
+# TREE: 365 passed, 2 documented skips, 0 failed (the count's final
+# increment is the pinned DuckDB-1.0.0 correlated-EXISTS
+# decorrelation bug the deep fuzz sweep found — Spark matches
+# three-valued semantics, the ORACLE engine does not; boundary test
+# + grammar guard + no-catalog-exposure audit in that commit) —
+# including the
 # differential fuzz suites (scalar/aggregate/window/join/EXISTS/
 # order-by: 230 random trees vs DuckDB; + the adversarial-string
 # hash60/tokens/shingles property fuzz that caught and fixed the two
