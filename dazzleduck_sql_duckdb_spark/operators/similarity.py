@@ -655,6 +655,16 @@ def build_ivfpq_index(
     an EXISTING model (the extend_ivfpq_index law's rebuild side) —
     codebooks are otherwise trained on a corpus-dependent sample, so
     rebuilds over different corpora would not share a model."""
+    if codebooks is not None and centroids is None:
+        # PQ codebooks are trained on residuals against a SPECIFIC
+        # centroid set; pairing them with freshly-trained centroids is
+        # a silently mismatched model that degrades recall. Pass both
+        # halves of the prebuilt model or neither.
+        raise ValueError(
+            "codebooks provided without centroids: PQ codebooks encode "
+            "residuals against the centroids they were trained with — "
+            "pass the matching centroids too"
+        )
     if centroids is None:
         if n_centroids is None:
             n = corpus.count()

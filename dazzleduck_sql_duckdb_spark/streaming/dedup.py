@@ -470,6 +470,17 @@ def load_minhash_index(spark, path: str) -> MinHashIndex:
         meta = json.load(f)
     if meta.get("format") != "minhash-index-v1":
         raise ValueError(f"not a minhash-index-v1 dir: {path}")
+    if "max_bucket_docs" not in meta:
+        # Pre-capped-record indexes lack the key entirely; the build
+        # default back then was a cap of 1024, so treating the missing
+        # key as "uncapped" would silently extend a capped index and
+        # resurrect dropped buckets with partial membership. Refuse at
+        # load: cap policy is unknowable, only a rebuild is safe.
+        raise ValueError(
+            "legacy minhash index (meta.json has no max_bucket_docs "
+            "key): cap policy unknown — rebuild it with this "
+            "version's build_minhash_index before loading"
+        )
     capped = None
     if meta.get("has_capped"):
         capped = spark.read.parquet(os.path.join(path, "capped"))
@@ -480,9 +491,7 @@ def load_minhash_index(spark, path: str) -> MinHashIndex:
         b=meta["b"],
         shingle_n=meta["shingle_n"],
         bands=meta["bands"],
-        # pre-capped-record indexes (meta lacks the key): cap unknown
-        # -> extend_minhash_index refuses with a rebuild message
-        max_bucket_docs=meta.get("max_bucket_docs"),
+        max_bucket_docs=meta["max_bucket_docs"],
         capped=capped,
     )
 
@@ -523,6 +532,14 @@ def load_substring_index(spark, path: str) -> "SubstringIndex":
         meta = json.load(f)
     if meta.get("format") != "substring-index-v1":
         raise ValueError(f"not a substring-index-v1 dir: {path}")
+    if "max_bucket_docs" not in meta:
+        # Same legacy-meta hazard as load_minhash_index: a missing cap
+        # key means the cap policy is unknowable, not "uncapped".
+        raise ValueError(
+            "legacy substring index (meta.json has no max_bucket_docs "
+            "key): cap policy unknown — rebuild it with this "
+            "version's build_substring_index before loading"
+        )
     capped = None
     if meta.get("has_capped"):
         capped = spark.read.parquet(os.path.join(path, "capped"))
@@ -530,7 +547,7 @@ def load_substring_index(spark, path: str) -> "SubstringIndex":
         buckets=spark.read.parquet(os.path.join(path, "buckets")),
         detail=spark.read.parquet(os.path.join(path, "detail")),
         window_tokens=meta["window_tokens"],
-        max_bucket_docs=meta.get("max_bucket_docs"),
+        max_bucket_docs=meta["max_bucket_docs"],
         capped=capped,
     )
 

@@ -78,7 +78,7 @@ def quality_monitor(
             "min_value",
             "max_value",
             *[
-                F.col("q")[i].alias(f"p{int(frac * 100)}")
+                F.col("q")[i].alias(f"p{round(frac * 100)}")
                 for i, frac in enumerate(fracs)
             ],
         )

@@ -308,3 +308,49 @@ def test_extend_refuses_capless_record(spark, corpora):
     ix.capped = None  # simulate a legacy persisted index
     with pytest.raises(ValueError, match="rebuild"):
         extend_minhash_index(ix, new)
+
+
+def test_load_refuses_legacy_meta_without_cap_key(
+    spark, corpora, tmp_path
+):
+    """A meta.json written before the cap-policy record carries no
+    max_bucket_docs key at all. The old build default WAS a cap
+    (1024), so treating the missing key as 'uncapped' would extend a
+    capped index and resurrect dropped buckets with partial
+    membership — load must refuse, for both index families."""
+    import json
+
+    docs, old, _ = corpora
+    mh = str(tmp_path / "mh")
+    save_minhash_index(
+        build_minhash_index(old, max_bucket_docs=2, **KNOBS), mh
+    )
+    meta = json.load(open(os.path.join(mh, "meta.json")))
+    del meta["max_bucket_docs"]
+    json.dump(meta, open(os.path.join(mh, "meta.json"), "w"))
+    with pytest.raises(ValueError, match="rebuild"):
+        load_minhash_index(spark, mh)
+
+    ss = str(tmp_path / "ss")
+    save_substring_index(build_substring_index(old), ss)
+    meta = json.load(open(os.path.join(ss, "meta.json")))
+    del meta["max_bucket_docs"]
+    json.dump(meta, open(os.path.join(ss, "meta.json"), "w"))
+    with pytest.raises(ValueError, match="rebuild"):
+        load_substring_index(spark, ss)
+
+
+def test_explicit_uncapped_meta_still_loads(spark, corpora, tmp_path):
+    """max_bucket_docs=None persisted EXPLICITLY (meta key present,
+    value null) is a real uncapped index and must keep loading — the
+    legacy guard only fires on the ABSENT key."""
+    docs, old, new = corpora
+    p = str(tmp_path / "uncapped")
+    save_minhash_index(
+        build_minhash_index(old, max_bucket_docs=None, **KNOBS), p
+    )
+    loaded = load_minhash_index(spark, p)
+    assert loaded.max_bucket_docs is None
+    ext = extend_minhash_index(loaded, new)
+    full = build_minhash_index(docs, max_bucket_docs=None, **KNOBS)
+    assert _bucket_rows(ext) == _bucket_rows(full)

@@ -676,3 +676,23 @@ def test_ivfpq_index_save_load_roundtrip(spark, emb, tmp_path):
         (tmp_path / "bad").mkdir()
         (tmp_path / "bad" / "meta.json").write_text('{"format": "x"}')
         load_ivfpq_index(spark, str(tmp_path / "bad"))
+
+
+def test_ivfpq_refuses_codebooks_without_centroids(spark):
+    """PQ codebooks encode residuals against the centroids they were
+    trained with; pairing them with fresh centroids is a silently
+    mismatched model. The builder must refuse half a model."""
+    import numpy as np
+    import pytest
+
+    from dazzleduck_sql_duckdb_spark.operators.similarity import (
+        build_ivfpq_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, _unit([1.0] * 32), 0)], schema=SCHEMA
+    )
+    with pytest.raises(ValueError, match="centroids"):
+        build_ivfpq_index(
+            emb, codebooks=np.zeros((8, 16, 4)), centroids=None
+        )

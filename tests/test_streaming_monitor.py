@@ -161,3 +161,12 @@ def test_monitor_append_evicts_then_drops_late_row(spark, tmp_path):
     r0 = by_hour[base_us][0]
     assert r0["n"] == 3 and r0["max_value"] == 9.0
     assert r0["p50"] in (1.0, 2.0, 9.0) and r0["p50"] <= 9.0
+
+
+def test_custom_frac_column_naming_rounds(spark):
+    """p-column names must round, not truncate: int(0.29*100) == 28
+    under float representation, mislabeling the column p28."""
+    df = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    cols = quality_monitor(df, fracs=(0.29, 0.5, 0.95)).columns
+    assert "p29" in cols and "p28" not in cols
+    assert "p50" in cols and "p95" in cols
