@@ -116,6 +116,56 @@ class TransientHTTPError(RuntimeError):
     """5xx / connection failure — safe to retry the open."""
 
 
+_EOS_MARKER = b"\xff\xff\xff\xff\x00\x00\x00\x00"
+
+
+class _EosTrackingStream:
+    """File-like wrapper recording the trailing 8 bytes of the body.
+
+    Arrow's IPC stream readers (pyarrow and arrow-java alike) treat a
+    BARE EOF at a message boundary as a normal end of stream, so an
+    HTTP response truncated between batches decodes as a silently
+    SHORT result — which a split-mode aggregate merge then under-sums
+    with no error anywhere. Every well-formed stream ends with the
+    explicit EOS marker (continuation 0xFFFFFFFF + length 0); the read
+    loop checks `saw_eos_marker` after exhaustion and raises on a
+    truncated stream so Spark's task retry re-runs the split."""
+
+    def __init__(self, raw):
+        self._raw = raw
+        self._tail = b""
+        self.bytes_seen = 0
+
+    def _record(self, data) -> None:
+        self.bytes_seen += len(data)
+        d = bytes(data)
+        self._tail = d[-8:] if len(d) >= 8 else (self._tail + d)[-8:]
+
+    def read(self, n=-1):
+        data = self._raw.read(n)
+        if data:
+            self._record(data)
+        return data
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return False
+
+    @property
+    def closed(self) -> bool:
+        # pyarrow's PythonFile wrapper requires this attribute
+        return bool(getattr(self._raw, "closed", False))
+
+    def close(self) -> None:
+        self._raw.close()
+
+    @property
+    def saw_eos_marker(self) -> bool:
+        return self._tail == _EOS_MARKER
+
+
 def _open_stream(
     url: str,
     token: str | None,
@@ -654,9 +704,22 @@ class ArrowHttpReader(DataSourceReader):
         _inflight_add(query_id, endpoint, self.token)
         done = False
         try:
-            reader = pa.ipc.open_stream(resp)
+            tracked = _EosTrackingStream(resp)
+            reader = pa.ipc.open_stream(tracked)
+            rows = 0
             for batch in reader:
+                rows += batch.num_rows
                 yield batch
+            if not tracked.saw_eos_marker:
+                # torn response truncated at a batch boundary — fail
+                # loudly so the task retries instead of yielding a
+                # silently-short split partial
+                raise RuntimeError(
+                    f"dd_read_arrow: stream from {endpoint} (query id"
+                    f" {query_id}) ended without the Arrow EOS marker"
+                    f" after {rows} rows/{tracked.bytes_seen} bytes —"
+                    " truncated split response"
+                )
             done = True
         finally:
             still_inflight = _inflight_pop(query_id) is not None

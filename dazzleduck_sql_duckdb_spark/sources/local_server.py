@@ -133,19 +133,32 @@ class _Handler(BaseHTTPRequestHandler):
             opts = pa.ipc.IpcWriteOptions(
                 compression=self.server.compression
             )
+        trunc = self.server.truncate_after_batches
         try:
-            with pa.ipc.new_stream(sink, tbl.schema, options=opts) as writer:
-                for batch in tbl.to_batches(
-                    max_chunksize=self.server.batch_rows or 8192
-                ):
-                    writer.write_batch(batch)
-                    sink.flush()
-                    if self.server.throttle_s:
-                        # simulate a slow producer so tests can kill a
-                        # task while its reader blocks between batches
-                        import time
+            batches = tbl.to_batches(
+                max_chunksize=self.server.batch_rows or 8192
+            )
+            # truncation mode drops trailing batches AND the EOS
+            # marker; streams it cannot shorten (schema probes, empty
+            # results) are written whole so only data fetches tear
+            do_trunc = trunc is not None and len(batches) > trunc
+            writer = pa.ipc.new_stream(sink, tbl.schema, options=opts)
+            for batch in batches[: trunc if do_trunc else None]:
+                writer.write_batch(batch)
+                sink.flush()
+                if self.server.throttle_s:
+                    # simulate a slow producer so tests can kill a
+                    # task while its reader blocks between batches
+                    import time
 
-                        time.sleep(self.server.throttle_s)
+                    time.sleep(self.server.throttle_s)
+            if not do_trunc:
+                # normal path: close() writes the IPC EOS marker.
+                # Truncation skips it — the HTTP body still ends with
+                # a valid terminating chunk, simulating a torn stream
+                # cut at a batch boundary that Arrow readers would
+                # otherwise accept as a silently-short result.
+                writer.close()
             self.wfile.write(b"0\r\n\r\n")
         except (BrokenPipeError, ConnectionResetError):
             # Wire-level cancellation: the client connection dropped
@@ -251,6 +264,7 @@ class ArrowTestServer(ThreadingHTTPServer):
         batch_rows: int = 0,
         compression: str | None = None,
         extra_endpoints: list[str] | None = None,
+        truncate_after_batches: int | None = None,
     ):
         super().__init__(("127.0.0.1", port), _Handler)
         self.tables = dict(tables)
@@ -260,6 +274,10 @@ class ArrowTestServer(ThreadingHTTPServer):
         self.batch_rows = batch_rows
         # IPC body compression ("zstd"/"lz4") for /v1/query responses
         self.compression = compression
+        # fault injection: stop the IPC stream after N batches WITHOUT
+        # the EOS marker (valid HTTP framing) — the torn-stream shape
+        # the readers' EOS guard must catch
+        self.truncate_after_batches = truncate_after_batches
         # advertised ahead of this server's own address in every split's
         # endpoints[] — lets tests plant dead/unreachable replicas to
         # exercise client-side failover

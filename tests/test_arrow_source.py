@@ -619,3 +619,33 @@ def test_split_load_spreads_across_live_replicas(registered):
             r = [q for q in replica.queries if "hash(_b)" in q]
             assert p and r, (primary.queries, replica.queries)
             assert len(p) + len(r) == n_splits
+
+
+def test_truncated_stream_fails_loudly(registered):
+    """A response whose IPC stream ends WITHOUT the EOS marker (valid
+    HTTP framing — a torn stream cut at a batch boundary) must error,
+    never yield a silently-short result that a downstream aggregate
+    would under-sum (r9 verdict directive #1). pyarrow itself accepts
+    a bare EOF between messages as end-of-stream, so the reader's
+    trailing-marker guard is the only thing standing between a torn
+    split and a wrong answer."""
+    with ArrowTestServer(
+        {"lineitem": LINEITEM},
+        batch_rows=100,
+        truncate_after_batches=1,
+    ) as srv:
+        df = dd_read_arrow(registered, srv.url, source_table="lineitem")
+        with pytest.raises(Exception, match="truncated split response"):
+            df.collect()
+
+
+def test_short_but_complete_stream_still_reads(registered):
+    """Guard sanity: a SMALL complete result (one batch + EOS marker)
+    must keep reading fine — the marker check fires only on actual
+    truncation."""
+    with ArrowTestServer({"lineitem": LINEITEM}, batch_rows=100) as srv:
+        df = dd_read_arrow(
+            registered, srv.url,
+            sql="SELECT l_orderkey FROM lineitem LIMIT 5",
+        )
+        assert len(df.collect()) == 5

@@ -247,6 +247,37 @@ out["split_dec_sum_rows"] = sorted(
     [[x[0], str(x[1])] for x in df.collect()]
 )
 
+# 6e) split-decimal stability: run the exact r9 red-gate shape 10x in
+#     THIS busy session (shared server, warm JVM connection pool) and
+#     record every distinct result — the driver's hash gate failed once
+#     under a full-catalog shared session while passing in isolation
+out["split_dec_stress_distinct"] = sorted(
+    {{
+        json.dumps(sorted([[x[0], str(x[1])] for x in df.collect()]))
+        for _ in range(10)
+    }}
+)
+
+# 10) torn-stream guard: a server that ends the IPC stream WITHOUT the
+#     EOS marker (valid HTTP framing — the shape of a torn split cut
+#     at a batch boundary) must fail the scan loudly, never merge a
+#     silently-short partial (r9 verdict directive #1)
+srv3 = ArrowTestServer(
+    {{"lineitem": {lineitem!r}}},
+    batch_rows=100,
+    truncate_after_batches=1,
+).start()
+try:
+    # raw-row fetch (no agg pushdown — an aggregate would return one
+    # batch, too short to tear): 100-row batches, cut after the first
+    rows = spark.read.format("dd_arrow_dsv2").option(
+        "url", srv3.url
+    ).option("path", "lineitem").load().select("l_orderkey").collect()
+    out["truncated_stream_error"] = f"NO ERROR ({{len(rows)}} rows)"
+except Exception as e:
+    out["truncated_stream_error"] = str(e)[:500]
+srv3.stop()
+
 # 9) JVM shutdown sweep (the Python source's SIGTERM/atexit third
 #    cancel channel): hold a reader MID-STREAM via py4j, fire the
 #    registry sweep the shutdown hook runs, and assert the server
@@ -416,6 +447,15 @@ def test_dsv2_shim_transparent_pushdowns():
     assert got["split_dec_sum_final_merge"] is True
     assert got["split_dec_sum_type"] == "decimal(22,2)"
     assert got["split_dec_sum_rows"] == got["dec_sum_rows"]
+    # 6e: 10 same-session runs of the split-decimal merge must agree
+    # bit-for-bit with the oracle — the r9 red gate's stress twin
+    assert got["split_dec_stress_distinct"] == [
+        json.dumps(got["dec_sum_rows"])
+    ], got["split_dec_stress_distinct"]
+    # 10: a stream ending without the Arrow EOS marker is a loud error
+    assert "truncated split response" in got["truncated_stream_error"], (
+        got["truncated_stream_error"]
+    )
     # 9: the shutdown sweep cancels in-flight queries while the reader
     # is mid-stream, and close() drains the registry
     assert got["sweep_in_flight"] >= 1
