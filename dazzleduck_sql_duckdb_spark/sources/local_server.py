@@ -180,11 +180,27 @@ class _Handler(BaseHTTPRequestHandler):
         )
         con = self._connect()
         try:
-            nrows, est_bytes = con.sql(
-                f"SELECT count(*), count(*) * 64 FROM ({sql}) AS _q"
-            ).fetchone()
+            # Size the plan from the optimizer's cardinality estimate
+            # (EXPLAIN reads parquet metadata — ~1ms, no execution),
+            # NOT count(*) over the base query: re-executing the base
+            # just to plan splits is the reference's own double-fetch
+            # flaw (SURVEY §3.1), and a test server that full-scans at
+            # plan time masks the exact cost pattern the engine avoids.
+            # The top-most estimate is exact for unfiltered scans (the
+            # split-count contract remote_splits_plan's oracle pins)
+            # and a selectivity estimate under filters — fine for a
+            # byte-size heuristic.
+            import re as _re
+
+            txt = "\n".join(
+                t for _, t in con.sql(f"EXPLAIN SELECT * FROM ({sql})"
+                                      " AS _q").fetchall()
+            )
+            ecs = _re.findall(r"EC:\s*(\d+)", txt)
+            nrows = int(ecs[0]) if ecs else 0
         except Exception as e:
             return self._deny(400, f"plan error: {e}")
+        est_bytes = nrows * 64
         n = max(1, min(MAX_SPLITS, (est_bytes + split_size - 1) // split_size))
         checksum = hashlib.sha256(sql.encode()).hexdigest()[:16]
         base = f"http://{self.server.server_address[0]}:{self.server.server_address[1]}"

@@ -292,8 +292,11 @@ def test_split_agg_plans_filtered_relation(registered, server):
     """The split plan is taken over base+WHERE, so a selective filter
     shrinks the split count instead of planning the unfiltered base
     into near-empty per-split round trips (advisor r3). o_orderkey<60
-    keeps ~15 of 1500 rows at sf0.001: the filtered estimate fits one
-    split at this split_size where the unfiltered base needs several."""
+    keeps ~15 of 1500 rows at sf0.001; the server's plan-time sizing
+    is the optimizer's EXPLAIN estimate (exact for bare scans, a
+    selectivity heuristic under filters — ~20% for a range predicate),
+    so the filtered plan lands at 1-2 splits where the unfiltered base
+    (1500 rows * 64 B / 16384) needs ~6."""
     server.queries.clear()
     out = dd_read_arrow_agg(
         registered,
@@ -311,7 +314,9 @@ def test_split_agg_plans_filtered_relation(registered, server):
     assert _cells_equal(out[0]["n"], local[0]["n"])
     assert _cells_equal(out[0]["mx"], local[0]["mx"])
     wire = [q for q in server.queries if "hash(_b)" in q]
-    # filtered relation -> single split; each split query carries the
-    # WHERE both inside the planned slice and re-applied in the template
-    assert len(wire) == 1, wire
-    assert wire[0].count("o_orderkey < 60") >= 2, wire[0]
+    # filtered relation -> far fewer splits than the ~6 the unfiltered
+    # base would plan; each split query carries the WHERE both inside
+    # the planned slice and re-applied in the template
+    assert 1 <= len(wire) <= 2, wire
+    for w in wire:
+        assert w.count("o_orderkey < 60") >= 2, w

@@ -186,6 +186,26 @@ out["dec_sum_pushed"] = "PushedAggregation: true" in p
 out["dec_sum_type"] = dict(df.dtypes)["sum(qd)"]
 out["dec_sum_rows"] = sorted([[x[0], str(x[1])] for x in df.collect()])
 
+# 6c') decimal avg: COMPLETE pushdown is deliberately declined (DuckDB
+#      decimal division degrades to DOUBLE; Spark's Average keeps the
+#      widened-decimal result) — but the decomposed sum+count partial
+#      path MUST still be PUSHED, not a raw-row scan. Plan-asserts the
+#      documented trade so it stays true under refactoring (r9 verdict
+#      directive #4; reference type reconciliation:
+#      /root/reference/src/scanner/read_arrow_dd.cpp:568-696).
+df = rd.groupBy("l_returnflag").agg({{"qd": "avg"}})
+p = plan(df)
+out["dec_avg_pushed"] = "PushedAggregation: true" in p
+out["dec_avg_remote_decomposed"] = (
+    "sum(" in p and "count(" in p and "RemoteSql" in p
+    and "avg(" not in p.split("RemoteSql", 1)[1].split("\n", 1)[0]
+)
+# non-split: the decomposed sum+count is pushed COMPLETE — the server
+# runs the one GROUP BY, Spark only divides in a Project (no re-agg)
+out["dec_avg_no_reagg"] = "HashAggregate" not in p
+out["dec_avg_type"] = dict(df.dtypes)["avg(qd)"]
+out["dec_avg_rows"] = sorted([[x[0], str(x[1])] for x in df.collect()])
+
 # 7) replica failover: a second server advertises a DEAD endpoint
 #    first in every split's endpoints[] — split 0 (and every even
 #    split) STARTS there, fails to connect, rotates to the live
@@ -247,13 +267,24 @@ out["split_dec_sum_rows"] = sorted(
     [[x[0], str(x[1])] for x in df.collect()]
 )
 
+# 6d') split-mode decimal avg: decomposed sum+count partials are
+#      split-safe and must be PUSHED per split (same trade as 6c')
+df = rds.groupBy("l_returnflag").agg({{"qd": "avg"}})
+p = plan(df)
+out["split_dec_avg_pushed"] = "PushedAggregation: true" in p
+out["split_dec_avg_final_merge"] = "HashAggregate" in p
+out["split_dec_avg_rows"] = sorted(
+    [[x[0], str(x[1])] for x in df.collect()]
+)
+
 # 6e) split-decimal stability: run the exact r9 red-gate shape 10x in
 #     THIS busy session (shared server, warm JVM connection pool) and
 #     record every distinct result — the driver's hash gate failed once
 #     under a full-catalog shared session while passing in isolation
+df_sd = rds.groupBy("l_returnflag").agg({{"qd": "sum"}})
 out["split_dec_stress_distinct"] = sorted(
     {{
-        json.dumps(sorted([[x[0], str(x[1])] for x in df.collect()]))
+        json.dumps(sorted([[x[0], str(x[1])] for x in df_sd.collect()]))
         for _ in range(10)
     }}
 )
@@ -439,6 +470,24 @@ def test_dsv2_shim_transparent_pushdowns():
             " GROUP BY 1"
         ).fetchall()]
     )
+    # 6c'/6d': avg(DECIMAL) — complete pushdown declined by design, but
+    # the decomposed sum+count fallback is PUSHED (no raw-row scan) in
+    # both plain and split mode, Spark merges and divides exactly
+    assert got["dec_avg_pushed"] is True
+    assert got["dec_avg_remote_decomposed"] is True
+    assert got["dec_avg_no_reagg"] is True  # server-final, Spark divides
+    assert got["dec_avg_type"] == "decimal(16,6)"  # Spark p+4/s+4 avg
+    oracle_avg = {
+        x[0]: x[1] for x in con(
+            f"SELECT l_returnflag, avg(CAST(l_quantity AS"
+            f" DECIMAL(12,2))) FROM '{LINEITEM}' GROUP BY 1"
+        ).fetchall()
+    }
+    for flag, val in got["dec_avg_rows"]:
+        assert abs(float(val) - float(oracle_avg[flag])) < 1e-6, (flag, val)
+    assert got["split_dec_avg_pushed"] is True
+    assert got["split_dec_avg_final_merge"] is True
+    assert got["split_dec_avg_rows"] == got["dec_avg_rows"]
     assert got["failover_sum"] == got["proj_sum"]  # dead replica rotated
     assert got["cancel_recorded"] is True
     # 6d: decimal sum over splits — pushed as split partials, merged
