@@ -272,7 +272,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Supports: SOF0 (baseline sequential DCT), 8-bit precision, 1 or 3
     components, sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
     multiple DQT/DHT segments, DRI restart intervals. Progressive
-    (SOF2) and arithmetic coding raise."""
+    (SOF2) and arithmetic coding raise.
+
+    Error contract (fuzz-pinned in tests/test_jpeg_fuzz.py): corrupt
+    or unsupported input raises ValueError — truncated segments and
+    out-of-range table ids surface as the typed error, never as a
+    stray struct.error/IndexError/KeyError and never as garbage
+    pixels of the wrong shape. A malformed web corpus must fail the
+    row, not poison the batch."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -320,12 +334,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            if h < 1 or w < 1:
+                raise ValueError("corrupt JPEG: zero frame dimension")
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"unsupported component count {nc} (1 or 3)"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
-                )
+                sh, sv = hv >> 4, hv & 0x0F
+                # supported sampling grid is 1..2 per axis (4:4:4 /
+                # 4:2:2 / 4:2:0, per the docstring); 0 is corrupt
+                # (divides the MCU geometry), >2 is out of scope
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    raise ValueError(
+                        f"corrupt/unsupported sampling factors "
+                        f"{sh}x{sv} (1..2 per axis)"
+                    )
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -389,7 +416,11 @@ def _decode_scan(frame, qt, huff, scan_tabs, scan, restart_interval):
     # phase 2 instead of 2 tiny matmuls per block (r9: the per-block
     # numpy was ~half the decode wall after the entropy inlining)
     blocks_per_mcu = sum(c["h"] * c["v"] for c in comps)
-    zz_all = np.zeros((n_mcu * blocks_per_mcu, 64), np.int32)
+    # int64: the DC predictor accumulates diffs across blocks, and on
+    # corrupt-but-decodable streams the running value can exceed int32
+    # long before any per-block check fires — the store must not be
+    # the thing that overflows (fuzz-pinned)
+    zz_all = np.zeros((n_mcu * blocks_per_mcu, 64), np.int64)
     placement = {c["id"]: ([], [], []) for c in comps}  # (bi, y0, x0)
     bi = 0
     for m in range(n_mcu):
@@ -427,6 +458,15 @@ def _decode_scan(frame, qt, huff, scan_tabs, scan, restart_interval):
                         )
                     s = entry & 0xFF
                     nbits -= entry >> 8
+                    if s > 15:
+                        # T.81 F.1.2.1.1: baseline DC categories are
+                        # 0..11 — larger values only come from a
+                        # corrupt DHT, and letting one through makes
+                        # 1<<s a bignum that overflows the int32
+                        # coefficient store instead of erroring here
+                        raise ValueError(
+                            "corrupt JPEG: DC category out of range"
+                        )
                     if s:
                         while nbits < s:
                             if pos < dlen:

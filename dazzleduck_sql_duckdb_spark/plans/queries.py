@@ -2643,20 +2643,25 @@ FROM (SELECT doc_id, {h} AS h FROM documents) t
 """
 
 
-def _contam_exploded(d: str) -> tuple[str, str]:
+def _contam_exploded(d: str, docs: str | None = None) -> tuple[str, str]:
     """(per-source 8-gram subquery, gram-hash expr) shared by the
-    one-mask and chunked-mask contamination forms."""
+    one-mask and chunked-mask contamination forms. `docs` overrides
+    the documents relation (any subquery exposing source + text) —
+    the chunked catalog entry derives a fine-grained source column to
+    exceed the 62-source one-mask bound on the small test corpus."""
     tk = D.tokens("text", d)
     n = 8
     # Same Generate pitfall as text_repetition: posexplode the raw
     # tokens; each output row builds its gram with one slice+join.
     if d == SPARK:
+        rel = docs if docs is not None else _wide_docs(d)
         exploded = f"""
 SELECT source, array_join(slice(tks, pos + 1, {n}), ' ') AS g
-FROM (SELECT source, {tk} AS tks FROM {_wide_docs(d)} w) t
+FROM (SELECT source, {tk} AS tks FROM {rel} w) t
 LATERAL VIEW posexplode(tks) x AS pos, tok
 WHERE pos + {n} <= size(tks)"""
     else:
+        rel = docs if docs is not None else "documents"
         gram = f"i -> array_to_string(list_slice(tks, i, i + {n - 1}), ' ')"
         grams = D.ltransform(
             D.seq("1", f"{D.lsize('tks', d)} - {n - 1}", d), gram, d
@@ -2664,7 +2669,7 @@ WHERE pos + {n} <= size(tks)"""
         exploded = f"""
 SELECT source, unnest(gs) AS g
 FROM (SELECT source, {grams} AS gs
-      FROM (SELECT source, {tk} AS tks FROM documents) i
+      FROM (SELECT source, {tk} AS tks FROM {rel} i2) i
       WHERE {D.lsize('tks', d)} >= {n}) b"""
     return exploded, D.hash60("g", d)
 
@@ -2751,7 +2756,7 @@ GROUP BY a.source, b.source
 """
 
 
-def _contamination_chunked_sql() -> str:
+def _contamination_chunked_sql(docs: str | None = None) -> str:
     """The >62-source generalization the one-mask form's assert points
     at (r7 verdict stretch directive): sources are densely numbered as
     before, then split into 62-bit CHUNKS (chunk = sid DIV 62, bit =
@@ -2772,7 +2777,8 @@ def _contamination_chunked_sql() -> str:
     builder only takes this path when the mask genuinely can't fit
     one BIGINT. Shuffles still carry 8-byte hashes + masks, never
     gram text."""
-    exploded, gh = _contam_exploded(SPARK)
+    exploded, gh = _contam_exploded(SPARK, docs=docs)
+    rel = docs if docs is not None else "documents"
     return f"""
 WITH sid AS (
   SELECT source, sid, CAST(sid DIV 62 AS INT) AS chunk,
@@ -2780,7 +2786,7 @@ WITH sid AS (
   FROM (
     SELECT source,
       CAST(row_number() OVER (ORDER BY source) AS INT) - 1 AS sid
-    FROM (SELECT DISTINCT source FROM documents) s) t
+    FROM (SELECT DISTINCT source FROM {rel} dsrc) s) t
 ),
 gm AS (
   SELECT gh, sid.chunk AS chunk,
@@ -2816,6 +2822,43 @@ def _build_contamination(spark, sf_dir: str | None = None):
     if n <= 62:
         return spark.sql(spark_sql_for("cross_source_contamination"))
     return spark.sql(_contamination_chunked_sql())
+
+
+_CONTAM_FINE_SPARK = (
+    "(SELECT /*+ REPARTITION(64) */"
+    " concat(source, '_', CAST(doc_id % 100 AS STRING)) AS source,"
+    " text FROM documents)"
+)
+_CONTAM_FINE_DUCK = (
+    "(SELECT source || '_' || CAST(doc_id % 100 AS VARCHAR) AS source,"
+    " text FROM documents)"
+)
+
+
+@q("cross_source_contamination_chunked")
+def _contamination_chunked_entry(d: str) -> str:
+    """The >62-source chunked-mask contamination path under the DRIVER
+    gate (r9 verdict directive #5: previously only pytest-covered).
+    The test corpus has 20 provenance labels, so the entry derives a
+    fine-grained source (source + doc_id % 100 -> 100 labels, 2 mask
+    chunks) and runs the REAL chunked implementation
+    (_contamination_chunked_sql — the exact SQL _build_contamination
+    routes to past 62 sources) on the Spark side. The oracle is the
+    brute-force distinct-gram pair join over the same derived corpus:
+    semantics, not implementation, is what the gate pins — the same
+    relationship the one-mask entry has to its oracle."""
+    if d == SPARK:
+        return _contamination_chunked_sql(docs=_CONTAM_FINE_SPARK)
+    exploded, gh = _contam_exploded(d, docs=_CONTAM_FINE_DUCK)
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT source, {gh} AS gh FROM ({exploded}) e
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM grams a JOIN grams b ON a.gh = b.gh AND a.source < b.source
+GROUP BY a.source, b.source
+"""
 
 
 @q("dedup_exact_substring")
