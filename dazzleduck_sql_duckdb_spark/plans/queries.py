@@ -4662,63 +4662,67 @@ def oracle_sql_for(name: str) -> str:
 # the committed CORRECTNESS_r files) + 1 — enforced by
 # tests/test_oracle_parity.py, so the next round CANNOT run its gate
 # against an un-rederived window: the moment the driver lands
-# CORRECTNESS_r09, the suite fails until round 10 re-derives this list.
+# CORRECTNESS_r10, the suite fails until round 11 re-derives this list.
 
-_GATE_WINDOW_ROUND = 9
+_GATE_WINDOW_ROUND = 10
 
 _GATE_WINDOW = [
-    # -- (a) changed or planned-to-change in round 9
-    "dedup_exact_substring",
-    "embed_semantic_dedup",
-    "embed_semantic_dedup_exact",
-    "embed_semantic_dedup_recall",
-    "dedup_stream_screen",
-    "text_perplexity_static_lm",
-    "embed_knn_bruteforce",
-    "embed_ann_ivfpq",
-    "embed_ann_ivfpq_fullprobe",
-    "embed_ann_ivfpq_recall",
-    "remote_scan_dsv2",
+    # -- (a) changed or new in round 10 (torn-stream EOS guard on every
+    #    remote reader; /v1/plan EXPLAIN-estimate sizing; jpeg.py
+    #    fuzz-hardening; the new chunked-contamination entry; the r9
+    #    red gate itself)
     "remote_scan_dsv2_split_dec",
-    "multimodal_video_frames",
-    "layout_zorder",
-    "dedup_substring_screen",
-    "embed_semantic_screen",
-    "text_perplexity_bigram",
-    "q21_suppliers_waiting",
-    "sketch_distinct_bounds",
-    "sketch_quantile_bounds",
-    # -- (b) the full r6-vintage cohort (oldest in GATE_AGE.md)
-    "bucketed_join_rollup",
-    "cast_matrix",
-    "cte_union_all",
-    "distinct_rows",
-    "embed_ann_ivf_fullprobe",
-    "embed_ann_ivf_probed",
-    "embed_ann_recall",
-    "empty_set_laws",
-    "events_count_distinct",
-    "events_funnel",
-    "events_grouping_sets",
-    "events_json_extract",
-    "events_sessionize",
-    "events_sessionize_native",
-    "events_view_click_attribution",
-    "lineitem_date_filter_count",
-    "lineitem_full_scan",
-    "lineitem_point_filter",
-    "lineitem_sum_orderkey",
+    "cross_source_contamination_chunked",
+    "remote_scan_dsv2",
+    "remote_scan_split_agg",
+    "remote_splits_plan",
+    "remote_scan_filter_pushdown",
+    "remote_agg_pushdown",
+    "remote_login_scan",
     "multimodal_jpeg_features",
-    "nation_presence_full_join",
-    "order_by_limit",
-    "orders_cube",
-    "part_brand_stats",
-    "q18_large_volume",
-    "q4_order_priority",
-    "scalar_subquery_filter",
-    "semi_anti_join",
-    "simhash_values",
-    "window_topk_per_group",
+    "multimodal_features",
+    "multimodal_video_frames",
+    # -- (b) staleness rotation: the r6/r7-vintage cohort (oldest in
+    #    GATE_AGE.md) plus the oldest r8 entries to fill 50
+    "events_type_pivot",
+    "lineitem_count",
+    "dedup_exact",
+    "dedup_components",
+    "dedup_simhash",
+    "ngram_jaccard_sampled",
+    "embed_cosine_neardup",
+    "embed_neardup_lsh",
+    "text_fingerprint",
+    "docs_length_quantiles",
+    "docs_shard_assignment",
+    "docs_stratified_sample",
+    "pack_sequences",
+    "text_redact_pii",
+    "events_activity_range_join",
+    "skew_salted_join_agg",
+    "multimodal_media_keys",
+    "q1_pricing_summary",
+    "orders_running_totals",
+    "q3_shipping_priority",
+    "q5_regional_volume",
+    "q10_returned_items",
+    "q19_disjunctive_join",
+    "dd_version",
+    "multimodal_png_features",
+    "dedup_minhash_auto",
+    "dedup_minhash_recall_held",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "lineitem_projection",
+    "lineitem_range_filter",
+    "null_laws",
+    "orders_set_ops",
+    "try_cast_matrix",
+    "dd_array_contains_all",
+    "dd_array_contains_all_fn",
+    "bloom_no_false_negatives",
+    "dd_search_marker",
+    "dedup_minhash_lsh",
 ]
 
 

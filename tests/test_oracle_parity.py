@@ -67,12 +67,16 @@ def test_prepare_pins_utc_session_timezone(spark):
 
 
 def test_gate_window_covers_every_family():
-    """Round-9 window contract (the driver gates the FIRST 50 catalog
-    entries): every entry round 9 changes/adds and the r6-vintage
-    cohort (the oldest rows in GATE_AGE.md after the r8 rotation),
-    minus the session-2 displacements documented below; every entry
-    excluded carries an r7/r8-green verdict over an implementation
-    untouched since its verdict (ages in GATE_AGE.md)."""
+    """Round-10 window contract (the driver gates the FIRST 50 catalog
+    entries): every entry round 10 changes or adds — the torn-stream
+    EOS guard touches every remote reader path, /v1/plan sizing
+    touches every split-planned entry, jpeg.py hardening touches the
+    image-decode entries, plus the new chunked-contamination entry and
+    the r9 red gate itself — then the staleness rotation: the last
+    r6-vintage entry (events_type_pivot, displaced twice, age bound
+    hits 4 at r10+1) and the full r7 cohort, with the oldest r8
+    entries filling to 50. Every excluded entry carries an r8/r9-green
+    verdict over an implementation untouched since (GATE_AGE.md)."""
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
     window = Q._GATE_WINDOW
@@ -80,59 +84,52 @@ def test_gate_window_covers_every_family():
     assert len(set(window)) == 50
     assert list(Q.CATALOG)[:50] == window
     changed_or_new = {
-        "dedup_exact_substring",       # perf rewrite (r8 directive #2)
-        "embed_semantic_dedup",        # advisor: anchor/spill fixes
-        "embed_semantic_dedup_exact",  # advisor: n_clusters=1 anchor
-        "embed_semantic_dedup_recall",  # advisor: pre-spill oversize
-        "dedup_stream_screen",         # advisor: capped-band recall
-        "text_perplexity_static_lm",   # vocab cap + probe-first guard
-        "embed_knn_bruteforce",        # _collect_query_matrix guard
-        "embed_ann_ivfpq",             # _collect_query_matrix guard
-        "embed_ann_ivfpq_fullprobe",   # _collect_query_matrix guard
-        "embed_ann_ivfpq_recall",      # _collect_query_matrix guard
-        "remote_scan_dsv2",            # canonical shim gate (dir. #6)
-        "remote_scan_dsv2_split_dec",  # NEW: split decimal partials
-        "multimodal_video_frames",     # jpeg.py LUT entropy decoder
-        "layout_zorder",               # NEW: Morton layout key
-        "dedup_substring_screen",      # NEW: passage-dedup screen
-        "embed_semantic_screen",       # NEW: semantic screen anchor
-        "text_perplexity_bigram",      # NEW: bigram-LM train/score
-        "q21_suppliers_waiting",       # NEW (session 2): TPC-H q21
-        "sketch_distinct_bounds",      # NEW (session 2): HLL contract
-        "sketch_quantile_bounds",      # NEW (session 2): GK/t-digest
+        "remote_scan_dsv2_split_dec",   # r9 red gate + EOS guard
+        "cross_source_contamination_chunked",  # NEW: >62-source path
+        "remote_scan_dsv2",             # shim reader EOS guard
+        "remote_scan_split_agg",        # python reader EOS guard
+        "remote_splits_plan",           # /v1/plan EXPLAIN sizing
+        "remote_scan_filter_pushdown",  # python reader EOS guard
+        "remote_agg_pushdown",          # python reader EOS guard
+        "remote_login_scan",            # python reader EOS guard
+        "multimodal_jpeg_features",     # jpeg.py fuzz hardening
+        "multimodal_features",          # jpeg.py fuzz hardening
+        "multimodal_video_frames",      # jpeg.py fuzz hardening
     }
-    r6_cohort = {
-        "bucketed_join_rollup", "cast_matrix", "cte_union_all",
-        "distinct_rows", "embed_ann_ivf_fullprobe",
-        "embed_ann_ivf_probed", "embed_ann_recall", "empty_set_laws",
-        "events_count_distinct", "events_funnel",
-        "events_grouping_sets", "events_json_extract",
-        "events_sessionize", "events_sessionize_native",
-        "events_view_click_attribution",
-        "lineitem_date_filter_count", "lineitem_full_scan",
-        "lineitem_point_filter", "lineitem_sum_orderkey",
-        "multimodal_jpeg_features", "nation_presence_full_join",
-        "order_by_limit", "orders_cube", "part_brand_stats",
-        "q18_large_volume", "q4_order_priority",
-        "scalar_subquery_filter", "semi_anti_join", "simhash_values",
-        "window_topk_per_group",
+    rotation = {
+        # the last r6-vintage entry
+        "events_type_pivot",
+        # the r7 cohort (GATE_AGE.md, last green r7) minus entries
+        # already in changed_or_new
+        "lineitem_count", "dedup_exact", "dedup_components",
+        "dedup_simhash", "ngram_jaccard_sampled",
+        "embed_cosine_neardup", "embed_neardup_lsh",
+        "text_fingerprint", "docs_length_quantiles",
+        "docs_shard_assignment", "docs_stratified_sample",
+        "pack_sequences", "text_redact_pii",
+        "events_activity_range_join", "skew_salted_join_agg",
+        "multimodal_media_keys", "q1_pricing_summary",
+        "orders_running_totals", "q3_shipping_priority",
+        "q5_regional_volume", "q10_returned_items",
+        "q19_disjunctive_join", "dd_version",
+        "multimodal_png_features", "dedup_minhash_auto",
+        "dedup_minhash_recall_held", "q7_volume_shipping",
+        "q8_market_share",
+        # oldest r8 entries filling to 50
+        "lineitem_projection", "lineitem_range_filter", "null_laws",
+        "orders_set_ops", "try_cast_matrix", "dd_array_contains_all",
+        "dd_array_contains_all_fn", "bloom_no_false_negatives",
+        "dd_search_marker", "dedup_minhash_lsh",
     }
-    # session-2 amendment: the three late additions displaced both
-    # r7-vintage fills (dd_version, dedup_components — each r7-green
-    # over untouched code, components pinned by its own randomized
-    # differential) and one r6-cohort entry with an in-window kin
-    # (events_type_pivot — pivot pinned by pytest, orders_cube
-    # in-window; the identical displacement r8 used). It MUST rotate
-    # into the r10 window (staleness bound hits age 4 at r10+1).
     in_window = set(window)
     for group, names in [
         ("changed_or_new", changed_or_new),
-        ("r6_cohort", r6_cohort),
+        ("rotation", rotation),
     ]:
         missing = names - in_window
         assert not missing, f"{group} entries outside window: {missing}"
     # exhaustive: the two sets ARE the window, no free-floating slots
-    assert in_window == changed_or_new | r6_cohort
+    assert in_window == changed_or_new | rotation
 
 
 def test_gate_age_report_current():
