@@ -198,6 +198,12 @@ PIPELINES = [
     # bucket sizes stay bounded — expect ~linear, NOT quadratic.
     "text_perplexity",
     "dedup_exact_substring",
+    # round-10 addition: the >62-source chunked-mask contamination
+    # path. The synthetic corpus's derived fine source (source +
+    # doc_id % 100) yields up to 1000 labels -> ~17 mask chunks; the
+    # gm self-join on gh is bounded per gram by chunk-pair count, so
+    # expect ~linear in docs, NOT quadratic.
+    "cross_source_contamination_chunked",
 ]
 
 # semantic dedup runs OUTSIDE the catalog config: the catalog pins
