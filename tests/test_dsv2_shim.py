@@ -309,6 +309,26 @@ except Exception as e:
     out["truncated_stream_error"] = str(e)[:500]
 srv3.stop()
 
+# 11) compressed IPC bodies through the JAVA reader: the reference
+#     server ZSTD-compresses stream buffers (base_stream_reader.cpp
+#     decompresses); the Python source's pyarrow reader is already
+#     differential-tested against a zstd server — pin that arrow-java
+#     (via Spark's bundled codecs) decodes both supported codecs too,
+#     with the EOS guard active (codec framing is inside messages, the
+#     stream-level EOS marker stays plain)
+for codec in ("zstd", "lz4"):
+    srvc = ArrowTestServer(
+        {{"lineitem": {lineitem!r}}}, compression=codec, batch_rows=500
+    ).start()
+    # raw-row fetch (no agg pushdown — a pushed aggregate would make
+    # the compressed body trivially small), summed client-side
+    out[f"compressed_{{codec}}_sum"] = sum(
+        r[0] for r in spark.read.format("dd_arrow_dsv2")
+        .option("url", srvc.url).option("path", "lineitem").load()
+        .select("l_orderkey").collect()
+    )
+    srvc.stop()
+
 # 9) JVM shutdown sweep (the Python source's SIGTERM/atexit third
 #    cancel channel): hold a reader MID-STREAM via py4j, fire the
 #    registry sweep the shutdown hook runs, and assert the server
@@ -505,6 +525,10 @@ def test_dsv2_shim_transparent_pushdowns():
     assert "truncated split response" in got["truncated_stream_error"], (
         got["truncated_stream_error"]
     )
+    # 11: compressed IPC bodies decode through arrow-java for both
+    # codecs the wire supports, values exact
+    assert got["compressed_zstd_sum"] == got["proj_sum"]
+    assert got["compressed_lz4_sum"] == got["proj_sum"]
     # 9: the shutdown sweep cancels in-flight queries while the reader
     # is mid-stream, and close() drains the registry
     assert got["sweep_in_flight"] >= 1
