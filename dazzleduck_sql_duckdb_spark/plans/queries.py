@@ -2776,7 +2776,25 @@ def _contamination_chunked_sql(docs: str | None = None) -> str:
     form's plain GROUP BY mask — measured ~2x wall at sf0.1 — so the
     builder only takes this path when the mask genuinely can't fit
     one BIGINT. Shuffles still carry 8-byte hashes + masks, never
-    gram text."""
+    gram text.
+
+    Round-10 A/B (kept the self-join): a collect_list(struct(chunk,
+    mask)) + in-row double-explode rewrite removes one gm-sized gh
+    shuffle (plan: 19 -> 13 exchanges, BHJx5 -> BHJx3) but measured
+    25-30% SLOWER at 5k/50k synthetic docs (1.33/7.99s -> 1.66/10.59s
+    median-of-3): the ObjectHashAggregate collect + double Generate
+    struct expansion costs more CPU than the saved shuffle returns
+    locally, and the exponent is unchanged (0.78 vs 0.80). On a
+    network-bound cluster the trade could flip; the measurement, not
+    the exchange count, decides here. (That rewrite also surfaced a
+    Spark 4 lexer quirk worth recording: once an `array(`/`struct(`
+    call appears anywhere earlier in a statement, a later `>>`
+    operator fails to parse — the lexer reserves `>>` for closing
+    nested type brackets; minimal repro:
+      WITH g AS (SELECT struct(1 AS x) AS s), t AS (SELECT 4 AS m)
+      SELECT 1 FROM t JOIN g ON ((t.m >> 1) & 1) = 1  -- PARSE ERROR
+    `shiftright(m, 1)` is the spelling that always parses. This form
+    keeps `>>` legally: its statement has no array(/struct( calls.)"""
     exploded, gh = _contam_exploded(SPARK, docs=docs)
     rel = docs if docs is not None else "documents"
     return f"""
