@@ -3321,6 +3321,57 @@ def _build_remote_scan_split_agg(spark, sf_dir: str):
     )
 
 
+_FAILOVER_SERVERS: dict[str, object] = {}
+
+
+def _failover_server_for(sf_dir: str):
+    import atexit
+    import os
+
+    srv = _FAILOVER_SERVERS.get(sf_dir)
+    if srv is None:
+        from ..sources.local_server import ArrowTestServer
+
+        # a DEAD replica advertised FIRST in every split's endpoints[]
+        # (port 9 / discard refuses immediately): split i starts at
+        # replica i % 2, so every even split must fail over to the
+        # live server — the reference's replica-rotation contract
+        # (split_info.hpp endpoints[]) under the driver's value gate
+        srv = ArrowTestServer(
+            {"lineitem": os.path.join(sf_dir, "lineitem.parquet")},
+            extra_endpoints=["http://127.0.0.1:9"],
+        ).start()
+        atexit.register(srv.stop)
+        _FAILOVER_SERVERS[sf_dir] = srv
+    return srv
+
+
+@q("remote_scan_failover")
+def _remote_scan_failover(d: str) -> str:
+    """Replica failover under the HASH gate (round 10 — previously
+    pytest-only, test_arrow_source.py dead-then-live): every split of
+    a split-mode remote scan advertises a dead endpoint first, so
+    half the splits exercise the rotate-with-fresh-query-id path
+    (sources/arrow_http.py read(); abandoned ids best-effort
+    cancelled). The gate pins that failover yields the COMPLETE
+    answer — a dropped or double-read split changes the counts/sums.
+    Reference: read_arrow_dd.cpp endpoints rotation."""
+    return _REMOTE_AGG.format(src="lineitem")
+
+
+def _build_remote_scan_failover(spark, sf_dir: str):
+    from ..sources import dd_read_arrow, register
+
+    register(spark)
+    srv = _failover_server_for(sf_dir)
+    scan = dd_read_arrow(
+        spark, srv.url, source_table="lineitem", split=True,
+        split_size=64 * 4000,
+    )
+    scan.createOrReplaceTempView("__remote_lineitem_failover")
+    return spark.sql(_REMOTE_AGG.format(src="__remote_lineitem_failover"))
+
+
 _REMOTE_FILTER = (
     "SELECT o_orderkey, o_totalprice FROM {src}"
     " WHERE o_totalprice > 50000 AND o_orderstatus = 'F'"
@@ -4414,6 +4465,7 @@ SPARK_BUILDERS.update(
         "multimodal_video_metadata": _build_video_metadata,
         "multimodal_video_frames": _build_video_frames,
         "remote_scan_split_agg": _build_remote_scan_split_agg,
+        "remote_scan_failover": _build_remote_scan_failover,
         "remote_scan_filter_pushdown": _build_remote_scan_filter,
         "remote_scan_dsv2": _build_remote_scan_dsv2,
         "remote_scan_dsv2_split_dec": _build_remote_scan_dsv2_split_dec,
@@ -4693,6 +4745,7 @@ _GATE_WINDOW = [
     "cross_source_contamination_chunked",
     "remote_scan_dsv2",
     "remote_scan_split_agg",
+    "remote_scan_failover",
     "remote_splits_plan",
     "remote_scan_filter_pushdown",
     "remote_agg_pushdown",
@@ -4740,7 +4793,6 @@ _GATE_WINDOW = [
     "dd_array_contains_all_fn",
     "bloom_no_false_negatives",
     "dd_search_marker",
-    "dedup_minhash_lsh",
 ]
 
 

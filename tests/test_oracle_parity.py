@@ -88,6 +88,7 @@ def test_gate_window_covers_every_family():
         "cross_source_contamination_chunked",  # NEW: >62-source path
         "remote_scan_dsv2",             # shim reader EOS guard
         "remote_scan_split_agg",        # python reader EOS guard
+        "remote_scan_failover",         # NEW: dead-replica rotation
         "remote_splits_plan",           # /v1/plan EXPLAIN sizing
         "remote_scan_filter_pushdown",  # python reader EOS guard
         "remote_agg_pushdown",          # python reader EOS guard
@@ -119,7 +120,7 @@ def test_gate_window_covers_every_family():
         "lineitem_projection", "lineitem_range_filter", "null_laws",
         "orders_set_ops", "try_cast_matrix", "dd_array_contains_all",
         "dd_array_contains_all_fn", "bloom_no_false_negatives",
-        "dd_search_marker", "dedup_minhash_lsh",
+        "dd_search_marker",
     }
     in_window = set(window)
     for group, names in [
