@@ -552,11 +552,13 @@ class ArrowHttpDataSource(DataSource):
             split=str(self.options.get("split", "false")).lower() == "true",
             split_size=int(self.options.get("split_size", 0)) or None,
             agg=self._agg_options(),
+            expected_names=[f.name for f in schema.fields],
         )
 
 
 class ArrowHttpReader(DataSourceReader):
-    def __init__(self, url, base_query, token, split, split_size, agg=None):
+    def __init__(self, url, base_query, token, split, split_size, agg=None,
+                 expected_names=None):
         self.url = url
         self.base_query = base_query
         self.token = token
@@ -565,6 +567,13 @@ class ArrowHttpReader(DataSourceReader):
         # split-agg mode: (select_list, where, group_keys) — each
         # partition's query wraps its split in the aggregate template
         self.agg = agg
+        # declared result column names: Spark binds arrow batches to
+        # the declared schema BY POSITION, so a replica answering with
+        # a different column order (fleet inconsistency — what the
+        # reference's queryChecksum exists to catch) or a stale
+        # `schema=` override would silently SWAP columns; read()
+        # checks each stream's schema against these and fails loudly
+        self.expected_names = expected_names
         self.where: list[str] = []
 
     # -- pushdown ----------------------------------------------------
@@ -706,6 +715,19 @@ class ArrowHttpReader(DataSourceReader):
         try:
             tracked = _EosTrackingStream(resp)
             reader = pa.ipc.open_stream(tracked)
+            if self.expected_names is not None:
+                got = [f.name for f in reader.schema]
+                if [n.lower() for n in got] != [
+                    n.lower() for n in self.expected_names
+                ]:
+                    # positional binding would silently swap columns —
+                    # the queryChecksum class of failure; fail the task
+                    raise RuntimeError(
+                        f"dd_read_arrow: replica {endpoint} returned"
+                        f" schema {got}, expected"
+                        f" {self.expected_names} — inconsistent replica"
+                        " or stale schema= override"
+                    )
             rows = 0
             for batch in reader:
                 rows += batch.num_rows

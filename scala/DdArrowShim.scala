@@ -549,7 +549,8 @@ class DdScan(
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DdReaderFactory(token, emptyProjection)
+    new DdReaderFactory(token, emptyProjection,
+      outSchema.fields.map(_.name))
 }
 
 case class DdPartition(endpoints: Array[String], query: String, value: Int)
@@ -644,7 +645,8 @@ object DdReaderRegistry {
     open.forEach(r => r.cancelInFlight())
 }
 
-class DdReaderFactory(token: String, emptyProjection: Boolean)
+class DdReaderFactory(token: String, emptyProjection: Boolean,
+    expectedNames: Array[String] = null)
     extends PartitionReaderFactory {
   override def supportColumnarReads(p: InputPartition): Boolean = true
   override def createReader(
@@ -653,7 +655,7 @@ class DdReaderFactory(token: String, emptyProjection: Boolean)
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] =
     new DdColumnarReader(
-      p.asInstanceOf[DdPartition], token, emptyProjection)
+      p.asInstanceOf[DdPartition], token, emptyProjection, expectedNames)
 }
 
 /** Streams the Arrow IPC response one batch at a time — bounded
@@ -670,7 +672,7 @@ class DdReaderFactory(token: String, emptyProjection: Boolean)
  *  connection (the lease channel) AND fires GET /v1/cancel (the event
  *  channel) — the two-channel contract of cancel_monitor.cpp. */
 class DdColumnarReader(p: DdPartition, token: String,
-    emptyProjection: Boolean)
+    emptyProjection: Boolean, expectedNames: Array[String] = null)
   extends PartitionReader[ColumnarBatch] {
 
   private val alloc = new RootAllocator(Long.MaxValue)
@@ -736,6 +738,20 @@ class DdColumnarReader(p: DdPartition, token: String,
       return false
     }
     val root = reader.getVectorSchemaRoot
+    if (rowsRead == 0 && expectedNames != null && !emptyProjection) {
+      // Spark binds the arrow vectors to the declared read schema BY
+      // POSITION: a replica answering with a different column order
+      // (fleet inconsistency — the reference's queryChecksum class of
+      // failure) would silently SWAP columns. Check once per stream.
+      val got = root.getSchema.getFields.asScala.map(_.getName).toArray
+      if (!got.map(_.toLowerCase)
+            .sameElements(expectedNames.map(_.toLowerCase))) {
+        throw new RuntimeException(
+          s"dd_arrow_dsv2: replica $endpoint returned schema " +
+            s"[${got.mkString(", ")}], expected " +
+            s"[${expectedNames.mkString(", ")}] — inconsistent replica")
+      }
+    }
     rowsRead += root.getRowCount
     val vectors: Array[ColumnVector] =
       if (emptyProjection) Array.empty

@@ -649,3 +649,54 @@ def test_short_but_complete_stream_still_reads(registered):
             sql="SELECT l_orderkey FROM lineitem LIMIT 5",
         )
         assert len(df.collect()) == 5
+
+
+def test_schema_mismatch_fails_loudly(registered):
+    """Spark binds arrow batches to the declared schema BY POSITION,
+    so a replica answering with a different column order (fleet
+    inconsistency — the reference's queryChecksum failure class) or a
+    stale `schema=` override would silently SWAP columns. The reader
+    must compare each stream's schema to the declared names and fail
+    the task (pre-guard behavior, empirically: l_orderkey values
+    served under the l_partkey name, no error anywhere)."""
+    from pyspark.sql import types as T
+
+    with ArrowTestServer({"lineitem": LINEITEM}) as srv:
+        wrong = T.StructType(
+            [
+                T.StructField("l_partkey", T.LongType()),
+                T.StructField("l_orderkey", T.LongType()),
+            ]
+        )
+        df = dd_read_arrow(
+            registered, srv.url,
+            sql="SELECT l_orderkey, l_partkey FROM lineitem LIMIT 3",
+            schema=wrong,
+        )
+        with pytest.raises(Exception, match="inconsistent replica"):
+            df.collect()
+
+
+def test_schema_matching_override_still_reads(registered):
+    """Guard sanity: a CORRECT `schema=` override (the probe-skipping
+    deployment shape) keeps reading; the check only fires on a real
+    order/name mismatch. (NB pyspark's own read-path validation
+    compares the name SET case-sensitively but ignores ORDER — the
+    reader's guard exists precisely for the order-swap gap, and stays
+    case-insensitive since it can only make the bundled check more
+    permissive, never less.)"""
+    from pyspark.sql import types as T
+
+    with ArrowTestServer({"lineitem": LINEITEM}) as srv:
+        right = T.StructType(
+            [
+                T.StructField("l_orderkey", T.LongType()),
+                T.StructField("l_partkey", T.LongType()),
+            ]
+        )
+        df = dd_read_arrow(
+            registered, srv.url,
+            sql="SELECT l_orderkey, l_partkey FROM lineitem LIMIT 3",
+            schema=right,
+        )
+        assert len(df.collect()) == 3

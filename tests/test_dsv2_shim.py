@@ -339,7 +339,26 @@ pkg = jvm.org.apache.spark.sql.dazzleduck
 eps = gw.new_array(jvm.java.lang.String, 1)
 eps[0] = srv2.url
 part = pkg.DdPartition(eps, "SELECT * FROM lineitem", 0)
-rdr = pkg.DdColumnarReader(part, "", False)
+# 9a) replica schema-consistency guard: a reader whose declared
+#     column order differs from what the replica answers must raise
+#     (positional binding would silently swap columns) — simulated by
+#     constructing the reader directly with swapped expectedNames
+wrongnames = gw.new_array(jvm.java.lang.String, 2)
+wrongnames[0] = "l_partkey"; wrongnames[1] = "l_orderkey"
+eps0 = gw.new_array(jvm.java.lang.String, 1)
+eps0[0] = srv2.url
+part_wrong = pkg.DdPartition(
+    eps0, "SELECT l_orderkey, l_partkey FROM lineitem LIMIT 5", 0
+)
+rdr_wrong = pkg.DdColumnarReader(part_wrong, "", False, wrongnames)
+try:
+    rdr_wrong.next()
+    out["schema_guard_error"] = "NO ERROR"
+except Exception as e:
+    out["schema_guard_error"] = str(e)[:300]
+rdr_wrong.close()
+
+rdr = pkg.DdColumnarReader(part, "", False, None)
 assert rdr.next()  # first batch loaded, stream NOT exhausted
 out["sweep_in_flight"] = pkg.DdReaderRegistry.inFlight()
 n_before = len(srv2.cancelled)
@@ -529,6 +548,11 @@ def test_dsv2_shim_transparent_pushdowns():
     # codecs the wire supports, values exact
     assert got["compressed_zstd_sum"] == got["proj_sum"]
     assert got["compressed_lz4_sum"] == got["proj_sum"]
+    # 9a: a replica answering in a different column order raises
+    # (positional binding would otherwise silently swap columns)
+    assert "inconsistent replica" in got["schema_guard_error"], (
+        got["schema_guard_error"]
+    )
     # 9: the shutdown sweep cancels in-flight queries while the reader
     # is mid-stream, and close() drains the registry
     assert got["sweep_in_flight"] >= 1
