@@ -458,12 +458,12 @@ def _decode_scan(frame, qt, huff, scan_tabs, scan, restart_interval):
                         )
                     s = entry & 0xFF
                     nbits -= entry >> 8
-                    if s > 15:
-                        # T.81 F.1.2.1.1: baseline DC categories are
-                        # 0..11 — larger values only come from a
-                        # corrupt DHT, and letting one through makes
-                        # 1<<s a bignum that overflows the int32
-                        # coefficient store instead of erroring here
+                    if s > 11:
+                        # T.81 F.1.2.1.1: baseline 8-bit DC categories
+                        # are 0..11 — larger values only come from a
+                        # corrupt DHT; 12..15 would decode to silently
+                        # garbage predictor swings and >15 makes 1<<s
+                        # a bignum, so both classes error here
                         raise ValueError(
                             "corrupt JPEG: DC category out of range"
                         )

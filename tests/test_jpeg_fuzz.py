@@ -90,3 +90,42 @@ def test_random_garbage_never_escapes(good):
         blob = rng.bytes(rng.randint(2, 400))
         _assert_loud_or_valid(b"\xff\xd8" + blob)
         _assert_loud_or_valid(blob)
+
+
+def test_corrupt_dc_category_12_to_15_names_itself(good):
+    """Baseline 8-bit DC categories are 0..11 (T.81 F.1.2.1.1); a
+    corrupt DHT mapping a code to 12..15 must raise the typed 'DC
+    category' error, not decode to silently-garbage predictor swings
+    (review finding: the first guard only rejected >15). Patch each
+    DC-table value byte of a known-good stream to 13 and require at
+    least one patched stream to hit the named guard (others may fail
+    earlier as invalid huffman — any ValueError is acceptable, the
+    blanket loud-or-valid law still applies)."""
+    import struct
+
+    data = bytes(good)
+    hits = 0
+    i = 2
+    while i + 4 <= len(data) and data[i] == 0xFF:
+        marker = data[i + 1]
+        if marker == 0xDA:
+            break
+        (seglen,) = struct.unpack_from(">H", data, i + 2)
+        if marker == 0xC4:
+            j, end = i + 4, i + 2 + seglen
+            while j < end:
+                tc = data[j] >> 4
+                nvals = sum(data[j + 1 : j + 17])
+                if tc == 0:  # DC table
+                    for k in range(j + 17, j + 17 + nvals):
+                        patched = bytearray(data)
+                        patched[k] = 13
+                        try:
+                            out = decode_jpeg(bytes(patched))
+                            assert out.dtype == np.uint8
+                        except ValueError as e:
+                            if "DC category" in str(e):
+                                hits += 1
+                j += 17 + nvals
+        i += 2 + seglen
+    assert hits > 0, "no patched stream reached the DC-category guard"

@@ -47,14 +47,14 @@ def main() -> int:
         for name in Q._GATE_WINDOW:
             t0 = time.time()
             try:
-                rows = qs[name](spark, sf_dir).collect()
+                df = qs[name](spark, sf_dir)
+                rows = df.collect()
             except Exception as e:
                 print(f"pass {p} {name}: ERROR {str(e)[:200]}", flush=True)
                 continue
             if name == target:
                 got_cols, got = norm_rows(
-                    qs[name](spark, sf_dir).columns,
-                    [tuple(r) for r in rows],
+                    df.columns, [tuple(r) for r in rows]
                 )
                 ok = got_cols == want_cols and got == want
                 print(
