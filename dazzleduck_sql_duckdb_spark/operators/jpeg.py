@@ -506,6 +506,15 @@ def _decode_scan(frame, qt, huff, scan_tabs, scan, restart_interval):
                                 k += 16
                                 continue
                             break  # EOB
+                        if s > 10:
+                            # T.81 Table F.2: baseline 8-bit AC
+                            # categories are 1..10 (coefficients fit
+                            # 10 bits post-quant); 11..15 only come
+                            # from a corrupt DHT — same silent-garbage
+                            # class as the DC guard above
+                            raise ValueError(
+                                "corrupt JPEG: AC category out of range"
+                            )
                         k += rs >> 4
                         if k > 63:
                             raise ValueError("corrupt JPEG: AC overrun")

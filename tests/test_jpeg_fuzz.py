@@ -129,3 +129,38 @@ def test_corrupt_dc_category_12_to_15_names_itself(good):
                 j += 17 + nvals
         i += 2 + seglen
     assert hits > 0, "no patched stream reached the DC-category guard"
+
+
+def test_corrupt_ac_category_11_to_15_names_itself(good):
+    """AC twin of the DC-category guard: baseline 8-bit AC categories
+    are 1..10 (T.81 Table F.2). Patch each AC-table value byte's size
+    nibble to 11 and require the named guard to fire at least once."""
+    import struct
+
+    data = bytes(good)
+    hits = 0
+    i = 2
+    while i + 4 <= len(data) and data[i] == 0xFF:
+        marker = data[i + 1]
+        if marker == 0xDA:
+            break
+        (seglen,) = struct.unpack_from(">H", data, i + 2)
+        if marker == 0xC4:
+            j, end = i + 4, i + 2 + seglen
+            while j < end:
+                tc = data[j] >> 4
+                nvals = sum(data[j + 1 : j + 17])
+                if tc == 1:  # AC table
+                    for k in range(j + 17, j + 17 + nvals):
+                        patched = bytearray(data)
+                        # keep the run nibble, set size nibble to 11
+                        patched[k] = (patched[k] & 0xF0) | 0x0B
+                        try:
+                            out = decode_jpeg(bytes(patched))
+                            assert out.dtype == np.uint8
+                        except ValueError as e:
+                            if "AC category" in str(e):
+                                hits += 1
+                j += 17 + nvals
+        i += 2 + seglen
+    assert hits > 0, "no patched stream reached the AC-category guard"
