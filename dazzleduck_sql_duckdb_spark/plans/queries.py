@@ -2448,6 +2448,71 @@ def _build_perplexity_static(spark):
     return perplexity_scores(docs, build_unigram_lm(docs))
 
 
+@q("text_normalize")
+def _text_normalize(d: str) -> str:
+    """Unicode NFC + control-strip + whitespace-collapse text
+    normalization — the pre-hash step every dedup/fingerprint pipeline
+    runs first (CCNet normalizes before hashing; two byte-different
+    encodings of the same rendered text must dedup together). The
+    synthetic corpus is ASCII, so the entry prepends a DECOMPOSED
+    'Cafe'+U+0301 prefix to every doc — NFC composes it to U+00E9,
+    shrinking the codepoint count, which makes the nfc_chars/raw_chars
+    columns (and the full normalized text under the hash) an actual
+    NFC test rather than an identity pass.
+
+    Spark has no unicode-normalization builtin, so the Spark side is
+    a vectorized pandas UDF over Python's unicodedata (the documented
+    use-Python-only-where-builtins-can't rule); control-strip and
+    whitespace-collapse stay JVM-side regexp_replace. Oracle: DuckDB's
+    utf8proc-backed nfc_normalize — the hash gate therefore pins that
+    CPython's and utf8proc's NFC agree on the exercised text. Order of
+    ops (strip controls -> collapse ws -> NFC) is identical in both
+    dialects."""
+    if d == SPARK:
+        raise NotImplementedError("builder-backed; SQL form unused")
+    return """
+SELECT doc_id,
+  nfc_normalize(regexp_replace(regexp_replace(
+      'Cafe' || chr(769) || ' ' || text,
+      '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text,
+  CAST(length(nfc_normalize('Cafe' || chr(769) || ' ' || text))
+       AS BIGINT) AS nfc_chars,
+  CAST(length('Cafe' || chr(769) || ' ' || text) AS BIGINT) AS raw_chars
+FROM documents
+"""
+
+
+def _build_text_normalize(spark, sf_dir: str | None = None):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _nfc_series(col):
+        import unicodedata
+
+        return col.map(
+            lambda x: None if x is None
+            else unicodedata.normalize("NFC", x)
+        )
+
+    # lambda form: queries.py uses `from __future__ import annotations`,
+    # which stringifies type hints and breaks pandas_udf's
+    # annotation-based signature inference
+    nfc = F.pandas_udf(_nfc_series, T.StringType())
+
+    # DECOMPOSED prefix ('e' + combining acute U+0301), matching the
+    # oracle's 'Cafe' || chr(769) — NFC composes it to one U+00E9
+    aug = F.concat(F.lit("Café "), F.col("text"))
+    cleaned = F.regexp_replace(
+        F.regexp_replace(aug, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "
+    )
+    return spark.table("documents").select(
+        "doc_id",
+        nfc(cleaned).alias("norm_text"),
+        F.length(nfc(aug)).cast("long").alias("nfc_chars"),
+        F.length(aug).cast("long").alias("raw_chars"),
+    )
+
+
 @q("text_fingerprint")
 def _fingerprint(d: str) -> str:
     norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')" if d == SPARK \
@@ -3246,6 +3311,7 @@ SPARK_BUILDERS: dict[str, Callable] = {
     "dedup_minhash_auto": _build_minhash_auto_df,
     "dedup_minhash_recall_held": _build_minhash_recall_held_df,
     "cross_source_contamination": _build_contamination,
+    "text_normalize": _build_text_normalize,
 }
 
 # ======================================================= remote-source queries
@@ -4753,6 +4819,7 @@ _GATE_WINDOW = [
     "multimodal_jpeg_features",
     "multimodal_features",
     "multimodal_video_frames",
+    "text_normalize",
     # -- (b) staleness rotation: the r6/r7-vintage cohort (oldest in
     #    GATE_AGE.md) plus the oldest r8 entries to fill 50
     "events_type_pivot",
@@ -4792,7 +4859,6 @@ _GATE_WINDOW = [
     "dd_array_contains_all",
     "dd_array_contains_all_fn",
     "bloom_no_false_negatives",
-    "dd_search_marker",
 ]
 
 

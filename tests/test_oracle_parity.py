@@ -96,6 +96,7 @@ def test_gate_window_covers_every_family():
         "multimodal_jpeg_features",     # jpeg.py fuzz hardening
         "multimodal_features",          # jpeg.py fuzz hardening
         "multimodal_video_frames",      # jpeg.py fuzz hardening
+        "text_normalize",               # NEW: NFC normalization
     }
     rotation = {
         # the last r6-vintage entry
@@ -120,7 +121,6 @@ def test_gate_window_covers_every_family():
         "lineitem_projection", "lineitem_range_filter", "null_laws",
         "orders_set_ops", "try_cast_matrix", "dd_array_contains_all",
         "dd_array_contains_all_fn", "bloom_no_false_negatives",
-        "dd_search_marker",
     }
     in_window = set(window)
     for group, names in [
