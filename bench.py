@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_token_stats",
     "text_fingerprint",
+    "text_normalize",
     "corpus_top_terms",
     "text_tfidf_topk",
     "text_repetition",

@@ -2499,13 +2499,19 @@ def _build_text_normalize(spark, sf_dir: str | None = None):
     # annotation-based signature inference
     nfc = F.pandas_udf(_nfc_series, T.StringType())
 
+    # NO _wide_docs repartition here, measured: NFC over the 5k-doc
+    # fixture is light enough that the shuffle + 64 tiny Python-worker
+    # batches cost MORE than the single task (0.40s -> 1.02s at sf0.1);
+    # real corpora arrive multi-partition from the scan anyway
+    docs = spark.table("documents")
+
     # DECOMPOSED prefix ('e' + combining acute U+0301), matching the
     # oracle's 'Cafe' || chr(769) — NFC composes it to one U+00E9
     aug = F.concat(F.lit("Café "), F.col("text"))
     cleaned = F.regexp_replace(
         F.regexp_replace(aug, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "
     )
-    return spark.table("documents").select(
+    return docs.select(
         "doc_id",
         nfc(cleaned).alias("norm_text"),
         F.length(nfc(aug)).cast("long").alias("nfc_chars"),
