@@ -4806,15 +4806,31 @@ def oracle_sql_for(name: str) -> str:
 # against an un-rederived window: the moment the driver lands
 # CORRECTNESS_r10, the suite fails until round 11 re-derives this list.
 
-_GATE_WINDOW_ROUND = 10
+_GATE_WINDOW_ROUND = 11
 
 _GATE_WINDOW = [
-    # -- (a) changed or new in round 10 (torn-stream EOS guard on every
-    #    remote reader; /v1/plan EXPLAIN-estimate sizing; jpeg.py
-    #    fuzz-hardening; the new chunked-contamination entry; the r9
-    #    red gate itself)
+    # -- (a) changed or new in round 11:
+    #    * remote_scan_dsv2_split_dec — the twice-red gate, rebuilt as
+    #      a forensic self-differential (complete/split/raw paths under
+    #      one hash + committed value artifact, r10 verdict #1);
+    #    * the three de-vacuumed gates (r10 verdict #3):
+    #      ngram_jaccard_sampled / embed_cosine_neardup /
+    #      embed_neardup_lsh now return rows at gate scale;
+    #    * jpeg.py SOF dimension cap + grayscale/4:2:2 gated fixtures
+    #      (advice #1, verdict #7) — multimodal_jpeg_features,
+    #      multimodal_video_frames, multimodal_features;
+    #    * text_normalize — decomposed-prefix literal made explicit
+    #      (advice #5, value-neutral);
+    #    * local_server.py plan-estimate hard-fail + truncation writer
+    #      detach (advice #3/#4) touch every remote entry.
     "remote_scan_dsv2_split_dec",
-    "cross_source_contamination_chunked",
+    "ngram_jaccard_sampled",
+    "embed_cosine_neardup",
+    "embed_neardup_lsh",
+    "multimodal_jpeg_features",
+    "multimodal_video_frames",
+    "multimodal_features",
+    "text_normalize",
     "remote_scan_dsv2",
     "remote_scan_split_agg",
     "remote_scan_failover",
@@ -4822,49 +4838,47 @@ _GATE_WINDOW = [
     "remote_scan_filter_pushdown",
     "remote_agg_pushdown",
     "remote_login_scan",
-    "multimodal_jpeg_features",
-    "multimodal_features",
-    "multimodal_video_frames",
-    "text_normalize",
-    # -- (b) staleness rotation: the r6/r7-vintage cohort (oldest in
-    #    GATE_AGE.md) plus the oldest r8 entries to fill 50
-    "events_type_pivot",
-    "lineitem_count",
-    "dedup_exact",
-    "dedup_components",
-    "dedup_simhash",
-    "ngram_jaccard_sampled",
-    "embed_cosine_neardup",
-    "embed_neardup_lsh",
-    "text_fingerprint",
-    "docs_length_quantiles",
-    "docs_shard_assignment",
-    "docs_stratified_sample",
-    "pack_sequences",
-    "text_redact_pii",
-    "events_activity_range_join",
-    "skew_salted_join_agg",
-    "multimodal_media_keys",
-    "q1_pricing_summary",
-    "orders_running_totals",
-    "q3_shipping_priority",
-    "q5_regional_volume",
-    "q10_returned_items",
-    "q19_disjunctive_join",
-    "dd_version",
-    "multimodal_png_features",
-    "dedup_minhash_auto",
-    "dedup_minhash_recall_held",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "lineitem_projection",
-    "lineitem_range_filter",
-    "null_laws",
-    "orders_set_ops",
-    "try_cast_matrix",
-    "dd_array_contains_all",
-    "dd_array_contains_all_fn",
-    "bloom_no_false_negatives",
+    # -- (b) staleness rotation: the ENTIRE r8-vintage cohort (31
+    #    entries — the oldest rows in GATE_AGE.md; after this round no
+    #    entry's last-green trails by more than 2)
+    "corpus_top_terms",
+    "cross_source_contamination",
+    "customer_orders_left_join",
+    "dd_search_marker",
+    "dedup_canonical_corpus",
+    "dedup_minhash_lsh",
+    "events_hourly_rollup",
+    "events_orders_asof_join",
+    "join_region_rollup",
+    "multimodal_video_metadata",
+    "orders_global_aggs",
+    "orders_group_agg",
+    "orders_rollup",
+    "pipeline_clean_corpus",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q22_sales_opportunity",
+    "q6_revenue",
+    "q9_product_profit",
+    "string_functions",
+    "supplier_nation_join",
+    "text_langid",
+    "text_perplexity",
+    "text_quality",
+    "text_repetition",
+    "text_tfidf_topk",
+    "text_token_stats",
+    # -- (c) r9-vintage fill (4 slots): the three streaming screens —
+    #    streaming/dedup.py is touched this round (legacy-index
+    #    query-only load, advice #2) — plus bucketed_join_rollup
+    "dedup_stream_screen",
+    "dedup_substring_screen",
+    "embed_semantic_screen",
+    "bucketed_join_rollup",
 ]
 
 

@@ -67,16 +67,17 @@ def test_prepare_pins_utc_session_timezone(spark):
 
 
 def test_gate_window_covers_every_family():
-    """Round-10 window contract (the driver gates the FIRST 50 catalog
-    entries): every entry round 10 changes or adds — the torn-stream
-    EOS guard touches every remote reader path, /v1/plan sizing
-    touches every split-planned entry, jpeg.py hardening touches the
-    image-decode entries, plus the new chunked-contamination entry and
-    the r9 red gate itself — then the staleness rotation: the last
-    r6-vintage entry (events_type_pivot, displaced twice, age bound
-    hits 4 at r10+1) and the full r7 cohort, with the oldest r8
-    entries filling to 50. Every excluded entry carries an r8/r9-green
-    verdict over an implementation untouched since (GATE_AGE.md)."""
+    """Round-11 window contract (the driver gates the FIRST 50 catalog
+    entries): every entry round 11 changes — the forensic rebuild of
+    the twice-red split-decimal gate, the three de-vacuumed 0-row
+    gates, the jpeg.py SOF cap + grayscale/4:2:2 fixtures, the
+    text_normalize literal hardening, and the local_server.py advice
+    fixes that touch every remote entry — then the staleness rotation:
+    the ENTIRE r8-vintage cohort (oldest in GATE_AGE.md), with the
+    three streaming screens (streaming/dedup.py touched this round)
+    plus bucketed_join_rollup filling to 50. Every excluded entry
+    carries an r9/r10-green verdict over an implementation untouched
+    since (GATE_AGE.md)."""
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
     window = Q._GATE_WINDOW
@@ -84,43 +85,41 @@ def test_gate_window_covers_every_family():
     assert len(set(window)) == 50
     assert list(Q.CATALOG)[:50] == window
     changed_or_new = {
-        "remote_scan_dsv2_split_dec",   # r9 red gate + EOS guard
-        "cross_source_contamination_chunked",  # NEW: >62-source path
-        "remote_scan_dsv2",             # shim reader EOS guard
-        "remote_scan_split_agg",        # python reader EOS guard
-        "remote_scan_failover",         # NEW: dead-replica rotation
-        "remote_splits_plan",           # /v1/plan EXPLAIN sizing
-        "remote_scan_filter_pushdown",  # python reader EOS guard
-        "remote_agg_pushdown",          # python reader EOS guard
-        "remote_login_scan",            # python reader EOS guard
-        "multimodal_jpeg_features",     # jpeg.py fuzz hardening
-        "multimodal_features",          # jpeg.py fuzz hardening
-        "multimodal_video_frames",      # jpeg.py fuzz hardening
-        "text_normalize",               # NEW: NFC normalization
+        "remote_scan_dsv2_split_dec",   # forensic self-differential
+        "ngram_jaccard_sampled",        # de-vacuumed (r10 verdict #3)
+        "embed_cosine_neardup",         # de-vacuumed (r10 verdict #3)
+        "embed_neardup_lsh",            # de-vacuumed (r10 verdict #3)
+        "multimodal_jpeg_features",     # SOF cap + gray/422 fixtures
+        "multimodal_video_frames",      # jpeg.py SOF cap
+        "multimodal_features",          # jpeg.py SOF cap (decode path)
+        "text_normalize",               # explicit decomposed literal
+        "remote_scan_dsv2",             # local_server advice fixes
+        "remote_scan_split_agg",        # local_server advice fixes
+        "remote_scan_failover",         # local_server advice fixes
+        "remote_splits_plan",           # /v1/plan hard-fail on no EC
+        "remote_scan_filter_pushdown",  # local_server advice fixes
+        "remote_agg_pushdown",          # local_server advice fixes
+        "remote_login_scan",            # local_server advice fixes
     }
     rotation = {
-        # the last r6-vintage entry
-        "events_type_pivot",
-        # the r7 cohort (GATE_AGE.md, last green r7) minus entries
-        # already in changed_or_new
-        "lineitem_count", "dedup_exact", "dedup_components",
-        "dedup_simhash", "ngram_jaccard_sampled",
-        "embed_cosine_neardup", "embed_neardup_lsh",
-        "text_fingerprint", "docs_length_quantiles",
-        "docs_shard_assignment", "docs_stratified_sample",
-        "pack_sequences", "text_redact_pii",
-        "events_activity_range_join", "skew_salted_join_agg",
-        "multimodal_media_keys", "q1_pricing_summary",
-        "orders_running_totals", "q3_shipping_priority",
-        "q5_regional_volume", "q10_returned_items",
-        "q19_disjunctive_join", "dd_version",
-        "multimodal_png_features", "dedup_minhash_auto",
-        "dedup_minhash_recall_held", "q7_volume_shipping",
-        "q8_market_share",
-        # oldest r8 entries filling to 50
-        "lineitem_projection", "lineitem_range_filter", "null_laws",
-        "orders_set_ops", "try_cast_matrix", "dd_array_contains_all",
-        "dd_array_contains_all_fn", "bloom_no_false_negatives",
+        # the full r8-vintage cohort (GATE_AGE.md, last green r8)
+        "corpus_top_terms", "cross_source_contamination",
+        "customer_orders_left_join", "dd_search_marker",
+        "dedup_canonical_corpus", "dedup_minhash_lsh",
+        "events_hourly_rollup", "events_orders_asof_join",
+        "join_region_rollup", "multimodal_video_metadata",
+        "orders_global_aggs", "orders_group_agg", "orders_rollup",
+        "pipeline_clean_corpus", "q12_priority_shipping",
+        "q13_customer_distribution", "q14_promo_effect",
+        "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
+        "q22_sales_opportunity", "q6_revenue", "q9_product_profit",
+        "string_functions", "supplier_nation_join", "text_langid",
+        "text_perplexity", "text_quality", "text_repetition",
+        "text_tfidf_topk", "text_token_stats",
+        # r9-vintage fill: the streaming screens (streaming/dedup.py
+        # legacy-index load change this round) + bucketed_join_rollup
+        "dedup_stream_screen", "dedup_substring_screen",
+        "embed_semantic_screen", "bucketed_join_rollup",
     }
     in_window = set(window)
     for group, names in [
