@@ -1867,8 +1867,14 @@ WHERE {ham} <= {HAMMING_MAX}
 
 @q("ngram_jaccard_sampled")
 def _ngram_jaccard(d: str) -> str:
-    # exact n-gram Jaccard against a 2% doc sample — the explicit
-    # brute-force baseline (both engines run the same plan shape).
+    # exact n-gram Jaccard for a 10% probe sample of docs against the
+    # whole corpus — the explicit brute-force baseline (both engines
+    # run the same plan shape). Probe fraction (doc_id % 10) and
+    # threshold (J >= 1/5, exact integer arithmetic — no float
+    # boundary) are set so the gated result is NON-EMPTY at every gate
+    # scale: sf0.001 -> 3 pairs, sf0.01 -> 8 pairs (r10 verdict #3 —
+    # the previous 2%-sample/J>=1/3 parameterization returned 0 rows
+    # on both sides in every driver round since r2, proving nothing).
     sh = D.shingles("text", SHINGLE_N, d)
     inter = D.lsize(D.lintersect("a.sh", "b.sh", d), d)
     la, lb = D.lsize("a.sh", d), D.lsize("b.sh", d)
@@ -1877,7 +1883,7 @@ def _ngram_jaccard(d: str) -> str:
 WITH docs AS (SELECT doc_id, lang, {sh} AS sh FROM documents)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
 FROM docs a JOIN docs b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE a.doc_id % 50 = 0 AND 2 * {inter} >= ({la} + {lb} - {inter})
+WHERE a.doc_id % 10 = 0 AND 5 * {inter} >= ({la} + {lb} - {inter})
 """
 
 
@@ -2109,6 +2115,19 @@ def _build_ann_ivfpq_recall(spark, sf_dir: str):
     )
 
 
+# Near-dup cosine threshold for the GATED embedding entries. The
+# production default stays 0.99 (operators/similarity.py, pytest-
+# verified with planted pairs); the corpus however contains no pair
+# above cos ~0.51 (max same-label cos: 0.475 at sf0.01, 0.449 at
+# sf0.001), so a 0.99 gate returned 0 rows on both sides in every
+# driver round since r2 — vacuous (r10 verdict #3). 0.402 sits in the
+# corpus's top-pair band (sf0.01: 5 pairs, nearest excluded 0.3983;
+# sf0.001: 4 pairs, nearest excluded 0.40104) with both engines
+# computing bit-identical double sims (same fold order), so the
+# threshold comparison is deterministic.
+_EMBED_NEARDUP_T = 0.402
+
+
 @q("embed_cosine_neardup")
 def _embed_neardup(d: str) -> str:
     dot = _dot("a.embedding", "b.embedding", d)
@@ -2116,7 +2135,7 @@ def _embed_neardup(d: str) -> str:
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot} AS sim
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {dot} >= 0.99
+WHERE {dot} >= {_EMBED_NEARDUP_T}
 """
 
 
@@ -2507,7 +2526,12 @@ def _build_text_normalize(spark, sf_dir: str | None = None):
 
     # DECOMPOSED prefix ('e' + combining acute U+0301), matching the
     # oracle's 'Cafe' || chr(769) — NFC composes it to one U+00E9
-    aug = F.concat(F.lit("Café "), F.col("text"))
+    # Constructed EXPLICITLY via chr(0x301) (r10 advice #5): as a
+    # source literal the decomposition is invisible ('Cafe'+U+0301
+    # renders identically to composed U+00E9), so any editor or
+    # formatter that NFC-normalizes source files would silently
+    # flip it and turn the gate red with a confusing count mismatch.
+    aug = F.concat(F.lit("Cafe" + chr(0x301) + " "), F.col("text"))
     cleaned = F.regexp_replace(
         F.regexp_replace(aug, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "
     )
@@ -3567,14 +3591,26 @@ def _remote_scan_dsv2_split_dec(d: str) -> str:
     split scan pushes PARTIAL decimal sums per split — the shim emits
     them as TRY_CAST to Spark's widened DECIMAL(p+10, s) result type
     (scala/DdArrowShim.scala:359-402: TRY_CAST mirrors Spark's
-    non-ANSI null-on-overflow), Spark merges partials. The pytest
-    plan-asserted twin (tests/test_dsv2_shim.py case 6d) pinned the
-    plan shape; this entry pins the VALUES against the direct-parquet
-    DuckDB oracle. Reference parity: the reference's aggregation
-    pushdown template, src/optimizer/aggregation_pushdown.cpp."""
+    non-ANSI null-on-overflow), Spark merges partials.
+
+    FORENSIC FORM (r10 verdict #1: hash-red in the driver in r9 AND
+    r10 while 8/8 local reproductions pass — stop stress-testing
+    blind): the entry now runs THREE independent routes to the same
+    aggregate under one hash — `complete` (non-split scan, the server
+    computes the final aggregate), `split` (the suspect path: per-
+    split decimal partials merged by Spark), `raw` (split scan
+    streaming raw rows, Spark aggregates — no aggregation pushdown at
+    all) — and the builder collects the values EAGERLY, writes them
+    plus per-split partial sums, the in-process direct-parquet oracle
+    answer, and per-path match booleans to ARTIFACTS/split_dec_r11.json
+    (the driver commits uncommitted files at round end, so a red
+    verdict now ships the exact driver-environment values), then
+    returns the collected rows as a literal DataFrame so the hashed
+    values ARE the artifact values. Reference contract: pushed ≡ local,
+    src/optimizer/aggregation_pushdown.cpp:247-418."""
     if d == SPARK:
         raise NotImplementedError("builder-backed; SQL form unused")
-    return (
+    base = (
         "SELECT l_returnflag,"
         " CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))"
         "   AS DECIMAL(38,2)) AS sum_qty,"
@@ -3582,12 +3618,70 @@ def _remote_scan_dsv2_split_dec(d: str) -> str:
         " FROM lineitem"
         " GROUP BY l_returnflag"
     )
+    return (
+        f"SELECT 'complete' AS path, * FROM ({base}) c"
+        f" UNION ALL SELECT 'split' AS path, * FROM ({base}) s"
+        f" UNION ALL SELECT 'raw' AS path, * FROM ({base}) r"
+    )
+
+
+_SPLIT_DEC_QUERY = (
+    "SELECT l_returnflag,"
+    " CAST(l_quantity AS DECIMAL(12,2)) AS qd FROM lineitem"
+)
+_SPLIT_DEC_SIZE = 64 * 4000
+
+
+def _split_dec_diagnostics(url: str) -> dict:
+    """Mirror the shim's split planning + per-split partial-aggregate
+    wrap (scala/DdArrowShim.scala build()/planInputPartitions) over
+    plain HTTP, so the artifact records every split's slice SQL, row
+    count, and decimal partial sum independently of Spark."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    plan_sql = (
+        'SELECT "l_returnflag", "qd" FROM'
+        f" ({_SPLIT_DEC_QUERY}) __dd_t"
+    )
+    req = urllib.request.Request(
+        f"{url}/v1/plan?q=" + urllib.parse.quote(plan_sql),
+        headers={"x-dd-split-size": str(_SPLIT_DEC_SIZE)},
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        splits = _json.loads(resp.read().decode())
+    out = []
+    for s in splits:
+        sq = s["descriptor"]["statementHandle"]["query"]
+        wrapped = (
+            'SELECT "l_returnflag" AS g_0,'
+            ' TRY_CAST(sum("qd") AS DECIMAL(22,2)) AS a_0,'
+            " CAST(count(*) AS BIGINT) AS a_1"
+            f" FROM ({sq}) __dd_s GROUP BY \"l_returnflag\""
+        )
+        with urllib.request.urlopen(
+            f"{url}/v1/query?q=" + urllib.parse.quote(wrapped) + "&id=0",
+            timeout=120,
+        ) as resp:
+            tbl = pa.ipc.open_stream(resp).read_all()
+        rows = sorted(
+            (str(f), str(v), int(n))
+            for f, v, n in zip(*(c.to_pylist() for c in tbl.columns))
+        )
+        out.append({"query": sq, "partials": rows})
+    return {"n_splits": len(splits), "splits": out}
 
 
 def _build_remote_scan_dsv2_split_dec(spark, sf_dir: str):
+    import json as _json
     import os
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     jar = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -3598,33 +3692,124 @@ def _build_remote_scan_dsv2_split_dec(spark, sf_dir: str):
         spark.sql(f"ADD JAR {jar}")
         _DSV2_JAR_ADDED.add(id(spark))
     srv = _server_for(sf_dir)
-    scan = (
-        spark.read.format("dd_arrow_dsv2")
-        .option("url", srv.url)
-        .option(
-            "query",
-            "SELECT l_returnflag,"
-            " CAST(l_quantity AS DECIMAL(12,2)) AS qd FROM lineitem",
+
+    def scan(split: bool):
+        rd = (
+            spark.read.format("dd_arrow_dsv2")
+            .option("url", srv.url)
+            .option("query", _SPLIT_DEC_QUERY)
         )
-        .option("split", "true")
-        .option("split_size", str(64 * 4000))
-        .load()
-    )
-    df = (
-        scan.groupBy("l_returnflag")
-        .agg(
-            F.sum("qd").cast("decimal(38,2)").alias("sum_qty"),
+        if split:
+            rd = rd.option("split", "true").option(
+                "split_size", str(_SPLIT_DEC_SIZE)
+            )
+        return rd.load()
+
+    def agg(df, qd_col):
+        return df.groupBy("l_returnflag").agg(
+            F.sum(qd_col).cast("decimal(38,2)").alias("sum_qty"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
+
+    complete = agg(scan(split=False), F.col("qd"))
+    plan_c = complete._jdf.queryExecution().executedPlan().toString()
+    # non-split: the server computes the FINAL aggregate
+    assert "PushedAggregation: true" in plan_c, plan_c
+    assert "HashAggregate" not in plan_c, plan_c
+    split = agg(scan(split=True), F.col("qd"))
+    plan_s = split._jdf.queryExecution().executedPlan().toString()
+    # split: decimal partials pushed per split, merged in a Spark
+    # final HashAggregate (never a COMPLETE server agg in split mode)
+    assert "PushedAggregation: true" in plan_s, plan_s
+    assert "HashAggregate" in plan_s, plan_s
+    assert "RemoteSql" in plan_s, plan_s
+    # raw: sum over a computed expression is not pushable, so the
+    # splits stream raw (l_returnflag, qd) rows and Spark aggregates
+    raw = agg(
+        scan(split=True),
+        F.col("qd") + F.lit("0.00").cast("decimal(12,2)"),
     )
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    # the contracts: decimal partials pushed per split, merged in a
-    # Spark final HashAggregate (never a COMPLETE server aggregate in
-    # split mode)
-    assert "PushedAggregation: true" in plan, plan
-    assert "HashAggregate" in plan, plan
-    assert "RemoteSql" in plan, plan
-    return df
+    plan_r = raw._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: false" in plan_r, plan_r
+    assert "HashAggregate" in plan_r, plan_r
+
+    def rows_of(df):
+        return sorted(
+            (str(r["l_returnflag"]), str(r["sum_qty"]), int(r["n"]))
+            for r in df.collect()
+        )
+
+    collected = {
+        "complete": rows_of(complete),
+        "split": rows_of(split),
+        "raw": rows_of(raw),
+    }
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.sql(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'lineitem.parquet')}')"
+    )
+    oracle_rows = sorted(
+        (str(f), str(v), int(n))
+        for f, v, n in con.sql(
+            "SELECT l_returnflag,"
+            " CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))"
+            " AS DECIMAL(38,2)), count(*) FROM lineitem"
+            " GROUP BY l_returnflag"
+        ).fetchall()
+    )
+    diag = _split_dec_diagnostics(srv.url)
+    record = {
+        "collected": collected,
+        "oracle_direct_parquet": oracle_rows,
+        "matches": {
+            p: collected[p] == oracle_rows for p in collected
+        },
+        "split_diagnostics": diag,
+        "env": {
+            "pid": os.getpid(),
+            "cpus": os.cpu_count(),
+            "master": spark.sparkContext.master,
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+            "duckdb": _dd.__version__,
+        },
+    }
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    art_dir = os.path.join(repo, "ARTIFACTS")
+    path = os.path.join(art_dir, "split_dec_r11.json")
+    try:
+        os.makedirs(art_dir, exist_ok=True)
+        existing = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = _json.load(f)
+        existing[os.path.basename(os.path.normpath(sf_dir))] = record
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(existing, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # forensics are best-effort; never fail the gate on IO
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("sum_qty", T.DecimalType(38, 2)),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    from decimal import Decimal
+
+    data = [
+        (p, f, Decimal(v), n)
+        for p in ("complete", "split", "raw")
+        for (f, v, n) in collected[p]
+    ]
+    return spark.createDataFrame(data, schema)
 
 
 def _zorder_sql(d: str, cols_ranges, bits: int) -> str:
@@ -3842,14 +4027,28 @@ def _build_remote_splits(spark, sf_dir: str):
 def _build_embed_neardup_lsh(spark, sf_dir: str):
     from ..operators.similarity import embed_neardup_pairs_lsh
 
-    return embed_neardup_pairs_lsh(spark.table("embeddings"))
+    # Gate-scale parameterization (r10 verdict #3 — non-vacuous): the
+    # gate threshold is the corpus's top-pair band (_EMBED_NEARDUP_T
+    # comment above), and at cos=0.402 the hyperplane collision
+    # probability per bit is p = 1 - acos(0.402)/pi ~ 0.632, so 2-bit
+    # bands x 32 give a per-pair candidate-miss bound of
+    # (1 - p^2)^32 ~ 8e-8 — recall is certain for the seeded planes
+    # (verified below equal to brute force at sf0.001 and sf0.01).
+    # Wider bands trade candidate volume for recall; the production
+    # default (threshold 0.99, 8x8-bit bands) keeps the selective
+    # banding and is pytest-verified with planted pairs
+    # (tests/test_similarity.py).
+    return embed_neardup_pairs_lsh(
+        spark.table("embeddings"), threshold=_EMBED_NEARDUP_T, bands=32
+    )
 
 
 @q("embed_neardup_lsh")
 def _embed_neardup_lsh_q(d: str) -> str:
     """Sign-LSH near-dup scale path. Oracle = the brute-force pair SQL:
     the LSH result is exact-verified, so it can only MISS pairs (never
-    add), and at cos>=0.99 the per-pair miss probability is ~8.5e-5."""
+    add); the gate-scale banding makes a miss ~8e-8 per pair and the
+    seeded planes are deterministic, so LSH == brute force exactly."""
     return _embed_neardup(d)
 
 
@@ -4880,6 +5079,21 @@ _GATE_WINDOW = [
     "embed_semantic_screen",
     "bucketed_join_rollup",
 ]
+
+
+# Vacuous-gate guard (r10 verdict #3): an empty==empty hash proves
+# only that both engines agree the result is empty — a thresholding or
+# join-predicate bug that empties BOTH sides (the SQL is generated
+# from one shared definition) would pass undetected forever. Catalog
+# contract: NO gated entry may return an empty result at any gate
+# scale (sf0.001 / sf0.01). tools/check_parity.py fails any entry
+# returning 0 Spark rows unless it is listed here with a reason.
+# Audit of CORRECTNESS_r01..r10 last-green gated row counts found
+# exactly three 0-row entries (ngram_jaccard_sampled,
+# embed_cosine_neardup, embed_neardup_lsh — all re-parameterized
+# non-empty this round); every 1-row entry is a genuine single-row
+# value gate (global aggregates, law/recall contracts), not vacuous.
+GATE_MAY_BE_EMPTY: frozenset = frozenset()
 
 
 def _reorder_catalog() -> None:

@@ -187,3 +187,17 @@ def test_gate_age_staleness_bound():
         f"entries last green more than 3 rounds ago (latest r{latest}):"
         f" {stale} — rotate them into _GATE_WINDOW"
     )
+
+
+def test_vacuous_gate_registry_empty_and_devacuumed():
+    """r10 verdict #3: the three 0-row gates were re-parameterized to
+    return rows at gate scale, and the catalog-wide contract is that
+    NO entry may gate an empty result (check_parity fails vacuous
+    empties). GATE_MAY_BE_EMPTY must stay empty unless an entry gains
+    a documented empty-by-design gate."""
+    from dazzleduck_sql_duckdb_spark.plans import queries as Q
+
+    assert Q.GATE_MAY_BE_EMPTY == frozenset()
+    for name in ("ngram_jaccard_sampled", "embed_cosine_neardup",
+                 "embed_neardup_lsh"):
+        assert name in Q._GATE_WINDOW

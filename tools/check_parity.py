@@ -48,6 +48,12 @@ def duck_connect(sf_dir: str):
     return con
 
 
+def _may_be_empty() -> frozenset:
+    from dazzleduck_sql_duckdb_spark.plans import queries as Q
+
+    return Q.GATE_MAY_BE_EMPTY
+
+
 def run_parity(spark, sf_dir: str, only: set[str] | None = None,
                verbose: bool = True):
     """Run the driver's gate; return (n_pass, n_fail, failures list)."""
@@ -74,6 +80,15 @@ def run_parity(spark, sf_dir: str, only: set[str] | None = None,
         except Exception as e:
             log(f"FAIL {name}: SPARK ERROR {str(e)[:300]}")
             failures.append((name, f"spark error: {e}"))
+            n_fail += 1
+            continue
+        if not srows and name not in _may_be_empty():
+            # vacuous-gate guard (r10 verdict #3): empty==empty hashes
+            # verify nothing; an entry whose gate is empty must either
+            # be re-parameterized or explicitly registered
+            log(f"FAIL {name}: VACUOUS (0 spark rows — "
+                "not in GATE_MAY_BE_EMPTY)")
+            failures.append((name, "vacuous: 0 spark rows"))
             n_fail += 1
             continue
         if name not in oracles:
