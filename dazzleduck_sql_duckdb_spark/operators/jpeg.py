@@ -266,6 +266,12 @@ def _unstuff(scan: bytes) -> tuple[bytes, list[int]]:
     return bytes(out), starts
 
 
+# Frame-size cap for decode (r10 advice #1): 16M pixels (4096x4096).
+# Tunable by corpora with known-larger frames; the point is that the
+# bound is checked from the ~10-byte SOF header before any allocation.
+_MAX_DECODE_PIXELS = 16_000_000
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG -> uint8 (h, w) grayscale or (h, w, 3) RGB.
 
@@ -279,10 +285,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     out-of-range table ids surface as the typed error, never as a
     stray struct.error/IndexError/KeyError and never as garbage
     pixels of the wrong shape. A malformed web corpus must fail the
-    row, not poison the batch."""
+    row, not poison the batch. MemoryError/OverflowError are in the
+    caught tuple as a last line of defense (r10 advice #1): the
+    _MAX_DECODE_PIXELS cap below rejects oversized frames before any
+    allocation, but an allocation that still fails must surface as
+    the typed row error, not OOM-kill the executor's batch."""
     try:
         return _decode_jpeg_impl(payload)
-    except (struct.error, IndexError, KeyError) as e:
+    except (struct.error, IndexError, KeyError,
+            MemoryError, OverflowError) as e:
         raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
 
 
@@ -353,6 +364,18 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                         f"{sh}x{sv} (1..2 per axis)"
                     )
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
+            # Bound the decode footprint BEFORE any allocation (r10
+            # advice #1): a <100-byte crafted header (65535x65535, 3
+            # components) would otherwise request ~100+ GB across
+            # zz_all + the per-component planes — np.zeros can raise
+            # MemoryError or the cgroup can OOM-kill the executor on
+            # one row. The coefficient store costs ~24 bytes/pixel at
+            # 4:4:4, so the cap bounds decode memory to ~400 MB.
+            if h * w > _MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"corrupt/oversized JPEG: frame {w}x{h} exceeds "
+                    f"the {_MAX_DECODE_PIXELS}-pixel decode cap"
+                )
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):

@@ -142,22 +142,34 @@ class _Handler(BaseHTTPRequestHandler):
             # marker; streams it cannot shorten (schema probes, empty
             # results) are written whole so only data fetches tear
             do_trunc = trunc is not None and len(batches) > trunc
-            writer = pa.ipc.new_stream(sink, tbl.schema, options=opts)
-            for batch in batches[: trunc if do_trunc else None]:
-                writer.write_batch(batch)
+            if do_trunc:
+                # Serialize the torn prefix to MEMORY, close the
+                # writer there, and copy the bytes minus the trailing
+                # 8-byte EOS marker into the response (r10 advice #4:
+                # the old path left an unclosed writer on the socket
+                # sink — a GC finalizer that flushed anything would
+                # emit bytes outside the chunked framing). The wire
+                # bytes are identical: schema message + kept batch
+                # messages, no EOS, then the terminal HTTP chunk.
+                buf = pa.BufferOutputStream()
+                writer = pa.ipc.new_stream(buf, tbl.schema, options=opts)
+                for batch in batches[:trunc]:
+                    writer.write_batch(batch)
+                writer.close()
+                sink.write(buf.getvalue().to_pybytes()[:-8])
                 sink.flush()
-                if self.server.throttle_s:
-                    # simulate a slow producer so tests can kill a
-                    # task while its reader blocks between batches
-                    import time
+            else:
+                writer = pa.ipc.new_stream(sink, tbl.schema, options=opts)
+                for batch in batches:
+                    writer.write_batch(batch)
+                    sink.flush()
+                    if self.server.throttle_s:
+                        # simulate a slow producer so tests can kill a
+                        # task while its reader blocks between batches
+                        import time
 
-                    time.sleep(self.server.throttle_s)
-            if not do_trunc:
-                # normal path: close() writes the IPC EOS marker.
-                # Truncation skips it — the HTTP body still ends with
-                # a valid terminating chunk, simulating a torn stream
-                # cut at a batch boundary that Arrow readers would
-                # otherwise accept as a silently-short result.
+                        time.sleep(self.server.throttle_s)
+                # close() writes the IPC EOS marker
                 writer.close()
             self.wfile.write(b"0\r\n\r\n")
         except (BrokenPipeError, ConnectionResetError):
@@ -197,7 +209,15 @@ class _Handler(BaseHTTPRequestHandler):
                                       " AS _q").fetchall()
             )
             ecs = _re.findall(r"EC:\s*(\d+)", txt)
-            nrows = int(ecs[0]) if ecs else 0
+            if not ecs:
+                # hard-fail rather than default to 0 (r10 advice #3):
+                # a DuckDB EXPLAIN format change would otherwise
+                # silently collapse every plan to a single split — a
+                # quiet planner degradation instead of a loud error
+                return self._deny(
+                    400, "plan error: no EC estimate in EXPLAIN output"
+                )
+            nrows = int(ecs[0])
         except Exception as e:
             return self._deny(400, f"plan error: {e}")
         est_bytes = nrows * 64

@@ -122,7 +122,8 @@ class MinHashIndex:
     def __init__(self, buckets: DataFrame, detail: DataFrame,
                  a: list[int], b: list[int], shingle_n: int, bands: int,
                  max_bucket_docs: int | None = None,
-                 capped: DataFrame | None = None):
+                 capped: DataFrame | None = None,
+                 query_only: bool = False):
         self.buckets = buckets
         self.detail = detail
         self.a = list(a)
@@ -131,6 +132,12 @@ class MinHashIndex:
         self.bands = bands
         self.max_bucket_docs = max_bucket_docs
         self.capped = capped
+        # legacy persisted indexes (pre-cap-record meta.json) load in
+        # a QUERY-ONLY state (r10 advice #2): screening against them
+        # is safe — the resurrect-dropped-buckets hazard exists only
+        # on the extend path — but extend/save refuse, because the
+        # cap policy they were built under is unknowable.
+        self.query_only = query_only
 
 
 def build_minhash_index(
@@ -259,6 +266,13 @@ def extend_minhash_index(
 
     from ..operators.dedup import make_shingle_sig_udf
 
+    if index.query_only:
+        raise ValueError(
+            "query-only index (legacy meta.json without a cap "
+            "record): its cap policy is unknowable, so extending "
+            "could resurrect dropped buckets — rebuild it with this "
+            "version's build_minhash_index before extending"
+        )
     if index.max_bucket_docs is not None and index.capped is None:
         raise ValueError(
             "index has a bucket cap but no capped-bucket record "
@@ -439,6 +453,15 @@ def save_minhash_index(index: MinHashIndex, path: str) -> None:
     import json
     import os
 
+    if index.query_only:
+        # re-saving would write meta WITHOUT the legacy marker and
+        # launder the unknown cap policy into an "uncapped" modern
+        # index — the exact hazard query-only load exists to contain
+        raise ValueError(
+            "refusing to save a query-only (legacy-loaded) index — "
+            "rebuild it to make it persistable"
+        )
+
     index.buckets.write.mode("overwrite").parquet(
         os.path.join(path, "buckets")
     )
@@ -470,17 +493,15 @@ def load_minhash_index(spark, path: str) -> MinHashIndex:
         meta = json.load(f)
     if meta.get("format") != "minhash-index-v1":
         raise ValueError(f"not a minhash-index-v1 dir: {path}")
-    if "max_bucket_docs" not in meta:
-        # Pre-capped-record indexes lack the key entirely; the build
-        # default back then was a cap of 1024, so treating the missing
-        # key as "uncapped" would silently extend a capped index and
-        # resurrect dropped buckets with partial membership. Refuse at
-        # load: cap policy is unknowable, only a rebuild is safe.
-        raise ValueError(
-            "legacy minhash index (meta.json has no max_bucket_docs "
-            "key): cap policy unknown — rebuild it with this "
-            "version's build_minhash_index before loading"
-        )
+    # Pre-capped-record indexes lack the max_bucket_docs key; the
+    # build default back then was a cap of 1024, so treating the
+    # missing key as "uncapped" would silently extend a capped index
+    # and resurrect dropped buckets with partial membership. QUERY-
+    # ONLY load (r10 advice #2): screening against the index is safe
+    # — the hazard exists only on the extend path — so read-only
+    # consumers keep working; extend_minhash_index and
+    # save_minhash_index refuse on the query_only flag.
+    legacy = "max_bucket_docs" not in meta
     capped = None
     if meta.get("has_capped"):
         capped = spark.read.parquet(os.path.join(path, "capped"))
@@ -491,8 +512,9 @@ def load_minhash_index(spark, path: str) -> MinHashIndex:
         b=meta["b"],
         shingle_n=meta["shingle_n"],
         bands=meta["bands"],
-        max_bucket_docs=meta["max_bucket_docs"],
+        max_bucket_docs=meta.get("max_bucket_docs"),
         capped=capped,
+        query_only=legacy,
     )
 
 
@@ -503,6 +525,12 @@ def save_substring_index(index: "SubstringIndex", path: str) -> None:
     loaded index stays extendable)."""
     import json
     import os
+
+    if index.query_only:
+        raise ValueError(
+            "refusing to save a query-only (legacy-loaded) index — "
+            "rebuild it to make it persistable"
+        )
 
     index.buckets.write.mode("overwrite").parquet(
         os.path.join(path, "buckets")
@@ -532,14 +560,10 @@ def load_substring_index(spark, path: str) -> "SubstringIndex":
         meta = json.load(f)
     if meta.get("format") != "substring-index-v1":
         raise ValueError(f"not a substring-index-v1 dir: {path}")
-    if "max_bucket_docs" not in meta:
-        # Same legacy-meta hazard as load_minhash_index: a missing cap
-        # key means the cap policy is unknowable, not "uncapped".
-        raise ValueError(
-            "legacy substring index (meta.json has no max_bucket_docs "
-            "key): cap policy unknown — rebuild it with this "
-            "version's build_substring_index before loading"
-        )
+    # Same legacy-meta hazard as load_minhash_index: a missing cap
+    # key means the cap policy is unknowable, not "uncapped" — load
+    # query-only (screens work, extend/save refuse).
+    legacy = "max_bucket_docs" not in meta
     capped = None
     if meta.get("has_capped"):
         capped = spark.read.parquet(os.path.join(path, "capped"))
@@ -547,8 +571,9 @@ def load_substring_index(spark, path: str) -> "SubstringIndex":
         buckets=spark.read.parquet(os.path.join(path, "buckets")),
         detail=spark.read.parquet(os.path.join(path, "detail")),
         window_tokens=meta["window_tokens"],
-        max_bucket_docs=meta["max_bucket_docs"],
+        max_bucket_docs=meta.get("max_bucket_docs"),
         capped=capped,
+        query_only=legacy,
     )
 
 
@@ -636,12 +661,14 @@ class SubstringIndex:
     def __init__(self, buckets: DataFrame, detail: DataFrame,
                  window_tokens: int,
                  max_bucket_docs: int | None = None,
-                 capped: DataFrame | None = None):
+                 capped: DataFrame | None = None,
+                 query_only: bool = False):
         self.buckets = buckets
         self.detail = detail
         self.window_tokens = window_tokens
         self.max_bucket_docs = max_bucket_docs
         self.capped = capped
+        self.query_only = query_only  # see MinHashIndex.__init__
 
 
 def build_substring_index(
@@ -690,6 +717,13 @@ def extend_substring_index(
     buckets implies equality of detail)."""
     from pyspark.sql import functions as F
 
+    if index.query_only:
+        raise ValueError(
+            "query-only index (legacy meta.json without a cap "
+            "record): its cap policy is unknowable, so extending "
+            "could resurrect dropped buckets — rebuild it with this "
+            "version's build_substring_index before extending"
+        )
     if index.capped is None:
         raise ValueError(
             "index has no capped-bucket record (legacy persisted "

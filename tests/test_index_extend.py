@@ -310,17 +310,19 @@ def test_extend_refuses_capless_record(spark, corpora):
         extend_minhash_index(ix, new)
 
 
-def test_load_refuses_legacy_meta_without_cap_key(
-    spark, corpora, tmp_path
-):
+def test_legacy_meta_loads_query_only(spark, corpora, tmp_path):
     """A meta.json written before the cap-policy record carries no
     max_bucket_docs key at all. The old build default WAS a cap
     (1024), so treating the missing key as 'uncapped' would extend a
     capped index and resurrect dropped buckets with partial
-    membership — load must refuse, for both index families."""
+    membership. r10 advice #2: the hazard exists only on the
+    extend/save paths, so read-only consumers must keep working —
+    load succeeds QUERY-ONLY (screening gives the same answer as the
+    normally-loaded index), while extend and save refuse loudly, for
+    both index families."""
     import json
 
-    docs, old, _ = corpora
+    docs, old, new = corpora
     mh = str(tmp_path / "mh")
     save_minhash_index(
         build_minhash_index(old, max_bucket_docs=2, **KNOBS), mh
@@ -328,16 +330,33 @@ def test_load_refuses_legacy_meta_without_cap_key(
     meta = json.load(open(os.path.join(mh, "meta.json")))
     del meta["max_bucket_docs"]
     json.dump(meta, open(os.path.join(mh, "meta.json"), "w"))
-    with pytest.raises(ValueError, match="rebuild"):
-        load_minhash_index(spark, mh)
+    legacy = load_minhash_index(spark, mh)
+    assert legacy.query_only
+    normal = build_minhash_index(old, max_bucket_docs=2, **KNOBS)
+    probe = docs.limit(60)
+    got = sorted(map(tuple, neardup_screen_stream(
+        probe, legacy, threshold_pct=80
+    ).collect()))
+    want = sorted(map(tuple, neardup_screen_stream(
+        probe, normal, threshold_pct=80
+    ).collect()))
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="query-only"):
+        extend_minhash_index(legacy, new)
+    with pytest.raises(ValueError, match="query-only"):
+        save_minhash_index(legacy, str(tmp_path / "mh2"))
 
     ss = str(tmp_path / "ss")
     save_substring_index(build_substring_index(old), ss)
     meta = json.load(open(os.path.join(ss, "meta.json")))
     del meta["max_bucket_docs"]
     json.dump(meta, open(os.path.join(ss, "meta.json"), "w"))
-    with pytest.raises(ValueError, match="rebuild"):
-        load_substring_index(spark, ss)
+    legacy_ss = load_substring_index(spark, ss)
+    assert legacy_ss.query_only
+    with pytest.raises(ValueError, match="query-only"):
+        extend_substring_index(legacy_ss, new)
+    with pytest.raises(ValueError, match="query-only"):
+        save_substring_index(legacy_ss, str(tmp_path / "ss2"))
 
 
 def test_explicit_uncapped_meta_still_loads(spark, corpora, tmp_path):

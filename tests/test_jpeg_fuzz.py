@@ -164,3 +164,35 @@ def test_corrupt_ac_category_11_to_15_names_itself(good):
                 j += 17 + nvals
         i += 2 + seglen
     assert hits > 0, "no patched stream reached the AC-category guard"
+
+
+def test_oversized_sof_dimensions_capped_before_allocation(good):
+    """r10 advice #1: a <100-byte header claiming 65535x65535 (3
+    components) must be rejected from the SOF header itself — BEFORE
+    zz_all/plane allocation (~100+ GB) — with the typed error, and
+    fast (no allocation attempt, no MemoryError escape)."""
+    import time
+
+    idx = good.find(b"\xff\xc0")
+    assert idx >= 0
+    spliced = bytearray(good)
+    # SOF0 payload: len(2) prec(1) h(2) w(2) — patch h and w to 65535
+    spliced[idx + 5 : idx + 9] = b"\xff\xff\xff\xff"
+    t0 = time.time()
+    with pytest.raises(ValueError, match="pixel decode cap"):
+        decode_jpeg(bytes(spliced))
+    assert time.time() - t0 < 1.0
+
+
+def test_memoryerror_inside_decode_is_typed(good, monkeypatch):
+    """Even if an allocation slips past the cap (fragmentation, a
+    stricter rlimit), MemoryError must surface as the typed ValueError
+    row error, never escape raw into the executor batch."""
+    from dazzleduck_sql_duckdb_spark.operators import jpeg as J
+
+    def boom(*a, **k):
+        raise MemoryError("simulated allocation failure")
+
+    monkeypatch.setattr(J, "_decode_jpeg_impl", boom)
+    with pytest.raises(ValueError, match="MemoryError"):
+        decode_jpeg(good)
