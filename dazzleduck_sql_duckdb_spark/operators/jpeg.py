@@ -699,10 +699,12 @@ def _dht_body(tc: int, th: int, table) -> bytes:
     return bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
 
 
-def _pad_plane(p: np.ndarray, mult: int) -> np.ndarray:
-    """Edge-replicate pad both dims up to a multiple of `mult`."""
+def _pad_plane(p: np.ndarray, mult: int, wmult: int | None = None) -> np.ndarray:
+    """Edge-replicate pad dims up to multiples of `mult` (height) and
+    `wmult` (width; defaults to `mult`)."""
     h, w = p.shape
-    ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
+    wm = mult if wmult is None else wmult
+    ph, pw = -(-h // mult) * mult, -(-w // wm) * wm
     pp = np.empty((ph, pw), np.float64)
     pp[:h, :w] = p
     pp[h:, :w] = p[h - 1 : h, :]
@@ -714,15 +716,17 @@ def encode_jpeg(
     img: np.ndarray,
     *,
     quant: np.ndarray | int = 1,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
 ) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes.
 
     `quant`: an int fills the whole table with that value (1 = the
     near-lossless table the oracle gate uses), or pass a full (8, 8)
-    array. RGB is 4:4:4 by default; `subsample=True` encodes 4:2:0
-    (2x2 luma sampling, chroma block-mean downsampled). A nonzero
+    array. RGB is 4:4:4 by default; `subsample=True` (or "420")
+    encodes 4:2:0 (2x2 luma sampling, chroma block-mean downsampled),
+    `subsample="422"` encodes 4:2:2 (2x1 luma sampling, horizontal
+    chroma pair-mean — the r10 verdict #7 fixture path). A nonzero
     `restart_interval` emits DRI + RSTn markers every that many MCUs.
     Standard T.81 Annex K luma/chroma Huffman tables throughout."""
     a = np.asarray(img, dtype=np.float64)
@@ -741,8 +745,13 @@ def encode_jpeg(
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
         planes = [y, cb, cr]
-    sub = subsample and not gray
-    if sub:
+    mode = (
+        None if gray or not subsample
+        else (subsample if isinstance(subsample, str) else "420")
+    )
+    if mode not in (None, "420", "422"):
+        raise ValueError(f"unsupported subsample mode {subsample!r}")
+    if mode == "420":
         ypad = _pad_plane(planes[0], 16)
         chroma = []
         for p in planes[1:]:
@@ -755,6 +764,19 @@ def encode_jpeg(
         padded = [ypad, *chroma]
         samp = [(2, 2), (1, 1), (1, 1)]
         mcux, mcuy = ypad.shape[1] // 16, ypad.shape[0] // 16
+    elif mode == "422":
+        # 2x1 luma sampling: MCU is 16 wide x 8 tall; chroma halves
+        # horizontally only (pair means), full vertical resolution
+        ypad = _pad_plane(planes[0], 8, 16)
+        chroma = []
+        for p in planes[1:]:
+            pp = _pad_plane(p, 8, 16)
+            chroma.append(
+                pp.reshape(pp.shape[0], pp.shape[1] // 2, 2).mean(axis=2)
+            )
+        padded = [ypad, *chroma]
+        samp = [(2, 1), (1, 1), (1, 1)]
+        mcux, mcuy = ypad.shape[1] // 16, ypad.shape[0] // 8
     else:
         padded = [_pad_plane(p, 8) for p in planes]
         samp = [(1, 1)] * len(planes)

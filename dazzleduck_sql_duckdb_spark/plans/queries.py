@@ -4488,7 +4488,19 @@ def _jpeg_features_q(d: str) -> str:
     rounding slack at all. The Huffman byte stream itself is
     codec-shaped, so n_bytes/sha stay out of this gate (the PPM twin
     pins payload bytes); any corruption across encode->huffman->
-    decode->IDCT->pool breaks the hash."""
+    decode->IDCT->pool breaks the hash.
+
+    TWO rows per doc since r11 (verdict #7 — cover chroma subsampling
+    end to end): kind='gray' is the single-component path above;
+    kind='rgb422' encodes the SAME blocks as an RGB image with r=g=b
+    at 4:2:2 (2x1 luma sampling). With r=g=b the BT.601 conversion
+    gives Y=v exactly and Cb=Cr=128 exactly (float residue ~1e-13,
+    crushed by DC rounding), so the decoded RGB is bit-exact (v,v,v)
+    — the oracle derivation is IDENTICAL per kind (each chunk's 768
+    interleaved channel values triplicate the 256 gray pixels, so the
+    chunk mean is unchanged) while the Spark path now exercises
+    3-component SOF, chroma Huffman tables, 2x1 MCU geometry, chroma
+    upsampling and YCbCr->RGB reconstruction under the driver hash."""
     if d == SPARK:
         # built by _build_jpeg_features; SQL form unused
         raise NotImplementedError
@@ -4498,7 +4510,7 @@ WITH hexed AS (
          rpad(substr(upper(hex(encode(text))), 1, 128), 128, '0') AS rh
   FROM documents
 )
-SELECT media_id, 'image' AS kind,
+SELECT media_id, k.kind,
   array_to_string(list_transform(range(0, 16), j ->
     CAST(list_sum(list_transform(range(0, 8), i ->
       (strpos('0123456789ABCDEF',
@@ -4507,7 +4519,7 @@ SELECT media_id, 'image' AS kind,
       + strpos('0123456789ABCDEF',
                substr(rh, CAST((j // 2) * 8 + i AS INT) * 2 + 2, 1)) - 1
     )) AS VARCHAR)), '|') AS feature
-FROM hexed
+FROM hexed, (VALUES ('gray'), ('rgb422')) AS k(kind)
 """
 
 
@@ -4528,6 +4540,10 @@ def _video_frames_q(d: str) -> str:
     the oracle mirrors every frame's chunk sums with integer
     arithmetic over hex windows of the text — any corruption across
     encode->mux->demux->entropy-decode->IDCT->pool breaks the hash.
+    Since r11 (verdict #7) ODD frame indices are encoded as r=g=b RGB
+    at 4:2:2 — bit-exact decode by the Y=v / Cb=Cr=128 construction
+    (multimodal_jpeg_features docstring), so this oracle is unchanged
+    while the MJPEG demux->decode path exercises chroma subsampling.
     Inter-frame codecs (avc1/hev1/av01) remain the declared stub;
     the codec-library boundary is now per-codec, not per-operator."""
     if d == SPARK:
@@ -4588,7 +4604,19 @@ def _build_video_frames(spark, sf_dir: str):
                     chunk = b[64 * f : 64 * f + 64].ljust(64, b"\x00")
                     blocks = np.frombuffer(chunk, np.uint8).reshape(8, 8)
                     img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
-                    frames.append(encode_jpeg(img, quant=1))
+                    if f % 2:
+                        # r11 (verdict #7): odd frames are r=g=b RGB
+                        # at 4:2:2 — bit-exact decode (see
+                        # multimodal_jpeg_features docstring), so the
+                        # oracle's per-frame chunk sums are UNCHANGED
+                        # while the demux->decode path now exercises
+                        # chroma subsampling inside MJPEG
+                        rgb = np.repeat(img[:, :, None], 3, 2)
+                        frames.append(
+                            encode_jpeg(rgb, quant=1, subsample="422")
+                        )
+                    else:
+                        frames.append(encode_jpeg(img, quant=1))
                 payloads.append(encode_mjpeg_mp4(64, 64, frames))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
@@ -4691,21 +4719,29 @@ def _build_jpeg_features(spark, sf_dir: str):
 
     raw = spark.table("documents").select(
         F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
         F.expr("rpad(encode(text, 'UTF-8'), 64, X'00')").alias("vals"),
     )
 
     def encode(batches):
         for pdf in batches:
-            payloads = []
-            for r in pdf["vals"]:
+            ids, kinds, payloads = [], [], []
+            for mid, r in zip(pdf["media_id"], pdf["vals"]):
                 blocks = np.frombuffer(bytes(r), np.uint8).reshape(8, 8)
                 img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                ids.append(mid)
+                kinds.append("gray")
                 payloads.append(encode_jpeg(img, quant=1))
+                # r=g=b 4:2:2 twin: Y=v / Cb=Cr=128 exactly, so the
+                # decoded RGB is bit-exact and the oracle derivation
+                # is shared (entry docstring)
+                rgb = np.repeat(img[:, :, None], 3, axis=2)
+                ids.append(mid)
+                kinds.append("rgb422")
+                payloads.append(encode_jpeg(rgb, quant=1, subsample="422"))
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
+                    "media_id": ids,
+                    "kind": kinds,
                     "payload": payloads,
                 }
             )

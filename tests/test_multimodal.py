@@ -581,6 +581,42 @@ def test_jpeg_rgb_444_and_420_and_dri():
     )
 
 
+def test_jpeg_rgb_422_roundtrip():
+    """4:2:2 encode (2x1 luma sampling, horizontal chroma pair-mean —
+    r10 verdict #7): gradients survive near-losslessly, a
+    non-16-multiple width exercises the wide-MCU padding, and the
+    gate fixture's r=g=b uniform-block construction (Y=v exactly,
+    Cb=Cr=128 exactly) round-trips BIT-exactly — the law the
+    multimodal_jpeg_features / multimodal_video_frames oracles rely
+    on."""
+    import numpy as np
+
+    from dazzleduck_sql_duckdb_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    smooth = np.stack(
+        [(xx * 2 + yy) % 256, (xx + yy * 3) % 256, (yy * 2) % 256], axis=2
+    ).astype(np.uint8)
+    d422 = decode_jpeg(encode_jpeg(smooth, quant=1, subsample="422"))
+    assert d422.shape == smooth.shape
+    assert np.abs(d422.astype(int) - smooth.astype(int)).max() <= 4
+    # the oracle-exactness law: uniform 8x8 blocks with r=g=b
+    rng = np.random.RandomState(11)
+    blocks = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    rgb = np.repeat(img[:, :, None], 3, 2)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(rgb, quant=1, subsample="422")), rgb
+    )
+    # unknown modes refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(rgb, quant=1, subsample="411")
+
+
 def test_jpeg_rejects_non_baseline():
     import numpy as np
     import pytest as _pytest
