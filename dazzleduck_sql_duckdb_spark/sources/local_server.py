@@ -209,15 +209,24 @@ class _Handler(BaseHTTPRequestHandler):
                                       " AS _q").fetchall()
             )
             ecs = _re.findall(r"EC:\s*(\d+)", txt)
-            if not ecs:
-                # hard-fail rather than default to 0 (r10 advice #3):
-                # a DuckDB EXPLAIN format change would otherwise
-                # silently collapse every plan to a single split — a
-                # quiet planner degradation instead of a loud error
+            if ecs:
+                nrows = int(ecs[0])
+            elif "EMPTY_RESULT" in txt or "SCAN" not in txt:
+                # legitimately estimate-free plans: the optimizer
+                # proved the result empty (EMPTY_RESULT replaces the
+                # whole tree), or the query reads no table at all
+                # (constant projection) — one split is exactly right
+                nrows = 0
+            else:
+                # a SCANNING plan with no EC line means the EXPLAIN
+                # rendering changed: hard-fail rather than default to
+                # 0 (r10 advice #3) — a DuckDB format change would
+                # otherwise silently collapse every plan to a single
+                # split, a quiet planner degradation instead of a
+                # loud error
                 return self._deny(
                     400, "plan error: no EC estimate in EXPLAIN output"
                 )
-            nrows = int(ecs[0])
         except Exception as e:
             return self._deny(400, f"plan error: {e}")
         est_bytes = nrows * 64
