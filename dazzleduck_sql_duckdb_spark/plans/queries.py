@@ -3784,7 +3784,10 @@ def _build_remote_scan_dsv2_split_dec(spark, sf_dir: str):
             " GROUP BY l_returnflag"
         ).fetchall()
     )
-    diag = _split_dec_diagnostics(srv.url)
+    try:
+        diag = _split_dec_diagnostics(srv.url)
+    except Exception as e:  # forensics must never fail the gate
+        diag = {"error": f"{type(e).__name__}: {e}"}
     record = {
         "collected": collected,
         "oracle_direct_parquet": oracle_rows,
