@@ -198,6 +198,11 @@ PIPELINES = [
     # bucket sizes stay bounded — expect ~linear, NOT quadratic.
     "text_perplexity",
     "dedup_exact_substring",
+    # round-11: the de-vacuumed brute-force Jaccard baseline is
+    # bounded to a FIXED 100-doc probe panel (doc_id % 10 = 0 AND
+    # doc_id < 1000), so cost is O(panel x corpus) — expect e ~ 1
+    # (the unbounded 10% probe measured 65s at sf0.1; the panel 18s).
+    "ngram_jaccard_sampled",
     # round-10 addition: the >62-source chunked-mask contamination
     # path. The synthetic corpus's derived fine source (source +
     # doc_id % 100) yields up to 1000 labels -> ~17 mask chunks; the
