@@ -5087,13 +5087,18 @@ def oracle_sql_for(name: str) -> str:
 # three streaming screens (streaming/dedup.py gained query-only
 # legacy-index load this round) + bucketed_join_rollup.
 # Validation record on the final tree: the ENTIRE 50-entry window
-# replicated hash-green at sf0.01 (the driver's gate scale) in two
-# halves — 50/50 PASS, zero rows-only, zero empty results; the
-# full-catalog sf0.001 parity gate (124 green + 3 documented
-# rows-only) ran inside the full suite: 395 passed, 2 skipped, 0
-# failed. Driver-discipline bench at sf0.1: 18.96s over the 53
-# headline queries vs r10's 21.37s on the identical set (-11%),
-# zero per-query regressions >0.15s.
+# replicated hash-green at sf0.01 (the driver's gate scale) — 50/50
+# PASS in two same-session halves AND 50/50 again in a FRESH process
+# with a vanilla SparkSession running entry() first then the window
+# in driver order; the full-catalog sf0.001 parity gate (124 green +
+# 3 documented rows-only) ran inside the full suite: 395 passed, 2
+# skipped, 0 failed. NEW depth this round: the full catalog also
+# replicated at sf0.1 — 10x the driver's gate scale — 120 hash-green
+# + 3 documented rows-only, 0 failed (only the four deliberately-n^2
+# oracle formulations excluded, for DuckDB-side cost). Driver-
+# discipline bench at sf0.1: 18.96s over the 53 headline queries vs
+# r10's 21.37s on the identical set (-11%), zero per-query
+# regressions >0.15s; BENCH_REPORT 1.09x ex-n^2, weak list empty.
 
 _GATE_WINDOW_ROUND = 11
 
