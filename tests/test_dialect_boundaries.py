@@ -156,3 +156,44 @@ def test_approx_sketches_diverge_but_bounds_hold(sview, duck):
     assert d_exact == s_exact
     assert abs(d_est - d_exact) <= 0.05 * d_exact + 5
     assert abs(s_est - s_exact) <= 0.05 * s_exact + 5
+
+
+def test_double_round_shortest_repr_boundary_diverges(sview, duck):
+    """round(DOUBLE, k) semantics diverge at shortest-decimal-repr
+    half boundaries (found by a round-11 probe): for the double
+    1.005 (true binary value 1.00499999999999989...), Spark's round
+    goes through BigDecimal.valueOf(Double.toString(x)) — the
+    SHORTEST DECIMAL REPR — then HALF_UP, giving 1.01; DuckDB rounds
+    the true binary value, giving 1.0. Catalog rule that keeps gated
+    entries off this boundary (audited r11):
+      * money-style sums round DECIMALS at their own scale
+        (round(DECIMAL(38,4), 4) — identity, exact, no boundary);
+      * codec features recover exact float32 integers
+        (round(m*8) where m*8 IS an integer by construction);
+      * the remaining round(DOUBLE, 6) sites (avg/ln pipelines) rely
+        on corpus values not landing on a 1e-7 half boundary of
+        their shortest repr — measure-rare, and a hash mismatch
+        there would localize to one value. New entries should prefer
+        the DECIMAL route. If an engine upgrade erases this
+        divergence, this test flags it and the rule can be
+        simplified."""
+    s = sview.sql(
+        "SELECT round(CAST(1.005 AS DOUBLE), 2) AS r"
+    ).collect()[0]["r"]
+    d = duck.execute(
+        "SELECT round(CAST(1.005 AS DOUBLE), 2)"
+    ).fetchall()[0][0]
+    assert s == 1.01  # Spark: shortest-repr HALF_UP
+    assert d == 1.0   # DuckDB: true-binary-value rounding
+    # and the agreeing cases stay agreed (binary-exact halves round
+    # identically away from zero in both engines)
+    for expr, want in [("2.5", 3.0), ("-2.5", -3.0), ("0.125", None)]:
+        sv = sview.sql(
+            f"SELECT round(CAST({expr} AS DOUBLE), "
+            f"{0 if want is not None else 2}) AS r"
+        ).collect()[0]["r"]
+        dv = duck.execute(
+            f"SELECT round(CAST({expr} AS DOUBLE), "
+            f"{0 if want is not None else 2})"
+        ).fetchall()[0][0]
+        assert repr(sv) == repr(dv)
