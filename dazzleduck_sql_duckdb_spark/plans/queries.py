@@ -4634,16 +4634,20 @@ def _build_video_frames(spark, sf_dir: str):
                     chunk = b[64 * f : 64 * f + 64].ljust(64, b"\x00")
                     blocks = np.frombuffer(chunk, np.uint8).reshape(8, 8)
                     img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
-                    if f % 2:
-                        # r11 (verdict #7): odd frames are r=g=b RGB
-                        # at 4:2:2 — bit-exact decode (see
-                        # multimodal_jpeg_features docstring), so the
-                        # oracle's per-frame chunk sums are UNCHANGED
-                        # while the demux->decode path now exercises
-                        # chroma subsampling inside MJPEG
+                    if f % 3:
+                        # r11 (verdict #7): frame 1 is r=g=b RGB at
+                        # 4:2:2, frame 2 at 4:2:0 — bit-exact decode
+                        # for both (multimodal_jpeg_features
+                        # docstring: Y=v exactly, Cb=Cr=128 exactly,
+                        # and 2x2 luma sampling keeps each 8x8 luma
+                        # block constant), so the oracle's per-frame
+                        # chunk sums are UNCHANGED while the demux->
+                        # decode path exercises ALL THREE sampling
+                        # modes inside MJPEG under the driver hash
                         rgb = np.repeat(img[:, :, None], 3, 2)
+                        mode = "422" if f % 3 == 1 else "420"
                         frames.append(
-                            encode_jpeg(rgb, quant=1, subsample="422")
+                            encode_jpeg(rgb, quant=1, subsample=mode)
                         )
                     else:
                         frames.append(encode_jpeg(img, quant=1))

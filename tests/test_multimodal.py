@@ -617,6 +617,31 @@ def test_jpeg_rgb_422_roundtrip():
         encode_jpeg(rgb, quant=1, subsample="411")
 
 
+def test_jpeg_subsampled_uniform_block_exactness_property():
+    """Property form of the gate-fixture exactness law, across random
+    geometries: for ANY uniform-8x8-block image with r=g=b channels,
+    encode at 4:2:2 or 4:2:0 with quant=1 round-trips BIT-exactly —
+    including heights/widths that force MCU edge-replicate padding
+    (the padded region replicates constant blocks, so every luma
+    block stays constant and chroma stays exactly 128)."""
+    import numpy as np
+
+    from dazzleduck_sql_duckdb_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.RandomState(20260816)
+    for trial in range(6):
+        bh, bw = rng.randint(1, 5), rng.randint(1, 5)
+        blocks = rng.randint(0, 256, (bh, bw)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        rgb = np.repeat(img[:, :, None], 3, 2)
+        for mode in ("422", "420"):
+            out = decode_jpeg(encode_jpeg(rgb, quant=1, subsample=mode))
+            assert out.shape == rgb.shape, (trial, mode, out.shape)
+            assert np.array_equal(out, rgb), (trial, mode, bh, bw)
+
+
 def test_jpeg_rejects_non_baseline():
     import numpy as np
     import pytest as _pytest
