@@ -4570,10 +4570,12 @@ def _video_frames_q(d: str) -> str:
     the oracle mirrors every frame's chunk sums with integer
     arithmetic over hex windows of the text — any corruption across
     encode->mux->demux->entropy-decode->IDCT->pool breaks the hash.
-    Since r11 (verdict #7) ODD frame indices are encoded as r=g=b RGB
-    at 4:2:2 — bit-exact decode by the Y=v / Cb=Cr=128 construction
-    (multimodal_jpeg_features docstring), so this oracle is unchanged
-    while the MJPEG demux->decode path exercises chroma subsampling.
+    Since r11 (verdict #7) frame 1 is encoded as r=g=b RGB at 4:2:2
+    and frame 2 at 4:2:0 — bit-exact decode by the Y=v / Cb=Cr=128
+    construction (multimodal_jpeg_features docstring; 2x2 luma
+    sampling keeps each 8x8 luma block constant), so this oracle is
+    unchanged while the MJPEG demux->decode path exercises all three
+    sampling modes under the driver hash.
     Inter-frame codecs (avc1/hev1/av01) remain the declared stub;
     the codec-library boundary is now per-codec, not per-operator."""
     if d == SPARK:
