@@ -201,3 +201,41 @@ def test_vacuous_gate_registry_empty_and_devacuumed():
     for name in ("ngram_jaccard_sampled", "embed_cosine_neardup",
                  "embed_neardup_lsh"):
         assert name in Q._GATE_WINDOW
+
+
+def test_vacuous_guard_fails_empty_entries(spark, monkeypatch):
+    """The guard that makes 0-row gates impossible must itself be
+    pinned: run_parity against a stub entry whose Spark result AND
+    oracle are both empty must FAIL with the vacuous marker (this is
+    exactly the shape that sat green-but-meaningless for 8 rounds),
+    while a listed GATE_MAY_BE_EMPTY entry would pass (registry is
+    empty by contract, so that arm is exercised via monkeypatch)."""
+    import __spark_entry__ as E
+    from dazzleduck_sql_duckdb_spark.plans import queries as Q
+
+    def fake_queries():
+        return {
+            "stub_empty": lambda s, sf: s.sql(
+                "SELECT CAST(1 AS BIGINT) AS x WHERE 1 = 0"
+            )
+        }
+
+    def fake_oracles():
+        return {"stub_empty": "SELECT CAST(1 AS BIGINT) AS x WHERE 1=0"}
+
+    monkeypatch.setattr(E, "queries", fake_queries)
+    monkeypatch.setattr(E, "oracle_sql", fake_oracles)
+    n_pass, n_fail, failures = run_parity(
+        spark, SF_DIR, only={"stub_empty"}, verbose=False
+    )
+    assert n_fail == 1 and "vacuous" in failures[0][1]
+
+    # and the registry escape hatch works (so a future documented
+    # empty-by-design gate is possible without weakening the default)
+    monkeypatch.setattr(
+        Q, "GATE_MAY_BE_EMPTY", frozenset({"stub_empty"})
+    )
+    n_pass, n_fail, failures = run_parity(
+        spark, SF_DIR, only={"stub_empty"}, verbose=False
+    )
+    assert n_fail == 0 and n_pass == 1
