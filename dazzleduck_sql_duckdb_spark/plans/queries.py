@@ -5106,6 +5106,20 @@ def oracle_sql_for(name: str) -> str:
 # r10's 21.37s on the identical set (-11%), zero per-query
 # regressions >0.15s; BENCH_REPORT 1.09x ex-n^2, weak list empty.
 
+# ROUND-12 PREP (write-ahead for the next derivation): when
+# CORRECTNESS_r11 lands, the ratchet tests fire until this constant
+# becomes 12 and GATE_AGE.md is regenerated. Oldest cohort after r11
+# is the r9 vintage (~45 entries — more than one window; prioritize
+# oldest-alphabetical plus any entry r12 changes). Carry-over work
+# item if r12 touches them: migrate the remaining round(DOUBLE, k)
+# sites to the sign-symmetric branchless bridge
+# sign(x)*floor(abs(x)*1e6 + 0.5)/1e6 (see OPERATORS.md audit note +
+# tests/test_dialect_boundaries.py round-boundary fact) — the
+# out-of-window-in-r11 exposed sites are text_perplexity_bigram and
+# q8_market_share; the in-window-in-r11 sites were left on round()
+# deliberately (fixed corpora cannot hit the boundary; churn > value
+# late in a green round).
+
 _GATE_WINDOW_ROUND = 11
 
 _GATE_WINDOW = [
