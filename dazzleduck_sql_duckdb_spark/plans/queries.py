@@ -5077,74 +5077,49 @@ def oracle_sql_for(name: str) -> str:
 # against an un-rederived window: the moment the driver lands
 # CORRECTNESS_r10, the suite fails until round 11 re-derives this list.
 
-# ROUND-11 DERIVATION + END-OF-ROUND AFFIRMATION: every entry round 11
-# changed is inside the window — the forensic rebuild of the twice-red
-# split-decimal gate (complete/split/raw self-differential, canonical-
-# string decimal rendering after the catalog audit showed it was the
-# ONLY entry gating a python-Decimal output, committed value artifact
-# in ARTIFACTS/split_dec_r11.json), the three de-vacuumed 0-row gates
-# (non-empty at both gate scales; catalog-wide GATE_MAY_BE_EMPTY guard
-# added to tools/check_parity.py), the jpeg.py SOF cap + gray/rgb422
-# fixture rows (chroma subsampling now under the driver hash), the
-# explicit chr(0x301) decomposed literal in text_normalize, and the
-# local_server.py advice fixes (no-EC hard fail for scanning plans,
-# truncation-writer detach) touching every remote entry — then the
-# ENTIRE r8-vintage cohort (31, the oldest in GATE_AGE.md), then the
-# three streaming screens (streaming/dedup.py gained query-only
-# legacy-index load this round) + bucketed_join_rollup.
-# Validation record on the final tree: the ENTIRE 50-entry window
-# replicated hash-green at sf0.01 (the driver's gate scale) — 50/50
-# PASS in two same-session halves AND 50/50 again in a FRESH process
-# with a vanilla SparkSession running entry() first then the window
-# in driver order; the full-catalog sf0.001 parity gate (124 green +
-# 3 documented rows-only) ran inside the full suite: 395 passed, 2
-# skipped, 0 failed. NEW depth this round: the full catalog also
-# replicated at sf0.1 — 10x the driver's gate scale — 120 hash-green
-# + 3 documented rows-only, 0 failed (only the four deliberately-n^2
-# oracle formulations excluded, for DuckDB-side cost). Driver-
-# discipline bench at sf0.1: 18.96s over the 53 headline queries vs
-# r10's 21.37s on the identical set (-11%), zero per-query
-# regressions >0.15s; BENCH_REPORT 1.09x ex-n^2, weak list empty.
+# ROUND-12 DERIVATION: a confirmation-and-rotation round (r11 verdict
+# directives #1/#4). Window =
+#   (a) every entry round 12 changes:
+#       * remote_scan_dsv2_split_dec — kept IN per directive #1: one
+#         green after two reds confirms the python-Decimal-export
+#         hypothesis only if it repeats; the forensic artifact
+#         machinery adjudicates either outcome (filename now
+#         round-keyed per verdict "wrong" #4);
+#       * remote_scan_dsv2 / remote_scan_split_agg — forensic
+#         self-differential + committed artifact extended to them
+#         (directive #7, cheap insurance);
+#       * the remaining five remote entries — local_server.py changes
+#         this round (advice #1: /v1/plan classifies by explicit
+#         operator name instead of the inverted 'SCAN' substring;
+#         advice #3: torn-stream truncation asserts the EOS marker
+#         before stripping) touch every remote entry's harness;
+#       * text_perplexity_bigram / q8_market_share — the two exposed
+#         round(DOUBLE, k) sites migrated to the sign-symmetric
+#         branchless bridge sign(x)*floor(abs(x)*1eK + 0.5)/1eK
+#         (directive #5; round-boundary fact pinned in
+#         tests/test_dialect_boundaries.py).
+#   (b) staleness rotation: the r9-vintage cohort (42 entries, the
+#       oldest rows in GATE_AGE.md post-r11). 42 + the 9 non-r9
+#       changed entries above = 51 > 50, so ONE r9 entry is deferred
+#       to r13: events_sessionize_native — its twin
+#       events_sessionize (same logic, same 9549 gated rows, the
+#       native-vs-SQL formulation pair) stays in, and at r12 its
+#       staleness is exactly 3, inside the <=3 bound
+#       (test_gate_age_staleness_bound). It is the FIRST rotation
+#       priority for r13.
+#
+# ROUND-13 PREP (write-ahead): when CORRECTNESS_r12 lands, the
+# ratchet tests fire until this constant becomes 13 and GATE_AGE.md
+# is regenerated. Rotation queue after r12: events_sessionize_native
+# (deferred above, staleness 4 at r13 — MUST go in) + the r10-vintage
+# cohort (~35 entries), then fill from r11 vintage oldest-first, plus
+# every entry r13 changes.
 
-# ROUND-12 PREP (write-ahead for the next derivation): when
-# CORRECTNESS_r11 lands, the ratchet tests fire until this constant
-# becomes 12 and GATE_AGE.md is regenerated. Oldest cohort after r11
-# is the r9 vintage (~45 entries — more than one window; prioritize
-# oldest-alphabetical plus any entry r12 changes). Carry-over work
-# item if r12 touches them: migrate the remaining round(DOUBLE, k)
-# sites to the sign-symmetric branchless bridge
-# sign(x)*floor(abs(x)*1e6 + 0.5)/1e6 (see OPERATORS.md audit note +
-# tests/test_dialect_boundaries.py round-boundary fact) — the
-# out-of-window-in-r11 exposed sites are text_perplexity_bigram and
-# q8_market_share; the in-window-in-r11 sites were left on round()
-# deliberately (fixed corpora cannot hit the boundary; churn > value
-# late in a green round).
-
-_GATE_WINDOW_ROUND = 11
+_GATE_WINDOW_ROUND = 12
 
 _GATE_WINDOW = [
-    # -- (a) changed or new in round 11:
-    #    * remote_scan_dsv2_split_dec — the twice-red gate, rebuilt as
-    #      a forensic self-differential (complete/split/raw paths under
-    #      one hash + committed value artifact, r10 verdict #1);
-    #    * the three de-vacuumed gates (r10 verdict #3):
-    #      ngram_jaccard_sampled / embed_cosine_neardup /
-    #      embed_neardup_lsh now return rows at gate scale;
-    #    * jpeg.py SOF dimension cap + grayscale/4:2:2 gated fixtures
-    #      (advice #1, verdict #7) — multimodal_jpeg_features,
-    #      multimodal_video_frames, multimodal_features;
-    #    * text_normalize — decomposed-prefix literal made explicit
-    #      (advice #5, value-neutral);
-    #    * local_server.py plan-estimate hard-fail + truncation writer
-    #      detach (advice #3/#4) touch every remote entry.
+    # -- (a) changed in round 12:
     "remote_scan_dsv2_split_dec",
-    "ngram_jaccard_sampled",
-    "embed_cosine_neardup",
-    "embed_neardup_lsh",
-    "multimodal_jpeg_features",
-    "multimodal_video_frames",
-    "multimodal_features",
-    "text_normalize",
     "remote_scan_dsv2",
     "remote_scan_split_agg",
     "remote_scan_failover",
@@ -5152,47 +5127,50 @@ _GATE_WINDOW = [
     "remote_scan_filter_pushdown",
     "remote_agg_pushdown",
     "remote_login_scan",
-    # -- (b) staleness rotation: the ENTIRE r8-vintage cohort (31
-    #    entries — the oldest rows in GATE_AGE.md; after this round no
-    #    entry's last-green trails by more than 2)
-    "corpus_top_terms",
-    "cross_source_contamination",
-    "customer_orders_left_join",
-    "dd_search_marker",
-    "dedup_canonical_corpus",
-    "dedup_minhash_lsh",
-    "events_hourly_rollup",
-    "events_orders_asof_join",
-    "join_region_rollup",
-    "multimodal_video_metadata",
-    "orders_global_aggs",
-    "orders_group_agg",
-    "orders_rollup",
-    "pipeline_clean_corpus",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q22_sales_opportunity",
-    "q6_revenue",
-    "q9_product_profit",
-    "string_functions",
-    "supplier_nation_join",
-    "text_langid",
-    "text_perplexity",
-    "text_quality",
-    "text_repetition",
-    "text_tfidf_topk",
-    "text_token_stats",
-    # -- (c) r9-vintage fill (4 slots): the three streaming screens —
-    #    streaming/dedup.py is touched this round (legacy-index
-    #    query-only load, advice #2) — plus bucketed_join_rollup
-    "dedup_stream_screen",
-    "dedup_substring_screen",
-    "embed_semantic_screen",
-    "bucketed_join_rollup",
+    "text_perplexity_bigram",
+    "q8_market_share",
+    # -- (b) staleness rotation: the r9-vintage cohort minus the one
+    #    deferred twin (events_sessionize_native, see derivation note)
+    "cast_matrix",
+    "cte_union_all",
+    "dedup_exact_substring",
+    "distinct_rows",
+    "embed_ann_ivf_fullprobe",
+    "embed_ann_ivf_probed",
+    "embed_ann_ivfpq",
+    "embed_ann_ivfpq_fullprobe",
+    "embed_ann_ivfpq_recall",
+    "embed_ann_recall",
+    "embed_knn_bruteforce",
+    "embed_semantic_dedup",
+    "embed_semantic_dedup_exact",
+    "embed_semantic_dedup_recall",
+    "empty_set_laws",
+    "events_count_distinct",
+    "events_funnel",
+    "events_grouping_sets",
+    "events_json_extract",
+    "events_sessionize",
+    "events_view_click_attribution",
+    "layout_zorder",
+    "lineitem_date_filter_count",
+    "lineitem_full_scan",
+    "lineitem_point_filter",
+    "lineitem_sum_orderkey",
+    "nation_presence_full_join",
+    "order_by_limit",
+    "orders_cube",
+    "part_brand_stats",
+    "q18_large_volume",
+    "q21_suppliers_waiting",
+    "q4_order_priority",
+    "scalar_subquery_filter",
+    "semi_anti_join",
+    "simhash_values",
+    "sketch_distinct_bounds",
+    "sketch_quantile_bounds",
+    "text_perplexity_static_lm",
+    "window_topk_per_group",
 ]
 
 

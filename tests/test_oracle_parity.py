@@ -67,17 +67,19 @@ def test_prepare_pins_utc_session_timezone(spark):
 
 
 def test_gate_window_covers_every_family():
-    """Round-11 window contract (the driver gates the FIRST 50 catalog
-    entries): every entry round 11 changes — the forensic rebuild of
-    the twice-red split-decimal gate, the three de-vacuumed 0-row
-    gates, the jpeg.py SOF cap + grayscale/4:2:2 fixtures, the
-    text_normalize literal hardening, and the local_server.py advice
-    fixes that touch every remote entry — then the staleness rotation:
-    the ENTIRE r8-vintage cohort (oldest in GATE_AGE.md), with the
-    three streaming screens (streaming/dedup.py touched this round)
-    plus bucketed_join_rollup filling to 50. Every excluded entry
-    carries an r9/r10-green verdict over an implementation untouched
-    since (GATE_AGE.md)."""
+    """Round-12 window contract (the driver gates the FIRST 50 catalog
+    entries): every entry round 12 changes — the round-keyed split-dec
+    forensic artifact plus its extension to the other two shim-gated
+    entries (r11 directive #7), the local_server.py advice fixes
+    (/v1/plan operator-name classification, torn-stream EOS assert)
+    touching every remote entry, and the two round(DOUBLE, k) ->
+    branchless-bridge migrations (directive #5) — then the staleness
+    rotation: the r9-vintage cohort (oldest in GATE_AGE.md post-r11)
+    minus ONE deferred twin (events_sessionize_native; its twin
+    events_sessionize stays in, staleness 3 == the bound, first
+    priority for r13). remote_scan_dsv2_split_dec stays IN per
+    directive #1: a second consecutive green is what confirms the
+    python-Decimal-export root cause."""
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
     window = Q._GATE_WINDOW
@@ -85,41 +87,40 @@ def test_gate_window_covers_every_family():
     assert len(set(window)) == 50
     assert list(Q.CATALOG)[:50] == window
     changed_or_new = {
-        "remote_scan_dsv2_split_dec",   # forensic self-differential
-        "ngram_jaccard_sampled",        # de-vacuumed (r10 verdict #3)
-        "embed_cosine_neardup",         # de-vacuumed (r10 verdict #3)
-        "embed_neardup_lsh",            # de-vacuumed (r10 verdict #3)
-        "multimodal_jpeg_features",     # SOF cap + gray/422 fixtures
-        "multimodal_video_frames",      # jpeg.py SOF cap
-        "multimodal_features",          # jpeg.py SOF cap (decode path)
-        "text_normalize",               # explicit decomposed literal
-        "remote_scan_dsv2",             # local_server advice fixes
-        "remote_scan_split_agg",        # local_server advice fixes
+        "remote_scan_dsv2_split_dec",   # round-keyed artifact; kept in
+        "remote_scan_dsv2",             # forensic artifact extension
+        "remote_scan_split_agg",        # forensic artifact extension
         "remote_scan_failover",         # local_server advice fixes
-        "remote_splits_plan",           # /v1/plan hard-fail on no EC
+        "remote_splits_plan",           # /v1/plan operator-name classify
         "remote_scan_filter_pushdown",  # local_server advice fixes
         "remote_agg_pushdown",          # local_server advice fixes
         "remote_login_scan",            # local_server advice fixes
+        "text_perplexity_bigram",       # round(DOUBLE,6) -> bridge
+        "q8_market_share",              # round(DOUBLE,6) -> bridge
     }
     rotation = {
-        # the full r8-vintage cohort (GATE_AGE.md, last green r8)
-        "corpus_top_terms", "cross_source_contamination",
-        "customer_orders_left_join", "dd_search_marker",
-        "dedup_canonical_corpus", "dedup_minhash_lsh",
-        "events_hourly_rollup", "events_orders_asof_join",
-        "join_region_rollup", "multimodal_video_metadata",
-        "orders_global_aggs", "orders_group_agg", "orders_rollup",
-        "pipeline_clean_corpus", "q12_priority_shipping",
-        "q13_customer_distribution", "q14_promo_effect",
-        "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
-        "q22_sales_opportunity", "q6_revenue", "q9_product_profit",
-        "string_functions", "supplier_nation_join", "text_langid",
-        "text_perplexity", "text_quality", "text_repetition",
-        "text_tfidf_topk", "text_token_stats",
-        # r9-vintage fill: the streaming screens (streaming/dedup.py
-        # legacy-index load change this round) + bucketed_join_rollup
-        "dedup_stream_screen", "dedup_substring_screen",
-        "embed_semantic_screen", "bucketed_join_rollup",
+        # the r9-vintage cohort (GATE_AGE.md post-r11, last green r9)
+        # minus text_perplexity_bigram (counted above) and minus the
+        # deferred events_sessionize_native (see window derivation)
+        "cast_matrix", "cte_union_all", "dedup_exact_substring",
+        "distinct_rows", "embed_ann_ivf_fullprobe",
+        "embed_ann_ivf_probed", "embed_ann_ivfpq",
+        "embed_ann_ivfpq_fullprobe", "embed_ann_ivfpq_recall",
+        "embed_ann_recall", "embed_knn_bruteforce",
+        "embed_semantic_dedup", "embed_semantic_dedup_exact",
+        "embed_semantic_dedup_recall", "empty_set_laws",
+        "events_count_distinct", "events_funnel",
+        "events_grouping_sets", "events_json_extract",
+        "events_sessionize", "events_view_click_attribution",
+        "layout_zorder", "lineitem_date_filter_count",
+        "lineitem_full_scan", "lineitem_point_filter",
+        "lineitem_sum_orderkey", "nation_presence_full_join",
+        "order_by_limit", "orders_cube", "part_brand_stats",
+        "q18_large_volume", "q21_suppliers_waiting",
+        "q4_order_priority", "scalar_subquery_filter",
+        "semi_anti_join", "simhash_values", "sketch_distinct_bounds",
+        "sketch_quantile_bounds", "text_perplexity_static_lm",
+        "window_topk_per_group",
     }
     in_window = set(window)
     for group, names in [
@@ -194,13 +195,21 @@ def test_vacuous_gate_registry_empty_and_devacuumed():
     return rows at gate scale, and the catalog-wide contract is that
     NO entry may gate an empty result (check_parity fails vacuous
     empties). GATE_MAY_BE_EMPTY must stay empty unless an entry gains
-    a documented empty-by-design gate."""
+    a documented empty-by-design gate. (The r11-specific in-window
+    assertion on the three names is retired: CORRECTNESS_r11 recorded
+    them green at 8/5/5 rows — the de-vacuuming is a driver fact now,
+    checked via gate_age, not a window obligation.)"""
+    import gate_age
+
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
     assert Q.GATE_MAY_BE_EMPTY == frozenset()
+    _, gated_rows, _ = gate_age.last_green_rounds_and_rows()
     for name in ("ngram_jaccard_sampled", "embed_cosine_neardup",
                  "embed_neardup_lsh"):
-        assert name in Q._GATE_WINDOW
+        assert gated_rows.get(name, 0) > 0, (
+            f"{name} last driver-green gated 0 rows — vacuous again"
+        )
 
 
 def test_vacuous_guard_fails_empty_entries(spark, monkeypatch):
