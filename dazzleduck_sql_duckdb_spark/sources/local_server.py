@@ -156,7 +156,19 @@ class _Handler(BaseHTTPRequestHandler):
                 for batch in batches[:trunc]:
                     writer.write_batch(batch)
                 writer.close()
-                sink.write(buf.getvalue().to_pybytes()[:-8])
+                body = buf.getvalue().to_pybytes()
+                # the stripped tail must BE the non-legacy EOS marker
+                # (0xFFFFFFFF continuation + zero length); if pyarrow
+                # ever switches the stream format the torn-stream
+                # simulation must fail loudly, not emit a malformed
+                # prefix (r11 advice #3)
+                eos = b"\xff\xff\xff\xff\x00\x00\x00\x00"
+                assert body[-8:] == eos, (
+                    f"IPC stream tail {body[-8:]!r} != expected EOS"
+                    " marker — stream format drifted; fix the"
+                    " truncation slice"
+                )
+                sink.write(body[:-8])
                 sink.flush()
             else:
                 writer = pa.ipc.new_stream(sink, tbl.schema, options=opts)
@@ -209,21 +221,35 @@ class _Handler(BaseHTTPRequestHandler):
                                       " AS _q").fetchall()
             )
             ecs = _re.findall(r"EC:\s*(\d+)", txt)
+            # Classify EC-less plans by EXPLICIT operator name, not
+            # the 'SCAN' substring (r11 advice #1 — the substring test
+            # was inverted against DuckDB 1.0.0: constant projections
+            # render DUMMY_SCAN, which CONTAINS 'SCAN', so they hit
+            # the hard-fail; parquet reads render READ_PARQUET, which
+            # does NOT, so a format drift dropping the EC line would
+            # have silently collapsed every data plan to one split —
+            # the exact degradation the hard-fail exists to catch).
+            data_read_ops = (
+                "READ_PARQUET", "PARQUET_SCAN", "SEQ_SCAN",
+                "TABLE_SCAN", "READ_CSV", "ARROW_SCAN",
+            )
             if ecs:
                 nrows = int(ecs[0])
-            elif "EMPTY_RESULT" in txt or "SCAN" not in txt:
+            elif not any(op in txt for op in data_read_ops):
                 # legitimately estimate-free plans: the optimizer
                 # proved the result empty (EMPTY_RESULT replaces the
-                # whole tree), or the query reads no table at all
-                # (constant projection) — one split is exactly right
+                # whole tree), or the query reads no stored table at
+                # all (DUMMY_SCAN constant projection,
+                # COLUMN_DATA_SCAN VALUES list) — one split is
+                # exactly right
                 nrows = 0
             else:
-                # a SCANNING plan with no EC line means the EXPLAIN
-                # rendering changed: hard-fail rather than default to
-                # 0 (r10 advice #3) — a DuckDB format change would
-                # otherwise silently collapse every plan to a single
-                # split, a quiet planner degradation instead of a
-                # loud error
+                # a data-READING plan with no EC line means the
+                # EXPLAIN rendering changed: hard-fail rather than
+                # default to 0 (r10 advice #3) — a DuckDB format
+                # change would otherwise silently collapse every plan
+                # to a single split, a quiet planner degradation
+                # instead of a loud error
                 return self._deny(
                     400, "plan error: no EC estimate in EXPLAIN output"
                 )

@@ -133,6 +133,38 @@ def test_exactly_one_of_sql_and_table(registered, server):
         ).count()
 
 
+def test_plan_classifies_estimate_free_vs_data_read(server):
+    """r11 advice #1: /v1/plan classifies EC-less EXPLAIN plans by
+    EXPLICIT operator name, not the 'SCAN' substring. Under DuckDB
+    1.0.0 a constant projection renders DUMMY_SCAN (contains 'SCAN',
+    no EC line) — the substring test 400'd it even though one split
+    is exactly right — while a parquet read renders READ_PARQUET (no
+    'SCAN' substring), so an EC-less scanning plan would have
+    silently collapsed to one split, the degradation the hard-fail
+    exists to catch. Pin both sides: estimate-free plans get exactly
+    one split; a real parquet scan plans from its EC estimate."""
+    from dazzleduck_sql_duckdb_spark.sources.arrow_http import _fetch_plan
+
+    # DUMMY_SCAN (constant projection): estimate-free, one split
+    one = _fetch_plan(server.url, "SELECT 1 AS x", 64 * 500, None)
+    assert len(one) == 1
+    # COLUMN_DATA_SCAN (VALUES list): estimate-free, one split
+    vals = _fetch_plan(
+        server.url, "SELECT * FROM (VALUES (1), (2)) t(x)", 64 * 500, None
+    )
+    assert len(vals) == 1
+    # EMPTY_RESULT (optimizer-proved empty): one split
+    empty = _fetch_plan(
+        server.url, "SELECT 1 AS x WHERE 1 = 0", 64 * 500, None
+    )
+    assert len(empty) == 1
+    # READ_PARQUET: carries an EC estimate -> sized plan, many splits
+    scan = _fetch_plan(
+        server.url, "SELECT * FROM lineitem", 64 * 500, None
+    )
+    assert len(scan) > 1
+
+
 def test_dd_splits_contract(registered, server):
     df = dd_splits(
         registered, server.url, source_table="lineitem", split_size=64 * 500
