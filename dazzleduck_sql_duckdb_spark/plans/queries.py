@@ -100,6 +100,18 @@ def _fold_sum(arr: str, dialect: str, zero: str = "0D") -> str:
     return f"list_reduce(list_prepend({dz}, {arr}), (acc, x) -> acc + x)"
 
 
+def _round6(x: str) -> str:
+    """Branchless sign-symmetric 1e-6 rounding bridge for DOUBLEs —
+    sign(x)*floor(abs(x)*1e6 + 0.5)/1e6, dialect-identical IEEE ops
+    only (abs/*/+/floor/sign), so both engines round the TRUE binary
+    value HALF_UP. Replaces round(DOUBLE, 6), whose semantics diverge
+    at shortest-decimal-repr half boundaries (Spark rounds the
+    shortest repr via BigDecimal.valueOf(Double.toString(x)); DuckDB
+    rounds the binary value — pinned in
+    tests/test_dialect_boundaries.py). r11 verdict directive #5."""
+    return f"sign({x}) * floor(abs({x}) * 1e6 + 0.5) / 1e6"
+
+
 def _dot(a: str, b: str, dialect: str) -> str:
     """Deterministic dot product of two float arrays (exact double fold)."""
     if dialect == SPARK:
@@ -888,17 +900,21 @@ def _q8(d: str) -> str:
     — 8 tables, nation playing TWO roles (customer's region gate,
     supplier's share group) — with a conditional-aggregate share
     ratio. Both sums are EXACT decimal arithmetic (_REV discipline),
-    so the double ratio is bit-identical across engines; rounded at
-    1e-6 anyway. Share group = a nation set (the kit's single nation
-    under-selects the uniform test corpus)."""
+    so the double ratio is bit-identical across engines; snapped to
+    1e-6 via the branchless bridge (_round6 — round(DOUBLE, k)
+    diverges at shortest-repr half boundaries, directive #5). Share
+    group = a nation set (the kit's single nation under-selects the
+    uniform test corpus)."""
     ga = "('NATION_1','NATION_2','NATION_3')"
+    ratio = (
+        f"(CAST(sum(CASE WHEN n2.n_name IN {ga} THEN {_REV}"
+        f" ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)"
+        f" / CAST(sum({_REV}) AS DOUBLE))"
+    )
     return f"""
 SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
   CAST(count(*) AS BIGINT) AS n_lines,
-  CAST(round(
-    CAST(sum(CASE WHEN n2.n_name IN {ga} THEN {_REV}
-             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-    / CAST(sum({_REV}) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+  CAST({_round6(ratio)} AS DOUBLE) AS mkt_share
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -2397,8 +2413,10 @@ def _perplexity_bigram(d: str) -> str:
     half (odd doc_ids) is scored by average transition NLL. Catches
     scrambled/unnatural token ORDER that any unigram model is blind
     to, which is exactly why production pipelines use n-gram LMs.
-    Log space + round(6) absorbs cross-engine ln/summation last-ulp
-    drift (the text_perplexity determinism argument).
+    Log space + the 1e-6 branchless bridge (_round6) absorbs
+    cross-engine ln/summation last-ulp drift (the text_perplexity
+    determinism argument) without round(DOUBLE, k)'s shortest-repr
+    boundary divergence (directive #5).
 
     Scale: bigram production is codegen (posexplode + one array
     index, no interpreted lambda); the transition-count and
@@ -2440,8 +2458,7 @@ voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
         FROM toks WHERE doc_id % 2 = 0)
 SELECT s.doc_id,
   CAST(count(*) AS BIGINT) AS n_transitions,
-  round(avg(-ln((coalesce(b.c, 0) + 1.0)
-               / (coalesce(u.cu, 0) + voc.v))), 6) AS avg_nll
+  {_round6("avg(-ln((coalesce(b.c, 0) + 1.0) / (coalesce(u.cu, 0) + voc.v)))")} AS avg_nll
 FROM (SELECT * FROM big WHERE doc_id % 2 = 1) s
 LEFT JOIN bcnt b ON s.t1 = b.t1 AND s.t2 = b.t2
 LEFT JOIN ucnt u ON s.t1 = u.t1

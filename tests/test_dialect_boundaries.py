@@ -197,3 +197,30 @@ def test_double_round_shortest_repr_boundary_diverges(sview, duck):
             f"{0 if want is not None else 2})"
         ).fetchall()[0][0]
         assert repr(sv) == repr(dv)
+
+
+def test_branchless_round_bridge_agrees_on_divergent_boundary(sview, duck):
+    """The migration target for the exposed round(DOUBLE, k) sites
+    (r11 directive #5): the sign-symmetric branchless bridge
+    sign(x)*floor(abs(x)*1eK + 0.5)/1eK uses only dialect-identical
+    IEEE ops, so both engines round the TRUE binary value HALF_UP —
+    including at the exact boundary where native round() diverges
+    (1.005 at k=2: Spark 1.01, DuckDB 1.0, pinned above; the bridge
+    gives 1.0 in BOTH). plans/queries.py::_round6 is this bridge at
+    k=6."""
+    from dazzleduck_sql_duckdb_spark.plans.queries import _round6
+
+    for lit in ("1.005", "-1.005", "0.1234565", "2.5e-7", "NULL"):
+        x = f"CAST({lit} AS DOUBLE)"
+        bridge2 = f"sign({x}) * floor(abs({x}) * 1e2 + 0.5) / 1e2"
+        sv = sview.sql(f"SELECT {bridge2} AS r").collect()[0]["r"]
+        dv = duck.execute(f"SELECT {bridge2}").fetchall()[0][0]
+        assert repr(sv) == repr(dv), (lit, sv, dv)
+        b6 = _round6(x)
+        sv6 = sview.sql(f"SELECT {b6} AS r").collect()[0]["r"]
+        dv6 = duck.execute(f"SELECT {b6}").fetchall()[0][0]
+        assert repr(sv6) == repr(dv6), (lit, sv6, dv6)
+    # the k=2 boundary value itself: bridge == DuckDB's binary-value
+    # rounding, NOT Spark's shortest-repr 1.01
+    b = "sign(CAST(1.005 AS DOUBLE)) * floor(abs(CAST(1.005 AS DOUBLE)) * 1e2 + 0.5) / 1e2"
+    assert sview.sql(f"SELECT {b} AS r").collect()[0]["r"] == 1.0
