@@ -212,6 +212,56 @@ def test_vacuous_gate_registry_empty_and_devacuumed():
         )
 
 
+def test_decimal_export_guard_fails_decimal_probe(spark, monkeypatch):
+    """r11 verdict directive #2: the confirmed split-dec root-cause
+    class — a python Decimal crossing the driver's hasher — must be an
+    executable guard, not a convention. run_parity against a probe
+    entry whose Spark output schema is DecimalType must FAIL with the
+    decimal-export marker even though the VALUES match the oracle
+    exactly (that is the insidious case: locally repr-equal, driver
+    hash-red); the real catalog is covered by the full parity gate
+    running the same guard over all 127 entries."""
+    import __spark_entry__ as E
+
+    def fake_queries():
+        return {
+            "stub_decimal": lambda s, sf: s.sql(
+                "SELECT CAST(1.5 AS DECIMAL(18,4)) AS x"
+            )
+        }
+
+    def fake_oracles():
+        return {"stub_decimal": "SELECT CAST(1.5 AS DECIMAL(18,4)) AS x"}
+
+    monkeypatch.setattr(E, "queries", fake_queries)
+    monkeypatch.setattr(E, "oracle_sql", fake_oracles)
+    n_pass, n_fail, failures = run_parity(
+        spark, SF_DIR, only={"stub_decimal"}, verbose=False
+    )
+    assert n_fail == 1 and "decimal export" in failures[0][1]
+    assert "x" in failures[0][1]
+
+    # row-level arm: a schema that hides the Decimal from the field
+    # list (e.g. via a python-side collect quirk) is still caught by
+    # the cell scan — simulate with a MAP value carrying a Decimal
+    def fake_queries_nested():
+        return {
+            "stub_decimal_nested": lambda s, sf: s.sql(
+                "SELECT array(CAST(1.5 AS DECIMAL(18,4))) AS xs"
+            )
+        }
+
+    monkeypatch.setattr(E, "queries", fake_queries_nested)
+    monkeypatch.setattr(
+        E, "oracle_sql",
+        lambda: {"stub_decimal_nested": "SELECT [1.5] AS xs"},
+    )
+    n_pass, n_fail, failures = run_parity(
+        spark, SF_DIR, only={"stub_decimal_nested"}, verbose=False
+    )
+    assert n_fail == 1 and "decimal export" in failures[0][1]
+
+
 def test_vacuous_guard_fails_empty_entries(spark, monkeypatch):
     """The guard that makes 0-row gates impossible must itself be
     pinned: run_parity against a stub entry whose Spark result AND

@@ -48,6 +48,18 @@ def duck_connect(sf_dir: str):
     return con
 
 
+from decimal import Decimal as _Decimal
+
+
+def _decimal_columns(schema) -> list[str]:
+    """Top-level field names whose type mentions a decimal ANYWHERE
+    (nested included — simpleString renders e.g. array<decimal(38,4)>)."""
+    return [
+        f.name for f in schema.fields
+        if "decimal(" in f.dataType.simpleString()
+    ]
+
+
 def _may_be_empty() -> frozenset:
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
@@ -80,6 +92,24 @@ def run_parity(spark, sf_dir: str, only: set[str] | None = None,
         except Exception as e:
             log(f"FAIL {name}: SPARK ERROR {str(e)[:300]}")
             failures.append((name, f"spark error: {e}"))
+            n_fail += 1
+            continue
+        dec_cols = _decimal_columns(sdf.schema)
+        if dec_cols or any(
+            isinstance(v, _Decimal) for r in srows for v in r
+        ):
+            # Decimal-export guard (r11 verdict directive #2): the
+            # split_dec two-round red's confirmed root-cause class is
+            # a python Decimal crossing the DRIVER's hasher (it
+            # normalizes Decimal differently than repr), which would
+            # silently re-red ANY future entry gating a decimal
+            # column. Decimal work stays in-plan; gated values leave
+            # the plan as canonical strings (the split-dec
+            # discipline) or doubles.
+            log(f"FAIL {name}: DECIMAL EXPORT (cols {dec_cols or '-'})"
+                " — gate decimals as canonical strings, not"
+                " DecimalType/decimal.Decimal")
+            failures.append((name, f"decimal export: {dec_cols}"))
             n_fail += 1
             continue
         if not srows and name not in _may_be_empty():
