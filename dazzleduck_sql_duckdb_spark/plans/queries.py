@@ -3733,7 +3733,8 @@ def _remote_scan_dsv2_split_dec(d: str) -> str:
     streaming raw rows, Spark aggregates — no aggregation pushdown at
     all) — and the builder collects the values EAGERLY, writes them
     plus per-split partial sums, the in-process direct-parquet oracle
-    answer, and per-path match booleans to ARTIFACTS/split_dec_r11.json
+    answer, and per-path match booleans to ARTIFACTS/split_dec_r{NN}.json
+    (round-keyed by the window ratchet constant)
     (the driver commits uncommitted files at round end, so a red
     verdict now ships the exact driver-environment values), then
     returns the collected rows as a literal DataFrame so the hashed

@@ -24,6 +24,39 @@ JOIN_RE = re.compile(
     r"BroadcastNestedLoopJoin|CartesianProduct)"
 )
 
+# SortMergeJoin-by-design allowlist (r11 verdict "what's wrong" #2:
+# "0 SMJ" was false as written — SMJ on compact keys is exactly what
+# survives 100x; the executable claim is "0 SMJ REGRESSIONS": any SMJ
+# appearing OUTSIDE this list fails the audit, so a planner or code
+# change that silently demotes a broadcast join to a shuffle join is
+# loud). entry -> why SMJ is the scale-correct strategy there.
+SMJ_BY_DESIGN = {
+    "bucketed_join_rollup": (
+        "co-bucketed zero-exchange join IS an SMJ (bucket layout"
+        " makes the sort+merge exchange-free)"
+    ),
+    "nation_presence_full_join": (
+        "FULL OUTER cannot broadcast; SMJ is Spark's only strategy"
+    ),
+    "dedup_canonical_corpus": (
+        "pointer-doubling self-joins on 8-byte cluster keys — the"
+        " scale-correct join for a corpus-sized table on both sides"
+    ),
+    "dedup_components": (
+        "same pointer-doubling kernel as dedup_canonical_corpus"
+        " (no SMJ at audit scale today — AQE broadcasts the small"
+        " side — but the join legitimately becomes SMJ at scale)"
+    ),
+    "events_activity_range_join": (
+        "range join on a corpus-sized build side; sorted merge over"
+        " the bucketized range keys"
+    ),
+    "embed_ann_ivfpq_recall": (
+        "recall self-differential joins two corpus-sized rankings"
+        " on 8-byte (doc_id, rank) keys"
+    ),
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -33,7 +66,8 @@ def main() -> int:
 
     spark = get_spark(app_name="plan_audit")
     qs = E.queries()
-    hdr = f"{'query':38} {'joins':28} {'exch':>4} {'py':>3} {'gen':>3}  scans(read cols)"
+    hdr = (f"{'query':38} {'joins':28} {'exch':>4} {'py':>3} {'gen':>3}"
+           f" {'smj':>10}  scans(read cols)")
     print(hdr)
     print("-" * len(hdr))
     flagged = []
@@ -61,7 +95,19 @@ def main() -> int:
             for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p)
         ]
         scans = "+".join(str(r) for r in reads) or "-"
-        print(f"{name:38} {jshort or '-':28} {n_exch:>4} {py:>3} {gen:>3}  {scans}")
+        n_smj = joins.count("SortMergeJoin")
+        if n_smj == 0:
+            smj_col = "-"
+        elif name in SMJ_BY_DESIGN:
+            smj_col = "by-design"
+        else:
+            smj_col = "REGRESSION"
+            flagged.append(
+                (name, f"SMJ regression ({n_smj} SortMergeJoin not in"
+                       " SMJ_BY_DESIGN)")
+            )
+        print(f"{name:38} {jshort or '-':28} {n_exch:>4} {py:>3} {gen:>3}"
+              f" {smj_col:>10}  {scans}")
         if "CartesianProduct" in p:
             flagged.append((name, "CartesianProduct"))
     if flagged:
