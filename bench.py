@@ -111,19 +111,27 @@ def run_spark_bench(sf_dir: str, spark=None) -> dict[str, float]:
         "noop"
     ).mode("overwrite").save()
 
-    # catalog-wide untimed warm pass: every timed query's FIRST execution
-    # pays its Janino whole-stage-codegen compile (~0.3-1.5s measured at
-    # sf0.1, landing on whichever query runs first after a cache miss) —
-    # a constant that long-lived cluster executors amortize away. Run
-    # each benched query once untimed so the timed loop measures
-    # steady-state plan execution, the same state the DuckDB side's
-    # median-of-3 reports. Needs spark.sql.codegen.cache.maxEntries
-    # sized to the catalog (session.py) or the warm pass self-evicts.
-    for name in names:
-        queries[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        spark.catalog.clearCache()
+    # catalog-wide untimed warm passes: every timed query's FIRST
+    # execution pays its Janino whole-stage-codegen compile (~0.3-1.5s
+    # measured at sf0.1, landing on whichever query runs first after a
+    # cache miss) — a constant that long-lived cluster executors
+    # amortize away. TWO passes, not one: the r12 interleaved A/B
+    # (tools/bench_ab.py, BENCH_AB.md) measured the full headline set
+    # still dropping through sweeps 2-3 after a single warm pass
+    # (19.4s -> 16.9s -> 16.8s -> 15.7s, then FLAT to 0.8% across
+    # sweeps 4-6) — HotSpot C2 tiers keep recompiling hot loops for
+    # ~3 full passes. With two untimed passes the three timed runs all
+    # land in the steady-state window instead of straddling the JIT
+    # ramp, which both lowers the median and removes the largest
+    # machine-visible variance term. Needs
+    # spark.sql.codegen.cache.maxEntries sized to the catalog
+    # (session.py) or the warm pass self-evicts.
+    for _ in range(2):
+        for name in names:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.catalog.clearCache()
 
     # Timed discipline: MEDIAN OF 3 post-warm runs per query — the
     # symmetric twin of the DuckDB baseline's median-of-3 (a single
