@@ -3575,7 +3575,7 @@ def _remote_scan_dsv2(d: str) -> str:
     base = (
         "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,"
         " CAST(sum(o_custkey) AS BIGINT) AS sum_ckey,"
-        " round(avg(o_custkey), 6) AS avg_ckey"
+        f" {_round6('avg(o_custkey)')} AS avg_ckey"
         " FROM orders"
         " WHERE o_totalprice > 50000 AND o_orderstatus = 'F'"
         " GROUP BY o_orderpriority"
@@ -3629,7 +3629,7 @@ def _build_remote_scan_dsv2(spark, sf_dir: str):
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n"),
                 F.sum("o_custkey").cast("long").alias("sum_ckey"),
-                F.round(F.avg("o_custkey"), 6).alias("avg_ckey"),
+                F.expr(_round6("avg(o_custkey)")).alias("avg_ckey"),
             )
         )
 
@@ -3679,7 +3679,8 @@ def _build_remote_scan_dsv2(spark, sf_dir: str):
         (str(p), int(n), int(s), float(a))
         for p, n, s, a in con.sql(
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT),"
-            " CAST(sum(o_custkey) AS BIGINT), round(avg(o_custkey), 6)"
+            " CAST(sum(o_custkey) AS BIGINT),"
+            f" {_round6('avg(o_custkey)')}"
             " FROM orders"
             " WHERE o_totalprice > 50000 AND o_orderstatus = 'F'"
             " GROUP BY o_orderpriority"
@@ -5246,7 +5247,12 @@ def oracle_sql_for(name: str) -> str:
 #         round(DOUBLE, k) sites migrated to the sign-symmetric
 #         branchless bridge sign(x)*floor(abs(x)*1eK + 0.5)/1eK
 #         (directive #5; round-boundary fact pinned in
-#         tests/test_dialect_boundaries.py).
+#         tests/test_dialect_boundaries.py); remote_scan_dsv2's
+#         avg_ckey migrated too (in-window + already changed, so the
+#         churn objection lapsed). Remaining round(DOUBLE,6) sites
+#         (text_perplexity, text_tfidf_topk) are OUT of this window
+#         and deliberately untouched — the window policy forbids
+#         changing entries the window cannot gate.
 #   (b) staleness rotation: the r9-vintage cohort (42 entries, the
 #       oldest rows in GATE_AGE.md post-r11). 42 + the 9 non-r9
 #       changed entries above = 51 > 50, so ONE r9 entry is deferred
