@@ -5271,8 +5271,12 @@ def oracle_sql_for(name: str) -> str:
 # inside the full suite: 401 passed, 2 skipped, 0 failed (both
 # round-boundary ratchets green at 12). Full catalog at sf0.1 (10x
 # gate scale, minus the four deliberately-n^2 oracle formulations):
-# 120 hash-green + 3 rows-only, 0 failed. Fresh-seed fuzz: 360
-# queries across six families, 0 divergences. Plan audit: 0
+# 120 hash-green + 3 rows-only, 0 failed. THREE consecutive window
+# replications 50/50 (47 hashed + 3 rows-only each). Fresh-seed fuzz:
+# three batches, 1080 queries across six families, 0 divergences.
+# Randomized property suites (bloom laws, dedup/join/agg-pushdown
+# differentials, union-find, arrow source): 3 x 28 passed on fresh
+# hypothesis examples. stress_split_dec busy-session: 0/8 mismatches. Plan audit: 0
 # CartesianProduct, 0 SMJ regressions (5 by-design). Bench on the
 # final tree, quiet host: bench.py 21.56s total / 14.22s ex-n^2 over
 # the 53-query headline set (r10 driver: 21.37s — the directive-#3
