@@ -424,3 +424,79 @@ def test_exists_fuzz(engines):
         sql = exists_select(rng)
         got, want = _run_both(engines, sql)
         assert got == want, f"exists divergence at #{idx}:\n{sql}\nspark={got}\nduck={want}"
+
+
+# ------------------------------------------------------ set-op fuzz
+#
+# UNION / INTERSECT / EXCEPT in both DISTINCT and ALL (bag) forms over
+# generated typed arms — NULL-equality in set-op semantics (standard:
+# NULLs compare equal here, unlike WHERE), bag-difference counting,
+# and cross-arm type alignment. The right arm reads fuzz_b through a
+# column-remap subquery so both generator vocabularies resolve while
+# the NULL patterns differ across arms.
+
+SETOPS = ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+          "EXCEPT", "EXCEPT ALL"]
+
+
+def setop_select(rng: random.Random) -> str:
+    op = rng.choice(SETOPS)
+    left = int_expr(rng, rng.randint(1, 3))
+    right = int_expr(rng, rng.randint(1, 3))
+    ls = str_expr(rng, 2)
+    rs = str_expr(rng, 2)
+    return (
+        f"SELECT CAST({left} AS BIGINT) AS v, length({ls}) AS w"
+        f" FROM fuzz_t {op} "
+        f"SELECT CAST({right} AS BIGINT) AS v, length({rs}) AS w"
+        f" FROM (SELECT id, k AS i, m AS j, u AS s FROM fuzz_b) _rb"
+    )
+
+
+def test_setop_fuzz(engines):
+    rng = random.Random(0x5E70B5ED)
+    for idx in range(30):
+        sql = setop_select(rng)
+        got, want = _run_both(engines, sql)
+        assert got == want, (
+            f"setop divergence at #{idx}:\n{sql}\nspark={got}\nduck={want}"
+        )
+
+
+# ------------------------------------------------------ having fuzz
+#
+# GROUP BY a generated int expression (NULL keys group together on
+# both engines) with a generated HAVING over aggregates — the
+# post-aggregation filter path (partial agg -> merge -> filter), and
+# count(*) vs count(expr) NULL-skipping under the same predicate.
+
+
+def having_select(rng: random.Random) -> str:
+    grp = int_expr(rng, 2)
+    body = int_expr(rng, rng.randint(1, 3))
+    aux = int_expr(rng, 2)
+    cmp_op = rng.choice([">", "<", ">=", "<=", "<>", "="])
+    thresh = rng.randint(-5, 5)
+    having = rng.choice([
+        f"count(*) {cmp_op} {abs(thresh)}",
+        f"CAST(sum({aux}) AS BIGINT) {cmp_op} {thresh}",
+        f"CAST(min({aux}) AS BIGINT) {cmp_op} CAST(max({aux}) AS BIGINT)",
+    ])
+    return (
+        f"SELECT CAST({grp} AS BIGINT) AS g,"
+        f" CAST(count({body}) AS BIGINT) AS c,"
+        f" CAST(sum({body}) AS BIGINT) AS sm,"
+        f" CAST(min({body}) AS BIGINT) AS mn,"
+        f" CAST(max({body}) AS BIGINT) AS mx"
+        f" FROM fuzz_t GROUP BY CAST({grp} AS BIGINT) HAVING {having}"
+    )
+
+
+def test_having_fuzz(engines):
+    rng = random.Random(0x6A71B06F)
+    for idx in range(30):
+        sql = having_select(rng)
+        got, want = _run_both(engines, sql)
+        assert got == want, (
+            f"having divergence at #{idx}:\n{sql}\nspark={got}\nduck={want}"
+        )
