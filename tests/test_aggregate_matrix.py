@@ -50,6 +50,14 @@ AGGS = [
     ("max({c})", None),
     ("sum({c})", "DECIMAL(38,10)"),
     ("avg({c})", "DOUBLE"),
+    # moment aggregates (r12 widening): explicit _samp/_pop names are
+    # ANSI-shared; both engines return DOUBLE. Probed 4x10 cells at
+    # 1e-9 rel before pinning (Welford-vs-textbook accumulation can
+    # differ in the last ulps, hence the approx compare in _check).
+    ("stddev_samp({c})", "DOUBLE"),
+    ("stddev_pop({c})", "DOUBLE"),
+    ("var_samp({c})", "DOUBLE"),
+    ("var_pop({c})", "DOUBLE"),
 ]
 
 NUMERIC_COLS = ["i8", "i16", "i32", "i64", "f32", "f64",
@@ -98,8 +106,8 @@ def test_agg_type_matrix(engines, col, agg, cast):
 
 @pytest.mark.parametrize("agg,cast", AGGS)
 def test_varchar_aggs(engines, agg, cast):
-    if "sum" in agg or "avg" in agg:
-        pytest.skip("no sum/avg over VARCHAR")
+    if any(k in agg for k in ("sum", "avg", "stddev", "var_")):
+        pytest.skip("no numeric aggregates over VARCHAR")
     spark, con = engines
     _check(spark, con, agg.format(c="s") if not cast else
            f"CAST({agg.format(c='s')} AS {cast})")
