@@ -67,19 +67,17 @@ def test_prepare_pins_utc_session_timezone(spark):
 
 
 def test_gate_window_covers_every_family():
-    """Round-12 window contract (the driver gates the FIRST 50 catalog
-    entries): every entry round 12 changes — the round-keyed split-dec
-    forensic artifact plus its extension to the other two shim-gated
-    entries (r11 directive #7), the local_server.py advice fixes
-    (/v1/plan operator-name classification, torn-stream EOS assert)
-    touching every remote entry, and the two round(DOUBLE, k) ->
-    branchless-bridge migrations (directive #5) — then the staleness
-    rotation: the r9-vintage cohort (oldest in GATE_AGE.md post-r11)
-    minus ONE deferred twin (events_sessionize_native; its twin
-    events_sessionize stays in, staleness 3 == the bound, first
-    priority for r13). remote_scan_dsv2_split_dec stays IN per
-    directive #1: a second consecutive green is what confirms the
-    python-Decimal-export root cause."""
+    """Round-13 window contract (the driver gates the FIRST 50 catalog
+    entries): every entry round 13 changes — the three formerly
+    rows-only entries restructured into hash-gateable differential
+    contracts (r12 directive #2 option b), the four remaining
+    round(DOUBLE,k) -> branchless-bridge migrations (directive #3's
+    grep-based Done condition catches q9/q17 too), and the eight
+    remote entries whose harness local_server.py + the forensic
+    writer touch again this round (r12 advice #1/#3/#4) — then the
+    staleness rotation: events_sessionize_native (deferred from r12,
+    staleness 4, first priority) + the ENTIRE r10-vintage cohort
+    (oldest in GATE_AGE.md post-r12). 15 + 1 + 34 = 50 exactly."""
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
     window = Q._GATE_WINDOW
@@ -87,40 +85,42 @@ def test_gate_window_covers_every_family():
     assert len(set(window)) == 50
     assert list(Q.CATALOG)[:50] == window
     changed_or_new = {
-        "remote_scan_dsv2_split_dec",   # round-keyed artifact; kept in
-        "remote_scan_dsv2",             # forensic artifact extension
-        "remote_scan_split_agg",        # forensic artifact extension
+        "embed_ann_ivf_probed",         # restructured: per-query diff
+        "embed_ann_ivfpq",              # restructured: per-query diff
+        "embed_semantic_dedup",         # restructured: precision+recall
+        "text_perplexity",              # round(DOUBLE,6) -> bridge
+        "text_tfidf_topk",              # round(DOUBLE,6) -> bridge
+        "q9_product_profit",            # round(DOUBLE,4) -> bridge
+        "q17_small_quantity",           # round(DOUBLE,6) -> bridge
+        "remote_scan_dsv2_split_dec",   # local_server + forensic writer
+        "remote_scan_dsv2",             # local_server + forensic writer
+        "remote_scan_split_agg",        # local_server + forensic writer
         "remote_scan_failover",         # local_server advice fixes
-        "remote_splits_plan",           # /v1/plan operator-name classify
+        "remote_splits_plan",           # /v1/plan structural classify
         "remote_scan_filter_pushdown",  # local_server advice fixes
         "remote_agg_pushdown",          # local_server advice fixes
         "remote_login_scan",            # local_server advice fixes
-        "text_perplexity_bigram",       # round(DOUBLE,6) -> bridge
-        "q8_market_share",              # round(DOUBLE,6) -> bridge
     }
     rotation = {
-        # the r9-vintage cohort (GATE_AGE.md post-r11, last green r9)
-        # minus text_perplexity_bigram (counted above) and minus the
-        # deferred events_sessionize_native (see window derivation)
-        "cast_matrix", "cte_union_all", "dedup_exact_substring",
-        "distinct_rows", "embed_ann_ivf_fullprobe",
-        "embed_ann_ivf_probed", "embed_ann_ivfpq",
-        "embed_ann_ivfpq_fullprobe", "embed_ann_ivfpq_recall",
-        "embed_ann_recall", "embed_knn_bruteforce",
-        "embed_semantic_dedup", "embed_semantic_dedup_exact",
-        "embed_semantic_dedup_recall", "empty_set_laws",
-        "events_count_distinct", "events_funnel",
-        "events_grouping_sets", "events_json_extract",
-        "events_sessionize", "events_view_click_attribution",
-        "layout_zorder", "lineitem_date_filter_count",
-        "lineitem_full_scan", "lineitem_point_filter",
-        "lineitem_sum_orderkey", "nation_presence_full_join",
-        "order_by_limit", "orders_cube", "part_brand_stats",
-        "q18_large_volume", "q21_suppliers_waiting",
-        "q4_order_priority", "scalar_subquery_filter",
-        "semi_anti_join", "simhash_values", "sketch_distinct_bounds",
-        "sketch_quantile_bounds", "text_perplexity_static_lm",
-        "window_topk_per_group",
+        # the r12-deferred twin + the entire r10-vintage cohort
+        # (GATE_AGE.md post-r12, last green r10)
+        "events_sessionize_native",
+        "bloom_no_false_negatives", "cross_source_contamination_chunked",
+        "dd_array_contains_all", "dd_array_contains_all_fn",
+        "dd_version", "dedup_components", "dedup_exact",
+        "dedup_minhash_auto", "dedup_minhash_recall_held",
+        "dedup_simhash", "docs_length_quantiles",
+        "docs_shard_assignment", "docs_stratified_sample",
+        "events_activity_range_join", "events_type_pivot",
+        "lineitem_count", "lineitem_projection",
+        "lineitem_range_filter", "multimodal_media_keys",
+        "multimodal_png_features", "null_laws",
+        "orders_running_totals", "orders_set_ops", "pack_sequences",
+        "q10_returned_items", "q19_disjunctive_join",
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_regional_volume", "q7_volume_shipping",
+        "skew_salted_join_agg", "text_fingerprint", "text_redact_pii",
+        "try_cast_matrix",
     }
     in_window = set(window)
     for group, names in [
@@ -177,8 +177,8 @@ def test_gate_age_staleness_bound():
     once an entry has EVER been driver-green, its last-green round may
     trail the latest driver round by at most 3 — the window rotation
     must keep the tail fresh, and this assert turns silent decay into
-    a suite failure. (Never-gated entries are the documented
-    ORACLE_SKIP/no-oracle set, covered by their twin entries.)"""
+    a suite failure. (ORACLE_SKIP has been empty since r13 — every
+    catalog entry ships an oracle and hash-gates.)"""
     import gate_age
 
     ages, latest = gate_age.last_green_rounds()
@@ -260,6 +260,24 @@ def test_decimal_export_guard_fails_decimal_probe(spark, monkeypatch):
         spark, SF_DIR, only={"stub_decimal_nested"}, verbose=False
     )
     assert n_fail == 1 and "decimal export" in failures[0][1]
+
+
+def test_decimal_cell_scan_recurses_into_containers():
+    """r12 advice #2: the nested run_parity case above is caught by
+    the SCHEMA arm (array<decimal(...)> renders in simpleString), so
+    it never proved the cell scan handles containers. Pin the cell
+    scan directly: a Decimal nested inside list/tuple/dict cells —
+    including as a dict KEY — must register, and decimal-free nests
+    must not."""
+    from decimal import Decimal
+
+    from check_parity import _contains_decimal
+
+    assert _contains_decimal(Decimal("1.5"))
+    assert _contains_decimal([1, [2, Decimal("1.5")]])
+    assert _contains_decimal((None, {"k": Decimal("0")}))
+    assert _contains_decimal({Decimal("2"): "v"})
+    assert not _contains_decimal([1, (2.5, {"k": "v"}), None])
 
 
 def test_vacuous_guard_fails_empty_entries(spark, monkeypatch):

@@ -60,6 +60,24 @@ def _decimal_columns(schema) -> list[str]:
     ]
 
 
+def _contains_decimal(v) -> bool:
+    """True if a decimal.Decimal hides anywhere in a cell value —
+    recursing into list/map/struct containers (r12 advice #2: the
+    previous top-level isinstance scan missed a Decimal nested inside
+    a list/map cell, leaving only the schema-string check to catch
+    it; now both arms cover nested shapes). pyspark Rows are tuple
+    subclasses, so the sequence arm covers structs."""
+    if isinstance(v, _Decimal):
+        return True
+    if isinstance(v, dict):
+        return any(
+            _contains_decimal(x) for kv in v.items() for x in kv
+        )
+    if isinstance(v, (list, tuple)):
+        return any(_contains_decimal(x) for x in v)
+    return False
+
+
 def _may_be_empty() -> frozenset:
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
@@ -96,7 +114,7 @@ def run_parity(spark, sf_dir: str, only: set[str] | None = None,
             continue
         dec_cols = _decimal_columns(sdf.schema)
         if dec_cols or any(
-            isinstance(v, _Decimal) for r in srows for v in r
+            _contains_decimal(v) for r in srows for v in r
         ):
             # Decimal-export guard (r11 verdict directive #2): the
             # split_dec two-round red's confirmed root-cause class is
