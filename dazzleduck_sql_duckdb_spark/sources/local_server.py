@@ -40,6 +40,69 @@ import pyarrow.ipc
 DEFAULT_SPLIT_SIZE = 1 << 20  # bytes, used when no x-dd-split-size header
 MAX_SPLITS = 32
 
+# /v1/plan EC-less classification (r12 advice #1). Operators that READ
+# stored data: an EC-less plan containing one means the EXPLAIN
+# rendering drifted — hard-fail, never a one-split collapse.
+DATA_READ_OPS = frozenset({
+    "READ_PARQUET", "PARQUET_SCAN", "SEQ_SCAN",
+    "TABLE_SCAN", "READ_CSV", "ARROW_SCAN", "READ_JSON",
+})
+# Operators that legitimately carry no cardinality estimate in DuckDB
+# 1.0's EXPLAIN: constant/VALUES plans and the stateless shapes that
+# can sit above them. Anything outside BOTH lists 400s loudly.
+ESTIMATE_FREE_OPS = frozenset({
+    "DUMMY_SCAN", "EMPTY_RESULT", "COLUMN_DATA_SCAN",
+    "PROJECTION", "FILTER", "UNGROUPED_AGGREGATE", "HASH_GROUP_BY",
+    "ORDER_BY", "TOP_N", "LIMIT", "STREAMING_LIMIT", "CROSS_PRODUCT",
+    "UNION",
+})
+
+
+def _plan_operator_names(explain_txt: str) -> list[str]:
+    """Operator names parsed STRUCTURALLY from DuckDB's rendered
+    EXPLAIN boxes: each operator's name is the single uppercase token
+    on the line directly below a box's top border ('┌───┐'). Content
+    lines (projected columns, filters, string literals) never match —
+    they sit below the '─ ─ ─' separator and rarely form a bare
+    [A-Z_]+ token, and literals keep their quotes."""
+    import re
+
+    lines = explain_txt.splitlines()
+    ops = []
+    for i, ln in enumerate(lines):
+        if ln.lstrip().startswith("┌") and i + 1 < len(lines):
+            m = re.match(r"^\s*│\s*([A-Z][A-Z0-9_]*)\s*│", lines[i + 1])
+            if m:
+                ops.append(m.group(1))
+    return ops
+
+
+def _plan_rows_estimate(explain_txt: str) -> int:
+    """Cardinality estimate for split planning from a rendered EXPLAIN
+    (r12 advice #1 — pure and unit-testable so every branch, including
+    the unknown-operator hard-fail, is pinned without forcing DuckDB
+    to render exotic plans). Returns the topmost EC when present, 0
+    for known estimate-free constant plans; raises ValueError (the
+    handler 400s) when a data-reading operator carries no EC or when
+    an EC-less plan contains an operator neither allowlist knows."""
+    import re
+
+    ecs = re.findall(r"EC:\s*(\d+)", explain_txt)
+    if ecs:
+        return int(ecs[0])
+    plan_ops = _plan_operator_names(explain_txt)
+    if any(op in DATA_READ_OPS for op in plan_ops):
+        raise ValueError("no EC estimate in EXPLAIN output")
+    if plan_ops and all(op in ESTIMATE_FREE_OPS for op in plan_ops):
+        return 0
+    unknown = [
+        op for op in plan_ops if op not in ESTIMATE_FREE_OPS
+    ] or ["<no operators parsed>"]
+    raise ValueError(
+        "EC-less plan with unknown operator(s) "
+        + ",".join(sorted(set(unknown)))
+    )
+
 
 class _Handler(BaseHTTPRequestHandler):
     server: "ArrowTestServer"
@@ -163,11 +226,17 @@ class _Handler(BaseHTTPRequestHandler):
                 # simulation must fail loudly, not emit a malformed
                 # prefix (r11 advice #3)
                 eos = b"\xff\xff\xff\xff\x00\x00\x00\x00"
-                assert body[-8:] == eos, (
-                    f"IPC stream tail {body[-8:]!r} != expected EOS"
-                    " marker — stream format drifted; fix the"
-                    " truncation slice"
-                )
+                if body[-8:] != eos:
+                    # explicit raise, not assert: the guard must
+                    # survive python -O, which strips asserts and
+                    # would silently revert to blind [:-8] slicing —
+                    # the exact failure mode this check makes loud
+                    # (r12 advice #3)
+                    raise RuntimeError(
+                        f"IPC stream tail {body[-8:]!r} != expected"
+                        " EOS marker — stream format drifted; fix"
+                        " the truncation slice"
+                    )
                 sink.write(body[:-8])
                 sink.flush()
             else:
@@ -214,45 +283,24 @@ class _Handler(BaseHTTPRequestHandler):
             # split-count contract remote_splits_plan's oracle pins)
             # and a selectivity estimate under filters — fine for a
             # byte-size heuristic.
-            import re as _re
-
             txt = "\n".join(
                 t for _, t in con.sql(f"EXPLAIN SELECT * FROM ({sql})"
                                       " AS _q").fetchall()
             )
-            ecs = _re.findall(r"EC:\s*(\d+)", txt)
-            # Classify EC-less plans by EXPLICIT operator name, not
-            # the 'SCAN' substring (r11 advice #1 — the substring test
-            # was inverted against DuckDB 1.0.0: constant projections
-            # render DUMMY_SCAN, which CONTAINS 'SCAN', so they hit
-            # the hard-fail; parquet reads render READ_PARQUET, which
-            # does NOT, so a format drift dropping the EC line would
-            # have silently collapsed every data plan to one split —
-            # the exact degradation the hard-fail exists to catch).
-            data_read_ops = (
-                "READ_PARQUET", "PARQUET_SCAN", "SEQ_SCAN",
-                "TABLE_SCAN", "READ_CSV", "ARROW_SCAN",
-            )
-            if ecs:
-                nrows = int(ecs[0])
-            elif not any(op in txt for op in data_read_ops):
-                # legitimately estimate-free plans: the optimizer
-                # proved the result empty (EMPTY_RESULT replaces the
-                # whole tree), or the query reads no stored table at
-                # all (DUMMY_SCAN constant projection,
-                # COLUMN_DATA_SCAN VALUES list) — one split is
-                # exactly right
-                nrows = 0
-            else:
-                # a data-READING plan with no EC line means the
-                # EXPLAIN rendering changed: hard-fail rather than
-                # default to 0 (r10 advice #3) — a DuckDB format
-                # change would otherwise silently collapse every plan
-                # to a single split, a quiet planner degradation
-                # instead of a loud error
-                return self._deny(
-                    400, "plan error: no EC estimate in EXPLAIN output"
-                )
+            # Classify EC-less plans STRUCTURALLY: operator names are
+            # the header line of each rendered plan box (the line
+            # directly under a '┌───┐' border), never projection
+            # content — so a string literal like 'READ_PARQUET'
+            # inside a DUMMY_SCAN projection cannot trip the
+            # data-read hard-fail, and an operator the allowlists
+            # don't know 400s loudly instead of silently collapsing
+            # to one split (r12 advice #1; supersedes the r11
+            # whole-text substring match, which had both failure
+            # modes; no-EC-on-data-read hard-fail per r10 advice #3).
+            try:
+                nrows = _plan_rows_estimate(txt)
+            except ValueError as ve:
+                return self._deny(400, f"plan error: {ve}")
         except Exception as e:
             return self._deny(400, f"plan error: {e}")
         est_bytes = nrows * 64

@@ -163,6 +163,61 @@ def test_plan_classifies_estimate_free_vs_data_read(server):
         server.url, "SELECT * FROM lineitem", 64 * 500, None
     )
     assert len(scan) > 1
+    # r12 advice #1's exact adversarial case: a constant projection
+    # whose string LITERAL spells a read operator. The structural
+    # parse anchors on box-header lines, so the literal in the
+    # projection content cannot trip the data-read hard-fail — one
+    # split, not a 400
+    lit = _fetch_plan(
+        server.url, "SELECT 'READ_PARQUET' AS s", 64 * 500, None
+    )
+    assert len(lit) == 1
+
+
+def test_plan_estimate_classifier_branches():
+    """Unit coverage for the structural EC-less classifier (r12
+    advice #1) — every branch, including the unknown-operator
+    hard-fail that real DuckDB plans can't easily force end-to-end:
+    operator names come from box HEADER lines only, and an EC-less
+    plan with an operator neither allowlist knows raises (the
+    handler 400s) instead of silently planning one split."""
+    import pytest
+
+    from dazzleduck_sql_duckdb_spark.sources.local_server import (
+        _plan_operator_names,
+        _plan_rows_estimate,
+    )
+
+    def box(*headers_and_content):
+        out = []
+        for name, content in headers_and_content:
+            out.append("┌───────────────────────────┐")
+            out.append(f"│         {name}        │")
+            for c in content:
+                out.append("│   ─ ─ ─ ─ ─ ─ ─ ─ ─ ─ ─   │")
+                out.append(f"│    {c}    │")
+            out.append("└─────────────┬─────────────┘")
+        return "\n".join(out)
+
+    # header parse ignores content lines — even an unquoted uppercase
+    # token in a content position is not a header (not directly under
+    # the top border)
+    txt = box(("PROJECTION", ["'READ_PARQUET'"]), ("DUMMY_SCAN", []))
+    assert _plan_operator_names(txt) == ["PROJECTION", "DUMMY_SCAN"]
+    assert _plan_rows_estimate(txt) == 0
+    # EC present wins regardless of operators
+    assert _plan_rows_estimate(
+        box(("READ_PARQUET", ["EC: 1200"]))
+    ) == 1200
+    # data-read operator without EC -> hard fail
+    with pytest.raises(ValueError, match="no EC estimate"):
+        _plan_rows_estimate(box(("READ_PARQUET", ["l_orderkey"])))
+    # unknown EC-less operator -> loud error naming it
+    with pytest.raises(ValueError, match="READ_WEIRD"):
+        _plan_rows_estimate(box(("READ_WEIRD", [])))
+    # unparseable rendering -> loud error, not a silent one-split
+    with pytest.raises(ValueError, match="no operators parsed"):
+        _plan_rows_estimate("some future format")
 
 
 def test_dd_splits_contract(registered, server):
