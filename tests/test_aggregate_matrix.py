@@ -42,22 +42,27 @@ DDL_COLS = (
 # (aggregate template, result cast) — cast unifies Spark/DuckDB result
 # types (DuckDB sum(int) is HUGEINT, Spark's is LONG, etc.;
 # SURVEY.md §7.4).
+# (aggregate template, result cast, float rel tolerance). The moment
+# aggregates compare at 1e-9 rel — the bound the 4x10 cells were
+# probed at before pinning (r12 advice #5: the compare previously
+# asserted 1e-12, a tolerance 1000x tighter than the probed bound, so
+# a Welford-vs-textbook accumulation difference inside the documented
+# envelope after an engine version bump would have flaked the
+# matrix). Everything else stays at 1e-12 (exact-sum shapes).
 AGGS = [
-    ("count(*)", "BIGINT"),
-    ("count({c})", "BIGINT"),
-    ("count(DISTINCT {c})", "BIGINT"),
-    ("min({c})", None),
-    ("max({c})", None),
-    ("sum({c})", "DECIMAL(38,10)"),
-    ("avg({c})", "DOUBLE"),
+    ("count(*)", "BIGINT", 1e-12),
+    ("count({c})", "BIGINT", 1e-12),
+    ("count(DISTINCT {c})", "BIGINT", 1e-12),
+    ("min({c})", None, 1e-12),
+    ("max({c})", None, 1e-12),
+    ("sum({c})", "DECIMAL(38,10)", 1e-12),
+    ("avg({c})", "DOUBLE", 1e-12),
     # moment aggregates (r12 widening): explicit _samp/_pop names are
-    # ANSI-shared; both engines return DOUBLE. Probed 4x10 cells at
-    # 1e-9 rel before pinning (Welford-vs-textbook accumulation can
-    # differ in the last ulps, hence the approx compare in _check).
-    ("stddev_samp({c})", "DOUBLE"),
-    ("stddev_pop({c})", "DOUBLE"),
-    ("var_samp({c})", "DOUBLE"),
-    ("var_pop({c})", "DOUBLE"),
+    # ANSI-shared; both engines return DOUBLE.
+    ("stddev_samp({c})", "DOUBLE", 1e-9),
+    ("stddev_pop({c})", "DOUBLE", 1e-9),
+    ("var_samp({c})", "DOUBLE", 1e-9),
+    ("var_pop({c})", "DOUBLE", 1e-9),
 ]
 
 NUMERIC_COLS = ["i8", "i16", "i32", "i64", "f32", "f64",
@@ -85,32 +90,48 @@ def _norm(v):
     return v
 
 
-def _check(spark, con, expr_sql: str):
+def _check(spark, con, expr_sql: str, rel: float = 1e-12):
     got = _norm(spark.sql(f"SELECT {expr_sql} FROM all_types").collect()[0][0])
     want = _norm(con.sql(f"SELECT {expr_sql} FROM all_types").fetchall()[0][0])
     if isinstance(got, float) and isinstance(want, float):
-        assert got == pytest.approx(want, rel=1e-12), expr_sql
+        assert got == pytest.approx(want, rel=rel), expr_sql
     else:
         assert got == want, expr_sql
 
 
 @pytest.mark.parametrize("col", NUMERIC_COLS)
-@pytest.mark.parametrize("agg,cast", AGGS)
-def test_agg_type_matrix(engines, col, agg, cast):
+@pytest.mark.parametrize("agg,cast,rel", AGGS)
+def test_agg_type_matrix(engines, col, agg, cast, rel):
     spark, con = engines
     expr = agg.format(c=col)
     if cast:
         expr = f"CAST({expr} AS {cast})"
-    _check(spark, con, expr)
+    _check(spark, con, expr, rel=rel)
 
 
-@pytest.mark.parametrize("agg,cast", AGGS)
-def test_varchar_aggs(engines, agg, cast):
+@pytest.mark.parametrize("agg,cast,rel", AGGS)
+def test_varchar_aggs(engines, agg, cast, rel):
     if any(k in agg for k in ("sum", "avg", "stddev", "var_")):
         pytest.skip("no numeric aggregates over VARCHAR")
     spark, con = engines
     _check(spark, con, agg.format(c="s") if not cast else
            f"CAST({agg.format(c='s')} AS {cast})")
+
+
+# two-column moment aggregates (r12 verdict optional-hardening #6a —
+# the one aggregate family previously untested cross-engine). Pairs
+# mix widths/signs and include the NULL-carrying columns, so the
+# pairwise-deletion law (a row counts only when BOTH args are
+# non-NULL) is exercised; 1e-9 rel per the moment-aggregate envelope.
+TWO_COL_PAIRS = [("i8", "i16"), ("i32", "f64"), ("i64", "dec92"),
+                 ("f32", "dec184"), ("dec42", "dec3810")]
+
+
+@pytest.mark.parametrize("fn", ["covar_samp", "covar_pop", "corr"])
+@pytest.mark.parametrize("a,b", TWO_COL_PAIRS)
+def test_two_column_moment_aggs(engines, fn, a, b):
+    spark, con = engines
+    _check(spark, con, f"CAST({fn}({a}, {b}) AS DOUBLE)", rel=1e-9)
 
 
 def test_null_laws(engines):
