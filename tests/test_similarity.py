@@ -696,3 +696,36 @@ def test_ivfpq_refuses_codebooks_without_centroids(spark):
         build_ivfpq_index(
             emb, codebooks=np.zeros((8, 16, 4)), centroids=None
         )
+
+
+def test_per_query_differential_trips_on_broken_probe(spark, tables):
+    """r13 restructure teeth: the per-query differential that gates
+    embed_ann_ivf_probed / embed_ann_ivfpq must actually FLIP when the
+    probed path breaks. Healthy production config: every per-query row
+    reads recall_floor_met=true and n_found==k. Simulated collapse
+    (the probed ranking replaced by corpus-random ids — the shape of a
+    broken assign/probe/rerank stage): every row flips false, so the
+    driver hash breaks loudly instead of the entry sitting rows-only."""
+    from pyspark.sql import functions as F
+
+    from dazzleduck_sql_duckdb_spark.plans.queries import (
+        _build_ann_ivf_probed_diff,
+        _build_ann_per_query_diff,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    healthy = _build_ann_ivf_probed_diff(spark, sf).collect()
+    assert healthy and all(r.recall_floor_met for r in healthy)
+    assert all(r.n_found == 5 and r.n_exact == 5 for r in healthy)
+
+    from dazzleduck_sql_duckdb_spark.plans.queries import spark_sql_for
+
+    exact = spark.sql(spark_sql_for("embed_knn_bruteforce")).select(
+        "qid", "vec_id"
+    )
+    # corpus-random "probed" ranking: shift every hit off by one id —
+    # no overlap with the exact top-k is NOT guaranteed per row, but
+    # hits collapse far below the 0.6 floor
+    broken = exact.select("qid", (F.col("vec_id") + 1).alias("vec_id"))
+    rows = _build_ann_per_query_diff(broken, exact, 5, 4).collect()
+    assert rows and not any(r.recall_floor_met for r in rows)
