@@ -500,3 +500,42 @@ def test_having_fuzz(engines):
         assert got == want, (
             f"having divergence at #{idx}:\n{sql}\nspark={got}\nduck={want}"
         )
+
+
+# ------------------------------------------- grouping-analytics fuzz
+#
+# ROLLUP / CUBE / GROUPING SETS over NULL-bearing keys with
+# grouping() markers — the ninth family (r13). The NULL-key rows are
+# the point: a super-aggregate NULL and a NULL group key are
+# indistinguishable without grouping(), so any divergence in how the
+# engines expand the sets or mark the synthetic rows flips ga/gb or
+# merges rows that must stay distinct.
+
+
+def groupsets_select(rng: random.Random) -> str:
+    a, b = rng.sample(["i", "j", "s"], 2)
+    form = rng.choice([
+        f"ROLLUP ({a}, {b})",
+        f"CUBE ({a}, {b})",
+        f"GROUPING SETS (({a}, {b}), ({a}), ())",
+        f"GROUPING SETS (({a}), ({b}))",
+    ])
+    body = int_expr(rng, rng.randint(1, 3))
+    return (
+        f"SELECT {a} AS ka, {b} AS kb,"
+        f" CAST(grouping({a}) AS BIGINT) AS ga,"
+        f" CAST(grouping({b}) AS BIGINT) AS gb,"
+        f" CAST(count(*) AS BIGINT) AS c,"
+        f" CAST(sum({body}) AS BIGINT) AS sm"
+        f" FROM fuzz_t GROUP BY {form}"
+    )
+
+
+def test_groupsets_fuzz(engines):
+    rng = random.Random(0x6E0517)
+    for idx in range(30):
+        sql = groupsets_select(rng)
+        got, want = _run_both(engines, sql)
+        assert got == want, (
+            f"groupsets divergence at #{idx}:\n{sql}\nspark={got}\nduck={want}"
+        )
