@@ -61,19 +61,25 @@ ESTIMATE_FREE_OPS = frozenset({
 def _plan_operator_names(explain_txt: str) -> list[str]:
     """Operator names parsed STRUCTURALLY from DuckDB's rendered
     EXPLAIN boxes: each operator's name is the single uppercase token
-    on the line directly below a box's top border ('┌───┐'). Content
-    lines (projected columns, filters, string literals) never match —
-    they sit below the '─ ─ ─' separator and rarely form a bare
-    [A-Z_]+ token, and literals keep their quotes."""
+    on a line directly below a top border ('┌───┐'). Two renderer
+    facts the parse must honor (caught adversarially in r13): sibling
+    subtrees render SIDE BY SIDE, so one line can hold SEVERAL box
+    headers ('│ A ││ B │' — findall, not a single anchored match: an
+    EC-less data-read op hidden in a right-hand column must not be
+    invisible), and a box with a right-sibling connector closes its
+    header with '├', not '│' ('│ UNION ├───┐'). Content lines
+    (projected columns, filters, string literals) still never match —
+    they sit below the '─ ─ ─' separator, rarely form a bare [A-Z_]+
+    token, and literals keep their quotes."""
     import re
 
     lines = explain_txt.splitlines()
     ops = []
     for i, ln in enumerate(lines):
-        if ln.lstrip().startswith("┌") and i + 1 < len(lines):
-            m = re.match(r"^\s*│\s*([A-Z][A-Z0-9_]*)\s*│", lines[i + 1])
-            if m:
-                ops.append(m.group(1))
+        if "┌" in ln and i + 1 < len(lines):
+            ops.extend(
+                re.findall(r"│\s*([A-Z][A-Z0-9_]*)\s*[│├]", lines[i + 1])
+            )
     return ops
 
 

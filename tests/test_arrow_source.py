@@ -172,6 +172,13 @@ def test_plan_classifies_estimate_free_vs_data_read(server):
         server.url, "SELECT 'READ_PARQUET' AS s", 64 * 500, None
     )
     assert len(lit) == 1
+    # constant UNION ALL: the UNION header closes with '├' and the two
+    # DUMMY_SCAN children render side by side — the r13 structural
+    # parse must see all of them and still classify estimate-free
+    un = _fetch_plan(
+        server.url, "SELECT 1 AS x UNION ALL SELECT 2", 64 * 500, None
+    )
+    assert len(un) == 1
 
 
 def test_plan_estimate_classifier_branches():
@@ -218,6 +225,26 @@ def test_plan_estimate_classifier_branches():
     # unparseable rendering -> loud error, not a silent one-split
     with pytest.raises(ValueError, match="no operators parsed"):
         _plan_rows_estimate("some future format")
+    # side-by-side sibling boxes (DuckDB renders subtrees in columns):
+    # BOTH headers on the shared line must parse — an EC-less
+    # data-read op hidden in the right-hand column would otherwise be
+    # invisible and silently classified estimate-free
+    side = (
+        "┌─────────────┴─────────────┐┌─────────────┴─────────────┐\n"
+        "│         DUMMY_SCAN        ││        READ_PARQUET       │\n"
+        "└───────────────────────────┘└───────────────────────────┘"
+    )
+    assert _plan_operator_names(side) == ["DUMMY_SCAN", "READ_PARQUET"]
+    with pytest.raises(ValueError, match="no EC estimate"):
+        _plan_rows_estimate(side)
+    # a box with a right-sibling connector closes its header with '├'
+    # ('│ UNION ├───┐'), not '│' — the UNION plan shape
+    union = (
+        "┌───────────────────────────┐\n"
+        "│           UNION           ├──────────────┐\n"
+        "└─────────────┬─────────────┘              │"
+    )
+    assert _plan_operator_names(union) == ["UNION"]
 
 
 def test_dd_splits_contract(registered, server):
