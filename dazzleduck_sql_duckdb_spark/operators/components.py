@@ -40,57 +40,96 @@ def connected_components(
     dst: str = "dst",
     *,
     max_iterations: int = 25,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """(src, dst) undirected edge list -> (node, component), component =
     the minimum node id reachable; only nodes appearing in edges are
-    emitted."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .persist()
+    emitted.
+
+    ``edges_distinct``: the caller guarantees no duplicate (src, dst)
+    rows and no edge present in both orientations, so the defensive
+    ``distinct()`` on the symmetrized edge list (which exists only to
+    keep later per-round joins small under dup-heavy inputs — every
+    aggregation here is a min, so duplicates never change values) is
+    skipped, saving one exchange in the first job. The LSH pair
+    producers qualify: their pairs are distinct-by-construction with
+    doc_a < doc_b."""
+    from pyspark.sql import Observation
+
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    if not edges_distinct:
+        sym = sym.distinct()
+    sym = sym.persist()
+    # Round 0 fused (optimization r13, guide §2.4): the initial labels
+    # are the identity, so round 0's neighbor join degenerates to
+    # min(self, min(neighbor)) — ONE aggregation over sym, no join, and
+    # no separate identity-labels checkpoint job. Identical values to
+    # the unfused (identity-labels + join) round 0; one shuffle + one
+    # action instead of three. sym is materialized into its cache by
+    # this same first action. The node count rides the checkpoint job
+    # as an observed metric (no extra action): it is only needed to
+    # short-circuit the edgeless-input case, where every later round
+    # would be a no-op. A changed-count at round 0 would be pointless —
+    # with any edge at all, the max endpoint of the min node's first
+    # edge always takes a smaller label, so round 0 always changes.
+    obs0 = Observation()
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("a"))
+        .agg(F.least(F.col("a"), F.min("b")).alias("label"))
+        .select(F.col("a").alias("node"), "label")
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
     label_t = labels.schema["label"].dataType
-    converged = False
-    for rnd in range(max_iterations):
+    converged = obs0.get["n"] == 0
+    for rnd in range(1, max_iterations):
+        if converged:
+            break
         # carry each node's previous label through the aggregation (one
         # non-null `old` per node) so convergence detection is a free
-        # filter over the checkpointed result instead of an extra
-        # labels-to-labels shuffle join per round
+        # observed metric on the checkpointed result instead of an
+        # extra action per round
         nbr = sym.join(labels, sym["b"] == labels["node"]).select(
             F.col("a").alias("node"),
             F.col("label"),
             F.lit(None).cast(label_t).alias("old"),
         )
         cur = labels.select("node", "label", F.col("label").alias("old"))
-        parts = cur.unionByName(nbr)
-        if rnd > 0:
-            # pointer doubling: every label is itself a node in `labels`
-            # (min over node ids), so label(label(x)) is one inner join.
-            # Skipped in round 0 where labels == identity (jump would be
-            # a no-op join).
-            jump = (
-                labels.alias("x")
-                .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
-                .select(
-                    F.col("x.node").alias("node"),
-                    F.col("y.label").alias("label"),
-                    F.lit(None).cast(label_t).alias("old"),
-                )
+        # pointer doubling: every label is itself a node in `labels`
+        # (min over node ids), so label(label(x)) is one inner join.
+        # Always on here — round 0 (where it would be a no-op against
+        # identity labels) is the fused aggregation above.
+        jump = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("y.label").alias("label"),
+                F.lit(None).cast(label_t).alias("old"),
             )
-            parts = parts.unionByName(jump)
+        )
+        parts = cur.unionByName(nbr).unionByName(jump)
+        # convergence count rides the checkpoint job (Dataset.observe →
+        # CollectMetrics, delivered when the checkpoint action
+        # completes): one action per round instead of checkpoint+count.
+        # `old` is non-null for every node (each node contributes
+        # exactly one `cur` row to its group), so the inequality is
+        # never null-masked.
+        obs = Observation()
         new = (
             parts.groupBy("node")
             .agg(F.min("label").alias("label"), F.min("old").alias("old"))
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
             .localCheckpoint()  # cut lineage: keeps round N's plan flat
         )
-        changed = new.where(F.col("label") != F.col("old")).count()
+        changed = obs.get["changed"]
         labels = new.select("node", "label")
         if changed == 0:
             converged = True

@@ -1712,7 +1712,11 @@ def _build_dedup_components(spark, sf_dir: str):
     from ..operators.components import connected_components
 
     pairs = _build_minhash_df(spark)
-    return connected_components(pairs, "doc_a", "doc_b")
+    # minhash pairs are distinct with doc_a < doc_b by construction ->
+    # skip the defensive symmetrize-distinct exchange (optimization r13)
+    return connected_components(
+        pairs, "doc_a", "doc_b", edges_distinct=True
+    )
 
 
 # shared tail: given a (doc_id, component) relation `{comp}` covering the
@@ -1781,7 +1785,9 @@ def _build_dedup_canonical(spark, sf_dir: str):
     from ..operators.components import connected_components
 
     pairs = _build_minhash_df(spark)
-    comps = connected_components(pairs, "doc_a", "doc_b")
+    comps = connected_components(
+        pairs, "doc_a", "doc_b", edges_distinct=True
+    )
     docs = spark.table("documents").select("doc_id", "n_chars")
     lab = docs.join(comps, "doc_id", "left").select(
         "doc_id",
