@@ -333,7 +333,18 @@ def minhash_neardup_pairs(
             broadcast_verify_docs=broadcast_verify_docs,
             materialize="none",
         )
-    staged = staged.persist()
+    # The doc count the verify path needs for its plan-picking rides
+    # the first materializing action (cand.count) as an observed
+    # metric instead of a dedicated staged.count() job — one fewer
+    # job per call (optimization r13, guide §1.2 "don't compute
+    # things you throw away": the count job re-scanned the cache for
+    # a number the cand job already knows).
+    from pyspark.sql import Observation
+
+    n_docs_obs = Observation()
+    staged = staged.observe(
+        n_docs_obs, F.count(F.lit(1)).alias("n")
+    ).persist()
     try:
         return _minhash_verify(
             staged, bands=bands, threshold_pct=threshold_pct,
@@ -341,6 +352,7 @@ def minhash_neardup_pairs(
             broadcast_verify_max=broadcast_verify_max,
             broadcast_verify_docs=broadcast_verify_docs,
             materialize=materialize,
+            n_docs_obs=n_docs_obs,
         )
     finally:
         staged.unpersist()
@@ -384,6 +396,7 @@ def _minhash_verify(
     broadcast_verify_max: int,
     broadcast_verify_docs: int,
     materialize: str = "auto",
+    n_docs_obs=None,
 ) -> DataFrame:
     sh = staged.select("doc_id", "blk", "sh")
 
@@ -474,9 +487,14 @@ def _minhash_verify(
         n_cand = cand.count()
         narrowed = False
         if n_cand <= broadcast_verify_max:
-            # n_docs is a count over the already-cached kernel stage —
-            # cheap, and the only extra job the designed case pays
-            n_docs = staged.count()
+            # n_docs: observed metric delivered by the cand.count()
+            # materialization above (zero extra jobs); the
+            # staged.count() fallback covers direct _minhash_verify
+            # callers that did not attach an Observation
+            n_docs = (
+                n_docs_obs.get["n"] if n_docs_obs is not None
+                else staged.count()
+            )
             ids = (
                 cand.select(F.col("doc_a").alias("doc_id"))
                 .union(cand.select(F.col("doc_b").alias("doc_id")))
