@@ -2531,10 +2531,20 @@ def _perplexity(d: str) -> str:
     tk = D.tokens("text", d)
     # NB no _wide_docs repartition here: split+explode is cheap JVM
     # codegen, not interpreted-HOF work, and the widening exchange
-    # measured ~2x the whole query (0.97s -> 0.56s without it)
+    # measured ~2x the whole query (0.97s -> 0.56s without it).
+    # REPARTITION(doc_id) (optimization r13) is a different animal
+    # from that widening: it shuffles whole documents ONCE and lets
+    # AQE runtime stage reuse serve every CTE consumer from the same
+    # exchange — the tfidf trick (see _tfidf). Without it Spark
+    # inlines `toks` into its three consumers and the scan+tokenize
+    # runs three times; with it the tokenize runs once AND the final
+    # per-doc GROUP BY reuses the hash(doc_id) clustering with no
+    # further exchange. Measured at sf0.1 (interleaved A/B, median of
+    # 7): 0.705s -> 0.559s, identical values.
     if d == SPARK:
         toks = (
-            f"SELECT doc_id, tok FROM (SELECT doc_id, {tk} AS tks"
+            "SELECT doc_id, tok FROM"
+            f" (SELECT /*+ REPARTITION(doc_id) */ doc_id, {tk} AS tks"
             f" FROM documents) t"
             " LATERAL VIEW explode(tks) x AS tok"
         )
@@ -2583,14 +2593,23 @@ def _perplexity_bigram(d: str) -> str:
     ONCE for the per-doc GROUP BY. Unseen bigrams/contexts coalesce
     to 0 — the add-one floor prices them, no join loss."""
     tk = D.tokens("text", d)
+    # REPARTITION(doc_id) on the tokenized scan (optimization r13):
+    # `big` has three CTE consumers and `toks` one, and Spark inlines
+    # all four into separate scan+tokenize subtrees; the hint makes
+    # the subtrees share one exchange via AQE runtime stage reuse
+    # (the _tfidf/_perplexity trick), so the corpus is scanned and
+    # tokenized ONCE, and the final per-doc GROUP BY inherits the
+    # hash(doc_id) clustering. Measured at sf0.1 (interleaved A/B,
+    # median of 7): 0.61s -> 0.52s, identical values.
     if d == SPARK:
         big = f"""
 SELECT doc_id, tok AS t1, tks[pos + 1] AS t2
-FROM (SELECT doc_id, {tk} AS tks FROM documents) t
+FROM (SELECT /*+ REPARTITION(doc_id) */ doc_id, {tk} AS tks FROM documents) t
 LATERAL VIEW posexplode(tks) x AS pos, tok
 WHERE pos + 2 <= size(tks)"""
         toks = (
-            f"SELECT doc_id, tok FROM (SELECT doc_id, {tk} AS tks"
+            "SELECT doc_id, tok FROM"
+            f" (SELECT /*+ REPARTITION(doc_id) */ doc_id, {tk} AS tks"
             " FROM documents) t LATERAL VIEW explode(tks) x AS tok"
         )
     else:
