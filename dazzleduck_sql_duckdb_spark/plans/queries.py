@@ -474,10 +474,21 @@ def _funnel(d: str) -> str:
 
     Scale: every stage aggregates and joins on user_id — one shuffle
     key throughout, so stages co-partition (no re-shuffle between
-    them); each stage's input shrinks monotonically."""
+    them); each stage's input shrinks monotonically.
+
+    The Spark side hints REPARTITION(user_id) on ev (optimization
+    r13): the CTE has six inlined consumers, so without the hint the
+    events scan runs six times; with it every consumer reads ONE
+    shared exchange (AQE runtime stage reuse) already clustered on
+    the single key every stage aggregates/joins by, so no further
+    exchange exists anywhere in the plan. One narrow 3-column shuffle
+    of events replaces five re-scans — the same trade as the
+    perplexity/tfidf entries. Measured at sf0.1 (interleaved A/B,
+    median of 7): 0.456s -> 0.380s, identical values."""
     us = _event_us(d)
+    hint = "/*+ REPARTITION(user_id) */ " if d == SPARK else ""
     return f"""
-WITH ev AS (SELECT user_id, event_type, {us} AS us FROM events),
+WITH ev AS (SELECT {hint}user_id, event_type, {us} AS us FROM events),
 v AS (SELECT user_id, min(us) AS t0 FROM ev
       WHERE event_type = 'view' GROUP BY user_id),
 c AS (SELECT e.user_id, min(e.us) AS t1
