@@ -1185,13 +1185,35 @@ def _q17(d: str) -> str:
         "(CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))),"
         " 2) AS DECIMAL(38,2)) AS DOUBLE) / 7.0)"
     )
+    # Spark side pre-filters the per-part aggregate's input with the
+    # selective part predicate (optimization r13, guide §2.2 "shuffle
+    # fewer bytes"): only partkeys that survive the brand/type filter
+    # can ever join the main block, and per-group (cnt, total) are
+    # unaffected by dropping whole groups, so the result is identical
+    # (parity-proved). The filtered part list broadcasts into the agg's
+    # scan side, shrinking the agg exchange from all parts to one
+    # brand's parts (~1/1000 at TPC-H selectivity). Measured at sf0.1:
+    # 0.731s -> 0.445s median. Oracle keeps the unfiltered decorrelated
+    # form so equivalence stays externally checked.
+    pq_src = (
+        "lineitem JOIN bp ON bp.p_partkey = lineitem.l_partkey"
+        if d == SPARK else "lineitem"
+    )
+    bp_cte = (
+        """bp AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+),
+"""
+        if d == SPARK else ""
+    )
     return f"""
-WITH pq AS (
+WITH {bp_cte}pq AS (
   SELECT l_partkey,
     CAST(count(*) AS DECIMAL(18,0)) AS cnt,
     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
       AS total
-  FROM lineitem GROUP BY l_partkey
+  FROM {pq_src} GROUP BY l_partkey
 )
 SELECT CAST({_round6(yearly)} AS DOUBLE)
   AS avg_yearly
