@@ -178,18 +178,21 @@ def _make_topk_scorer(
 def _collect_query_matrix(
     queries: DataFrame, id_col: str, vec_col: str
 ) -> tuple[np.ndarray, np.ndarray]:
-    # probe the cap BEFORE collecting (r9 advisor fix: a guard that
-    # fires after .collect() has already OOMed the driver on a
-    # genuinely unbounded query set isn't a guard; limit(cap+1)
-    # bounds the probe itself)
-    over = queries.select(id_col).limit(MAX_CLOSURE_QUERIES + 1).count()
-    if over > MAX_CLOSURE_QUERIES:
+    # the cap guard rides the collect itself (optimization r13, guide
+    # §1.2 one action instead of two): limit(cap+1) bounds what can
+    # ever reach the driver — the r9 advisor contract (never collect
+    # unbounded) holds with cap+1 as the hard ceiling — and a full
+    # batch of cap+1 rows proves the query set exceeds the cap without
+    # a dedicated count job per call
+    rows = queries.select(id_col, vec_col).limit(
+        MAX_CLOSURE_QUERIES + 1
+    ).collect()
+    if len(rows) > MAX_CLOSURE_QUERIES:
         raise ValueError(
             f"top-k query set exceeds {MAX_CLOSURE_QUERIES} rows; this "
             f"operator ships the queries into the scoring kernel "
             f"(evaluation-sample contract) — chunk the query set"
         )
-    rows = queries.select(id_col, vec_col).collect()
     if not rows:
         return np.empty(0, dtype=np.int64), np.empty((0, 1))
     bad = [r[0] for r in rows if r[1] is None]
