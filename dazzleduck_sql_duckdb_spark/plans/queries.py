@@ -1199,6 +1199,15 @@ def _q17(d: str) -> str:
         "lineitem JOIN bp ON bp.p_partkey = lineitem.l_partkey"
         if d == SPARK else "lineitem"
     )
+    # BROADCAST(bp) / BROADCAST(pq): both are small by construction at
+    # every scale — bp is one brand+type's part list and pq is the
+    # per-part aggregate over exactly those parts (~1/1000 of parts at
+    # TPC-H selectivity) — but the static planner's post-join aggregate
+    # size estimate costed pq as sort-merge-worthy at gate scale
+    # (audit_plans flagged the SMJ; AQE would demote it at runtime, the
+    # hint pins the designed build side in the static plan too).
+    pq_hint = "/*+ BROADCAST(bp) */ " if d == SPARK else ""
+    main_hint = "/*+ BROADCAST(pq) */ " if d == SPARK else ""
     bp_cte = (
         """bp AS (
   SELECT p_partkey FROM part
@@ -1209,13 +1218,13 @@ def _q17(d: str) -> str:
     )
     return f"""
 WITH {bp_cte}pq AS (
-  SELECT l_partkey,
+  SELECT {pq_hint}l_partkey,
     CAST(count(*) AS DECIMAL(18,0)) AS cnt,
     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
       AS total
   FROM {pq_src} GROUP BY l_partkey
 )
-SELECT CAST({_round6(yearly)} AS DOUBLE)
+SELECT {main_hint}CAST({_round6(yearly)} AS DOUBLE)
   AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
