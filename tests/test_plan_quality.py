@@ -291,3 +291,29 @@ def test_sketch_entries_single_scan_jvm(plans):
     # dedup-first HLL: no Expand — the exact anchor comes from the
     # distinct GROUP BY, not a fused two-phase distinct aggregate
     assert "Expand" not in plans("sketch_distinct_bounds")
+
+
+def test_q17_aggregate_prefiltered_and_broadcast(plans):
+    """r13 optimization pins: the per-part (cnt, total) aggregate's
+    input is pre-filtered by the broadcast part list (two part scans:
+    the bp filter list + the main dimension), and BOTH small sides (bp,
+    pq) broadcast — the static planner must never sort-merge the fact
+    table against them (the audit-scale regression the BROADCAST hints
+    exist to prevent)."""
+    p = plans("q17_small_quantity")
+    assert p.count("part.parquet") == 2
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_simhash_pairs_single_exchange_no_joins(plans):
+    """r13 optimization pin: dedup_simhash generates pairs inside
+    (lang, chunk, ck) buckets from ONE aggregation carrying the
+    simhashes — no chunk self-join, no DISTINCT exchange, no broadcast
+    join-backs. The only exchanges are the bucket groupBy and the
+    staged kernel's widen (inside the InMemoryRelation)."""
+    p = plans("dedup_simhash")
+    assert "Join" not in p          # covers SortMergeJoin/BroadcastHashJoin
+    assert "collect_list" in p      # the bucket aggregation
+    main = p.split("InMemoryRelation")[0]  # main query above the cache
+    assert main.count("Exchange") == 1
