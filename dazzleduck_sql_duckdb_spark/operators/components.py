@@ -91,26 +91,28 @@ def connected_components(
         # non-null `old` per node) so convergence detection is a free
         # observed metric on the checkpointed result instead of an
         # extra action per round
-        nbr = sym.join(labels, sym["b"] == labels["node"]).select(
+        cur = labels.select("node", "label", F.col("label").alias("old"))
+        # Neighbor flood + pointer doubling FUSED into one join
+        # (optimization r13, guide §2.4): both probe `labels` on their
+        # second column and emit (first_col, labels.label) —
+        #   nbr : sym(a, b)            ⋈ labels.node = b  -> label(b)
+        #   jump: labels(node, label)  ⋈ labels.node = label
+        #         -> label(label(node))   (the doubling step; every
+        #         label is itself a node, min over node ids)
+        # so one union of the probe relations + ONE equi-join replaces
+        # the two separate joins — same probe rows in total, one fewer
+        # join stage (and one fewer broadcast build / exchange of
+        # `labels`) per round. Round 0 (where the jump would be a no-op
+        # against identity labels) is the fused aggregation above.
+        probe = sym.unionByName(
+            labels.select(F.col("node").alias("a"), F.col("label").alias("b"))
+        )
+        hop = probe.join(labels, probe["b"] == labels["node"]).select(
             F.col("a").alias("node"),
             F.col("label"),
             F.lit(None).cast(label_t).alias("old"),
         )
-        cur = labels.select("node", "label", F.col("label").alias("old"))
-        # pointer doubling: every label is itself a node in `labels`
-        # (min over node ids), so label(label(x)) is one inner join.
-        # Always on here — round 0 (where it would be a no-op against
-        # identity labels) is the fused aggregation above.
-        jump = (
-            labels.alias("x")
-            .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
-            .select(
-                F.col("x.node").alias("node"),
-                F.col("y.label").alias("label"),
-                F.lit(None).cast(label_t).alias("old"),
-            )
-        )
-        parts = cur.unionByName(nbr).unionByName(jump)
+        parts = cur.unionByName(hop)
         # convergence count rides the checkpoint job (Dataset.observe →
         # CollectMetrics, delivered when the checkpoint action
         # completes): one action per round instead of checkpoint+count.

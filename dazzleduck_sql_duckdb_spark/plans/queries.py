@@ -1817,11 +1817,15 @@ def _build_dedup_canonical(spark, sf_dir: str):
     the oracle's window. row_number() OVER (PARTITION BY component ...)
     sorts each component inside ONE partition — a pathological
     mega-cluster (template spam) becomes a single hot sort at 100 TB.
-    max(n_chars) + min(doc_id among maxima) are partial-aggregatable
-    (map-side combine, skew-immune) and select the identical row; `lab`
-    is persisted because both aggregation passes read it. The previous
-    incarnation is unpersisted via _STAGE_CACHE so repeated gate/parity
-    runs in one session don't accumulate cached partitions."""
+
+    Selection is ONE partial-aggregatable pass (optimization r13, guide
+    §2.4): max(struct(n_chars, -doc_id)) picks the longest text with
+    the LOWEST doc_id on ties (struct ordering is lexicographic, so
+    negating doc_id turns the min tie-break into the max). Identical
+    row to the previous two-pass form (max(n_chars) + min(doc_id among
+    maxima) over a persisted `lab` + join-back), which cost a cache
+    write, a second aggregation and a join; map-side combine makes the
+    single max/count skew-immune at 100 TB exactly as before."""
     from pyspark.sql import functions as F
 
     from ..operators.components import connected_components
@@ -1836,30 +1840,19 @@ def _build_dedup_canonical(spark, sf_dir: str):
         F.coalesce("component", "doc_id").alias("component"),
         "n_chars",
     )
-    key = (spark, "__dedup_canonical_lab__")
-    old = _STAGE_CACHE.get(key)
-    if old is not None:
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    lab = lab.persist()
-    _STAGE_CACHE[key] = lab
-    mx = lab.groupBy("component").agg(
-        F.max("n_chars").alias("kept_chars"),
+    best = lab.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("n_chars"), (-F.col("doc_id")).alias("neg_doc")
+            )
+        ).alias("best"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
-    return (
-        lab.join(mx, "component")
-        .where(F.col("n_chars") == F.col("kept_chars"))
-        .groupBy("component", "kept_chars", "n_docs")
-        .agg(F.min("doc_id").alias("kept_doc"))
-        .select(
-            F.col("component").cast("long"),
-            F.col("kept_doc").cast("long"),
-            F.col("kept_chars").cast("long"),
-            F.col("n_docs").cast("long"),
-        )
+    return best.select(
+        F.col("component").cast("long"),
+        (-F.col("best.neg_doc")).cast("long").alias("kept_doc"),
+        F.col("best.n_chars").cast("long").alias("kept_chars"),
+        F.col("n_docs").cast("long"),
     )
 
 
