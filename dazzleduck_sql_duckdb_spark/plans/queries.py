@@ -5591,69 +5591,87 @@ def oracle_sql_for(name: str) -> str:
 # 1.098x-1.151x. All six per-scale forensic artifacts
 # (split_dec/dsv2/split_agg x sf0.001/sf0.01) all-paths-match.
 
-# ROUND-14 PREP (write-ahead): when CORRECTNESS_r13 lands, the
-# ratchet tests fire until this constant becomes 14 and GATE_AGE.md
-# is regenerated. Rotation queue after r13: the r11-vintage cohort
-# (42 entries, the oldest rows in GATE_AGE.md post-r13, staleness 3
-# at r14 — ALL must go in), leaving 8 slots for entries r14 changes
-# plus r12-vintage fill; no deferrals are pending.
+# ROUND-14 DERIVATION (optimization round 2; r13 verdict directives
+# #1 and the window policy). Window =
+#   (a) the five entries the r13 OPTIMIZATION sessions changed AFTER
+#       the window was fixed at build time (verdict "what's wrong" #2
+#       / "next round" #1 — non-optional): dedup_minhash_lsh,
+#       dedup_canonical_corpus (both also r11-vintage, so they sit in
+#       the rotation cohort below), text_perplexity_bigram,
+#       events_funnel, embed_knn_bruteforce;
+#   (b) every entry round 14 (this optimization round) touches or may
+#       touch: the MinHash family twins (dedup_minhash_auto,
+#       dedup_minhash_recall_held — operators/dedup.py staging
+#       changes), dedup_components (operators/components.py round
+#       batching), dedup_simhash (mega-bucket bound, verdict #5),
+#       q9_product_profit (verdict #8 re-examination);
+#   (c) staleness rotation: the ENTIRE r11-vintage cohort (38 entries,
+#       the oldest rows in GATE_AGE.md post-r13 — includes
+#       dedup_minhash_lsh / dedup_canonical_corpus from (a));
+#   (d) r12-vintage fill, oldest-first per GATE_AGE.md order:
+#       cast_matrix, cte_union_all, dedup_exact_substring,
+#       distinct_rows.
+#   38 + 3 + 5 + 4 = 50 exactly.
 
-_GATE_WINDOW_ROUND = 13
+_GATE_WINDOW_ROUND = 14
 
 _GATE_WINDOW = [
-    # -- (a) changed in round 13:
-    "embed_ann_ivf_probed",
-    "embed_ann_ivfpq",
-    "embed_semantic_dedup",
-    "text_perplexity",
-    "text_tfidf_topk",
-    "q9_product_profit",
-    "q17_small_quantity",
-    "remote_scan_dsv2_split_dec",
-    "remote_scan_dsv2",
-    "remote_scan_split_agg",
-    "remote_scan_failover",
-    "remote_splits_plan",
-    "remote_scan_filter_pushdown",
-    "remote_agg_pushdown",
-    "remote_login_scan",
-    # -- (b) staleness rotation: the r12-deferred twin + the entire
-    #    r10-vintage cohort (GATE_AGE.md post-r12, oldest first)
-    "events_sessionize_native",
-    "bloom_no_false_negatives",
-    "cross_source_contamination_chunked",
-    "dd_array_contains_all",
-    "dd_array_contains_all_fn",
-    "dd_version",
-    "dedup_components",
-    "dedup_exact",
+    # -- (a) changed in the r13 optimization sessions, ungated in r13
+    #    (the two r11-vintage members are listed in cohort (c) below)
+    "text_perplexity_bigram",
+    "events_funnel",
+    "embed_knn_bruteforce",
+    # -- (b) touched (or examined for change) in round 14
     "dedup_minhash_auto",
     "dedup_minhash_recall_held",
+    "dedup_components",
     "dedup_simhash",
-    "docs_length_quantiles",
-    "docs_shard_assignment",
-    "docs_stratified_sample",
-    "events_activity_range_join",
-    "events_type_pivot",
-    "lineitem_count",
-    "lineitem_projection",
-    "lineitem_range_filter",
-    "multimodal_media_keys",
-    "multimodal_png_features",
-    "null_laws",
-    "orders_running_totals",
-    "orders_set_ops",
-    "pack_sequences",
-    "q10_returned_items",
-    "q19_disjunctive_join",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_volume",
-    "q7_volume_shipping",
-    "skew_salted_join_agg",
-    "text_fingerprint",
-    "text_redact_pii",
-    "try_cast_matrix",
+    "q9_product_profit",
+    # -- (c) staleness rotation: the entire r11-vintage cohort
+    #    (GATE_AGE.md post-r13, oldest first)
+    "bucketed_join_rollup",
+    "corpus_top_terms",
+    "cross_source_contamination",
+    "customer_orders_left_join",
+    "dd_search_marker",
+    "dedup_canonical_corpus",
+    "dedup_minhash_lsh",
+    "dedup_stream_screen",
+    "dedup_substring_screen",
+    "embed_cosine_neardup",
+    "embed_neardup_lsh",
+    "embed_semantic_screen",
+    "events_hourly_rollup",
+    "events_orders_asof_join",
+    "join_region_rollup",
+    "multimodal_features",
+    "multimodal_jpeg_features",
+    "multimodal_video_frames",
+    "multimodal_video_metadata",
+    "ngram_jaccard_sampled",
+    "orders_global_aggs",
+    "orders_group_agg",
+    "orders_rollup",
+    "pipeline_clean_corpus",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q22_sales_opportunity",
+    "q6_revenue",
+    "string_functions",
+    "supplier_nation_join",
+    "text_langid",
+    "text_normalize",
+    "text_quality",
+    "text_repetition",
+    "text_token_stats",
+    # -- (d) r12-vintage fill (GATE_AGE.md order)
+    "cast_matrix",
+    "cte_union_all",
+    "dedup_exact_substring",
+    "distinct_rows",
 ]
 
 

@@ -67,17 +67,14 @@ def test_prepare_pins_utc_session_timezone(spark):
 
 
 def test_gate_window_covers_every_family():
-    """Round-13 window contract (the driver gates the FIRST 50 catalog
-    entries): every entry round 13 changes — the three formerly
-    rows-only entries restructured into hash-gateable differential
-    contracts (r12 directive #2 option b), the four remaining
-    round(DOUBLE,k) -> branchless-bridge migrations (directive #3's
-    grep-based Done condition catches q9/q17 too), and the eight
-    remote entries whose harness local_server.py + the forensic
-    writer touch again this round (r12 advice #1/#3/#4) — then the
-    staleness rotation: events_sessionize_native (deferred from r12,
-    staleness 4, first priority) + the ENTIRE r10-vintage cohort
-    (oldest in GATE_AGE.md post-r12). 15 + 1 + 34 = 50 exactly."""
+    """Round-14 window contract (the driver gates the FIRST 50 catalog
+    entries): the five entries the r13 OPTIMIZATION sessions changed
+    after the r13 window was fixed (r13 verdict directive #1 —
+    non-optional), every entry round 14 touches or examines for change
+    (MinHash family staging, components round batching, simhash
+    mega-bucket bound, q9 re-examination), the ENTIRE r11-vintage
+    staleness cohort (38 entries, oldest in GATE_AGE.md post-r13),
+    and r12-vintage fill oldest-first. 3 + 5 + 38 + 4 = 50 exactly."""
     from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
     window = Q._GATE_WINDOW
@@ -85,42 +82,41 @@ def test_gate_window_covers_every_family():
     assert len(set(window)) == 50
     assert list(Q.CATALOG)[:50] == window
     changed_or_new = {
-        "embed_ann_ivf_probed",         # restructured: per-query diff
-        "embed_ann_ivfpq",              # restructured: per-query diff
-        "embed_semantic_dedup",         # restructured: precision+recall
-        "text_perplexity",              # round(DOUBLE,6) -> bridge
-        "text_tfidf_topk",              # round(DOUBLE,6) -> bridge
-        "q9_product_profit",            # round(DOUBLE,4) -> bridge
-        "q17_small_quantity",           # round(DOUBLE,6) -> bridge
-        "remote_scan_dsv2_split_dec",   # local_server + forensic writer
-        "remote_scan_dsv2",             # local_server + forensic writer
-        "remote_scan_split_agg",        # local_server + forensic writer
-        "remote_scan_failover",         # local_server advice fixes
-        "remote_splits_plan",           # /v1/plan structural classify
-        "remote_scan_filter_pushdown",  # local_server advice fixes
-        "remote_agg_pushdown",          # local_server advice fixes
-        "remote_login_scan",            # local_server advice fixes
+        # r13-optimization-changed, ungated in r13 (verdict #1)
+        "dedup_minhash_lsh",        # bucket-aggregation rewrite (r13)
+        "dedup_canonical_corpus",   # struct-max tail rewrite (r13)
+        "text_perplexity_bigram",   # repartition-reuse hint (r13)
+        "events_funnel",            # hint fixed/reverted this round
+        "embed_knn_bruteforce",     # operator collect-guard trim (r13)
+        # r14 touched-or-examined
+        "dedup_minhash_auto",       # operators/dedup.py staging
+        "dedup_minhash_recall_held",  # operators/dedup.py staging
+        "dedup_components",         # components round batching
+        "dedup_simhash",            # mega-bucket bound (verdict #5)
+        "q9_product_profit",        # verdict #8 re-examination
     }
     rotation = {
-        # the r12-deferred twin + the entire r10-vintage cohort
-        # (GATE_AGE.md post-r12, last green r10)
-        "events_sessionize_native",
-        "bloom_no_false_negatives", "cross_source_contamination_chunked",
-        "dd_array_contains_all", "dd_array_contains_all_fn",
-        "dd_version", "dedup_components", "dedup_exact",
-        "dedup_minhash_auto", "dedup_minhash_recall_held",
-        "dedup_simhash", "docs_length_quantiles",
-        "docs_shard_assignment", "docs_stratified_sample",
-        "events_activity_range_join", "events_type_pivot",
-        "lineitem_count", "lineitem_projection",
-        "lineitem_range_filter", "multimodal_media_keys",
-        "multimodal_png_features", "null_laws",
-        "orders_running_totals", "orders_set_ops", "pack_sequences",
-        "q10_returned_items", "q19_disjunctive_join",
-        "q1_pricing_summary", "q3_shipping_priority",
-        "q5_regional_volume", "q7_volume_shipping",
-        "skew_salted_join_agg", "text_fingerprint", "text_redact_pii",
-        "try_cast_matrix",
+        # the entire r11-vintage cohort (GATE_AGE.md post-r13)
+        "bucketed_join_rollup", "corpus_top_terms",
+        "cross_source_contamination", "customer_orders_left_join",
+        "dd_search_marker", "dedup_canonical_corpus",
+        "dedup_minhash_lsh", "dedup_stream_screen",
+        "dedup_substring_screen", "embed_cosine_neardup",
+        "embed_neardup_lsh", "embed_semantic_screen",
+        "events_hourly_rollup", "events_orders_asof_join",
+        "join_region_rollup", "multimodal_features",
+        "multimodal_jpeg_features", "multimodal_video_frames",
+        "multimodal_video_metadata", "ngram_jaccard_sampled",
+        "orders_global_aggs", "orders_group_agg", "orders_rollup",
+        "pipeline_clean_corpus", "q12_priority_shipping",
+        "q13_customer_distribution", "q14_promo_effect",
+        "q15_top_supplier", "q16_supplier_cnt",
+        "q22_sales_opportunity", "q6_revenue", "string_functions",
+        "supplier_nation_join", "text_langid", "text_normalize",
+        "text_quality", "text_repetition", "text_token_stats",
+        # r12-vintage fill (GATE_AGE.md order)
+        "cast_matrix", "cte_union_all", "dedup_exact_substring",
+        "distinct_rows",
     }
     in_window = set(window)
     for group, names in [
