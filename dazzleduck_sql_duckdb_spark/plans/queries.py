@@ -476,19 +476,66 @@ def _funnel(d: str) -> str:
     key throughout, so stages co-partition (no re-shuffle between
     them); each stage's input shrinks monotonically.
 
-    The Spark side hints REPARTITION(user_id) on ev (optimization
-    r13): the CTE has six inlined consumers, so without the hint the
-    events scan runs six times; with it every consumer reads ONE
-    shared exchange (AQE runtime stage reuse) already clustered on
-    the single key every stage aggregates/joins by, so no further
-    exchange exists anywhere in the plan. One narrow 3-column shuffle
-    of events replaces five re-scans — the same trade as the
-    perplexity/tfidf entries. Measured at sf0.1 (interleaved A/B,
-    median of 7): 0.456s -> 0.380s, identical values."""
+    The Spark side is the single-scan window-cascade form
+    (optimization r14, guide §2.4). The r13 REPARTITION(user_id) hint
+    did NOT deliver its claimed exchange reuse: per-stage filters
+    (event_type = ...) and column pruning push BELOW the hint's
+    exchange, so the six CTE consumer subtrees stay non-identical and
+    AQE stage reuse cannot fire — the after-plan kept 6 events scans
+    and gained an exchange (r13 verdict "what's wrong" #1). The fix
+    computes the whole funnel in one pass: a window cascade
+    partitioned by user_id (t0 = min view time; t1 = min click time
+    AFTER t0; t2 = min purchase time AFTER t1 — each window reads the
+    previous one's output, all three share one hash(user_id)
+    distribution and one sort), then one per-user row and three
+    global counts unpivoted with inline(). Exactly the join-form
+    semantics: a user enters stage k+1 iff it has an event of that
+    type strictly after its stage-k timestamp; `saw_view` (not t0)
+    carries stage 1 so a user whose only views have NULL timestamps
+    still counts in stage 1 and never in stage 2, matching the
+    join form's v-row / NULL-t0-join behavior. Plan: 6 scans + 7
+    exchanges -> 1 scan + 2 exchanges (one narrow user_id shuffle +
+    the single-row global agg), no joins (see
+    plans/r14/events_funnel_{{before,after}}.txt)."""
     us = _event_us(d)
-    hint = "/*+ REPARTITION(user_id) */ " if d == SPARK else ""
+    if d == SPARK:
+        return f"""
+WITH ev AS (SELECT user_id, event_type, {us} AS us FROM events),
+w1 AS (
+  SELECT user_id, event_type, us,
+    max(CASE WHEN event_type = 'view' THEN 1 END)
+      OVER (PARTITION BY user_id) AS saw_view,
+    min(CASE WHEN event_type = 'view' THEN us END)
+      OVER (PARTITION BY user_id) AS t0
+  FROM ev),
+w2 AS (
+  -- user_id IS NOT NULL: the join form's ON user_id = user_id never
+  -- matches NULL users, so they stop at stage 1 there; the window
+  -- partition groups NULLs together, so replicate the stop here
+  SELECT user_id, event_type, us, saw_view, t0,
+    min(CASE WHEN event_type = 'click' AND us > t0
+              AND user_id IS NOT NULL THEN us END)
+      OVER (PARTITION BY user_id) AS t1
+  FROM w1),
+w3 AS (
+  SELECT user_id, saw_view, t1,
+    min(CASE WHEN event_type = 'purchase' AND us > t1 THEN us END)
+      OVER (PARTITION BY user_id) AS t2
+  FROM w2),
+u AS (SELECT user_id, min(saw_view) AS saw_view, min(t1) AS t1,
+             min(t2) AS t2
+      FROM w3 GROUP BY user_id)
+SELECT inline(array(
+  named_struct('stage', 'stage1_view',
+               'n_users', CAST(count(saw_view) AS BIGINT)),
+  named_struct('stage', 'stage2_click',
+               'n_users', CAST(count(t1) AS BIGINT)),
+  named_struct('stage', 'stage3_purchase',
+               'n_users', CAST(count(t2) AS BIGINT))))
+FROM u
+"""
     return f"""
-WITH ev AS (SELECT {hint}user_id, event_type, {us} AS us FROM events),
+WITH ev AS (SELECT user_id, event_type, {us} AS us FROM events),
 v AS (SELECT user_id, min(us) AS t0 FROM ev
       WHERE event_type = 'view' GROUP BY user_id),
 c AS (SELECT e.user_id, min(e.us) AS t1
