@@ -107,9 +107,14 @@ def connected_components(
         probe = sym.unionByName(
             labels.select(F.col("node").alias("a"), F.col("label").alias("b"))
         )
-        hop = probe.join(labels, probe["b"] == labels["node"]).select(
+        # alias the build side explicitly (advisor r13): `probe`
+        # contains `labels`, so bare column refs are the classic
+        # ambiguous-self-join shape — they resolve correctly today
+        # only because the union exposes sym's attributes
+        rhs = labels.alias("rhs")
+        hop = probe.join(rhs, probe["b"] == F.col("rhs.node")).select(
             F.col("a").alias("node"),
-            F.col("label"),
+            F.col("rhs.label").alias("label"),
             F.lit(None).cast(label_t).alias("old"),
         )
         parts = cur.unionByName(hop)

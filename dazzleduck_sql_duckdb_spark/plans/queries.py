@@ -1883,7 +1883,16 @@ def _build_dedup_canonical(spark, sf_dir: str):
     row to the previous two-pass form (max(n_chars) + min(doc_id among
     maxima) over a persisted `lab` + join-back), which cost a cache
     write, a second aggregation and a join; map-side combine makes the
-    single max/count skew-immune at 100 TB exactly as before."""
+    single max/count skew-immune at 100 TB exactly as before.
+
+    NULL n_chars (advisor r13 note — no such rows exist in any test
+    corpus): the old join-back (n_chars == kept_chars) DROPPED a
+    component whose rows all had NULL n_chars; the struct max emits it
+    with NULL kept_chars and the min doc_id, which matches the DuckDB
+    oracle's window formulation (row_number orders NULLs like any
+    value; the component keeps a row either way). The struct-max form
+    is therefore oracle-aligned where the two-pass form silently was
+    not."""
     from pyspark.sql import functions as F
 
     from ..operators.components import connected_components

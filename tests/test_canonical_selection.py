@@ -20,16 +20,20 @@ import pytest
 from dazzleduck_sql_duckdb_spark.plans import queries as Q
 
 
-@pytest.fixture(scope="module", autouse=True)
+@pytest.fixture(autouse=True)
 def _restore_documents(spark, tables):
-    """This module overwrites the `documents` view with a synthetic
-    corpus; re-register the real table afterwards so later test modules
-    in the same session see the parquet data."""
-    yield
-    import tests.conftest as C
+    """This module's tests overwrite the `documents` view with a
+    synthetic corpus; re-register the real table after EACH test
+    (function scope, advisor r13: a module-scoped restore leaves the
+    overwrite visible to any module interleaved by a reordered or
+    distributed run) so every other test in the session sees the
+    parquet data."""
+    from tests.conftest import SF_DIR
+
     from dazzleduck_sql_duckdb_spark.session import load_tables
 
-    load_tables(spark, C.SF_DIR)
+    yield
+    load_tables(spark, SF_DIR)
 
 
 def test_canonical_selection_tiebreaks(spark, tables):
