@@ -23,6 +23,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 SF_DIR = "/root/testdata/sf0.1"
 OUT_DIR = "/tmp/spark_graft_scaling"
 QUERIES = [
